@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline catalog queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully executed (collected to the driver after an
+aggregation, or counted when the result is large) so the wall time
+covers scan → shuffle → result, not just plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from elective_waiting_times_pipeline_spark import get_spark
+from elective_waiting_times_pipeline_spark.plans import catalog
+
+# Queries a large result set (row-level output) — force full execution
+# via count() rather than pulling everything to the driver.
+_COUNT_ONLY = {"filter_project", "window_share"}
+
+
+def headline_queries() -> list[str]:
+    names = getattr(catalog, "HEADLINE", None)
+    return list(names) if names else sorted(catalog.SPARK_QUERIES)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench")
+    timings: dict[str, float] = {}
+    # Warm the JVM/scan path once so per-query numbers measure the
+    # query, not session bootstrap.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    for name in headline_queries():
+        fn = catalog.SPARK_QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        if name in _COUNT_ONLY:
+            df.count()
+        else:
+            df.collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,39 @@
+"""Label ↔ date scalar helpers (all JVM-side column expressions).
+
+The reference parses dates late and locally from string fragments:
+  - `as.Date(paste0('01-', monthyr), format='%d-%b-%y')`
+    (`3a. Visualise.R:50-54`)
+  - `word(Period, 2, sep='-')` month-name extraction from
+    'RTT-APRIL-2020' (`3c. Maps and provider stats.R:166-168`)
+We derive a proper DateType once at ingest and keep the label columns
+for output compatibility (SURVEY.md §1.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def monthyr_to_date(col: Column | str) -> Column:
+    """'Apr20' → date 2020-04-01."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.to_date(F.concat(F.lit("01"), c), "ddMMMyy")
+
+
+def period_to_date(col: Column | str) -> Column:
+    """'RTT-APRIL-2020' → date 2020-04-01 (month name in any case)."""
+    c = F.col(col) if isinstance(col, str) else col
+    month_name = F.initcap(F.lower(F.split(c, "-").getItem(1)))
+    year = F.split(c, "-").getItem(2)
+    return F.to_date(F.concat_ws(" ", F.lit("01"), month_name, year), "dd MMMM yyyy")
+
+
+def covid_period(date_col: Column | str) -> Column:
+    """COVID-era bucketing ladder (`3b. Descriptive stats.R:84-87`)."""
+    d = F.col(date_col) if isinstance(date_col, str) else date_col
+    return (
+        F.when(d < F.lit("2020-03-01").cast("date"), F.lit("pre"))
+        .when(d < F.lit("2021-04-01").cast("date"), F.lit("during"))
+        .otherwise(F.lit("post"))
+    )

@@ -1,0 +1,333 @@
+"""Query catalog: every declared operator from SURVEY.md §2 as a
+(spark_fn, duckdb_oracle_sql) pair over the driver's testdata tables.
+
+Each Spark callable takes (spark, sf_dir) and returns a lazy DataFrame;
+the oracle is ANSI SQL DuckDB runs on the same parquet files. Column
+names and types are aligned on both sides (the driver hash-compares
+values after sorting columns by name).
+
+Determinism rules applied throughout (so order-insensitive value hashes
+match):
+  * double SUMs go through DECIMAL(18,2/4) so the result does not
+    depend on float addition order, then CAST back to DOUBLE;
+  * every DuckDB integer aggregate is CAST to BIGINT (DuckDB's SUM
+    returns HUGEINT, Spark's returns LONG);
+  * ties in top-k / row_number orderings are broken by a unique key.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from elective_waiting_times_pipeline_spark.operators.histogram import band_histogram, histogram_stats
+from elective_waiting_times_pipeline_spark.sources.readers import load_table
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        SPARK_QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+def _dec2(c) -> F.Column:
+    return F.col(c).cast("decimal(18,2)") if isinstance(c, str) else c.cast("decimal(18,2)")
+
+
+def _sum2(c, alias: str):
+    """Order-independent double sum (via decimal)."""
+    return F.sum(_dec2(c)).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# A1/A2/A3/F4 — grouped multi-aggregate sweep (TPC-H Q1 shape).
+# Reference: grouped sums `3c. Maps and provider stats.R:157-159`, the
+# across(starts_with('Gt'), sumnarm) sweep `2.R:196-197`, round `2.R:258`.
+# ---------------------------------------------------------------------------
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _sum2("l_quantity", "sum_qty"),
+            _sum2("l_extendedprice", "sum_base_price"),
+            F.sum(_dec2("l_extendedprice") * (1 - _dec2("l_discount"))).cast("double").alias("sum_disc_price"),
+            (F.sum(_dec2("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(_dec2("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A12/A13/A14/W2 — the signature histogram-quantile dashboard kernel.
+# Reference: `2. Produce descriptive statistics.R:237-261` (cumsum →
+# first-crossing quantile − 1; 18/52-week thresholds; <20 suppression).
+# lineitem quantity (1..50) stands in for the weekly wait band.
+# ---------------------------------------------------------------------------
+@query(
+    "histogram_quantile",
+    oracle="""
+    WITH binned AS (
+      SELECT l_returnflag AS grp, CAST(floor(l_quantity) AS INT) AS band
+      FROM lineitem
+    ), hist AS (
+      SELECT grp, band, CAST(COUNT(*) AS BIGINT) AS cnt FROM binned GROUP BY grp, band
+    ), cum AS (
+      SELECT grp, band, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY grp ORDER BY band) AS BIGINT) AS c,
+             CAST(SUM(cnt) OVER (PARTITION BY grp) AS BIGINT) AS total
+      FROM hist
+    )
+    SELECT grp,
+      CAST(MAX(total) AS BIGINT) AS total_patients,
+      CASE WHEN MAX(total) >= 20 THEN CAST(MIN(CASE WHEN c >= 0.50 * total THEN band END) - 1 AS INT) END AS weeks_50,
+      CASE WHEN MAX(total) >= 20 THEN CAST(MIN(CASE WHEN c >= 0.92 * total THEN band END) - 1 AS INT) END AS weeks_92,
+      CASE WHEN MAX(total) >= 20 THEN CAST(MIN(CASE WHEN c >= 0.95 * total THEN band END) - 1 AS INT) END AS weeks_95,
+      CASE WHEN MAX(total) >= 20 THEN CAST(COALESCE(SUM(CASE WHEN band <= 18 THEN cnt END), 0) AS BIGINT) END AS number_18_or_less,
+      CASE WHEN MAX(total) >= 20 THEN ROUND(100.0 * CAST(COALESCE(SUM(CASE WHEN band <= 18 THEN cnt END), 0) AS BIGINT) / MAX(total), 1) END AS rate_18wks_or_less,
+      CASE WHEN MAX(total) >= 20 THEN CAST(MAX(total) - COALESCE(SUM(CASE WHEN band <= 36 THEN cnt END), 0) AS BIGINT) END AS number_36_or_more,
+      CASE WHEN MAX(total) >= 20 THEN ROUND(100.0 * (MAX(total) - CAST(COALESCE(SUM(CASE WHEN band <= 36 THEN cnt END), 0) AS BIGINT)) / MAX(total), 1) END AS rate_36wks_or_more
+    FROM cum
+    GROUP BY grp
+    """,
+)
+def histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    binned = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.floor("l_quantity").cast("int").alias("band"),
+    )
+    hist = band_histogram(binned, ["grp"], "band")
+    return histogram_stats(
+        hist,
+        ["grp"],
+        quantiles=(0.50, 0.92, 0.95),
+        le_thresholds=(18,),
+        ge_thresholds=(36,),
+        min_total=20,
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1/P4 — projection + conjunctive predicates (equality, isin, negated
+# isin, range). Reference: `2.R:155-158`, `1b.R:149`, `3c.R:105`.
+# ---------------------------------------------------------------------------
+@query(
+    "filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS net_price
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+      AND l_linestatus IN ('F')
+      AND l_quantity NOT IN (1, 2)
+      AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    """,
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_returnflag") == "R")
+        & F.col("l_linestatus").isin("F")
+        & ~F.col("l_quantity").isin(1, 2)
+        & (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        (_dec2("l_extendedprice") * (1 - _dec2("l_discount"))).cast("double").alias("net_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P5 — whole-row dedup. Reference: `1b.R:283`, `1c.R:127`.
+# ---------------------------------------------------------------------------
+@query(
+    "distinct_rows",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus, o_orderpriority "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey",
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("l_returnflag", "l_linestatus", "o_orderpriority")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1/O3 — multi-key sort + top-k. Reference: `IS_election_blog.R:109-115`
+# (arrange(-Total) %>% head(11)); ties broken by unique key for
+# distributed determinism (SURVEY §7.5 order-dependence caveat).
+# ---------------------------------------------------------------------------
+@query(
+    "top_k",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 11
+    """,
+)
+def top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(11)
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 — broadcast left join of fact to small dimension + grouped agg.
+# Reference: `2.R:63-64` (provider lookup joined to fact),
+# `1a.R:50-52`. The dimension side is explicitly broadcast.
+# ---------------------------------------------------------------------------
+@query(
+    "join_left_broadcast",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_left_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _sum2("o_totalprice", "total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3 — semi-join membership ("keep customers that have a big order").
+# Reference: `%in%` membership flag `1b.R:380`, `1c.R:236`.
+# ---------------------------------------------------------------------------
+@query(
+    "semi_join",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+    """,
+)
+def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4 — anti-join ("customers with no orders"). Reference: `!(x %in% y)`
+# drops `1c.R:398-399`, `IS_election_blog.R:71`.
+# ---------------------------------------------------------------------------
+@query(
+    "anti_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets — the reference's ENGLAND-override + IS∈{0,1,2=All}
+# trick (`2.R:148-150`, `2.R:344-353`) is GROUPING SETS; in Spark a
+# single cube pass replaces the reference's per-combo rescans
+# (SURVEY §2.4, §3.2 — the highest-leverage translation in the build).
+# NULL grouping keys are COALESCEd to 'ALL' on both sides.
+# ---------------------------------------------------------------------------
+@query(
+    "grouping_sets_cube",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def grouping_sets_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(_sum2("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A10 — grouped-mutate: group total windowed back onto rows for shares.
+# Reference: `3c.R:455-457` (group_by + mutate(total=sum(x)) → share).
+# ---------------------------------------------------------------------------
+@query(
+    "window_share",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           ROUND(100.0 * o_totalprice
+                 / CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_orderstatus) AS DOUBLE),
+                 6) AS pct_of_status
+    FROM orders
+    """,
+)
+def window_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.round(
+            100.0 * F.col("o_totalprice") / F.sum(_dec2("o_totalprice")).over(w).cast("double"),
+            6,
+        ).alias("pct_of_status"),
+    )

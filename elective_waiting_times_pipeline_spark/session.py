@@ -1,0 +1,57 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local test/bench runs use ``local[N]``; the same configuration set is
+what we would ship to a 1000-executor cluster (AQE on, skew-join on,
+sane shuffle partitioning, Arrow for the few Pandas-UDF paths, UTC
+session timezone so results are oracle-comparable).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "elective_waiting_times_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    Defaults are driven by env vars so the driver/bench harness can
+    steer them: ``SPARK_GRAFT_CPUS`` sets local parallelism.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Shuffle sizing: ~cores locally; AQE coalesces at runtime so a
+        # too-high static number is cheap, a too-low one is not.
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Adaptive execution: runtime partition coalescing, skew-join
+        # splitting, and dynamic join-strategy switching. These are the
+        # knobs that make the same plan survive a 100x scale-up.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for the pandas_udf / createDataFrame(pandas) edges.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Oracle comparability: DuckDB timestamps are UTC-naive.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Quiet the UI for headless runs.
+        .config("spark.ui.enabled", "false")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,77 @@
+"""Sources: parquet lake tables, CSV with R-compatible header mangling,
+schema-drift-tolerant unions.
+
+Reference parity (see SURVEY.md §2.1):
+  - S1/S2 `fread`/`read_csv` with `check.names=T`   → read_csv_checked
+  - J7 `plyr::rbind.fill` union-by-name NULL fill    → union_by_name
+  - S10 arrow `write_dataset(partitioning=...)`      → write_partitioned
+(reference file:line: `1b. Scrape links ... .R:373`, `1b...R:278,386`,
+`3a. Visualise.R:345-349`).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from elective_waiting_times_pipeline_spark.functions.names import check_names
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one lake table. Parquet scan → column pruning and predicate
+    pushdown happen in the scan node for anything layered on top."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: Iterable[str] = TESTDATA_TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def read_csv_checked(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    **options,
+) -> DataFrame:
+    """CSV scan with explicit schema (never infer in prod) and header
+    names mangled the way R's ``fread(check.names=TRUE)`` would, so
+    downstream code that addresses `Gt.00.To.01.Weeks.SUM.1`-style
+    columns works against raw NHS extracts."""
+    opts = {"header": True, **options}
+    df = spark.read.csv(path, schema=schema, **opts)
+    mangled = check_names(df.columns)
+    if mangled != df.columns:
+        df = df.toDF(*mangled)
+    return df
+
+
+def union_by_name(dfs: Iterable[DataFrame]) -> DataFrame:
+    """Vertical concat tolerating schema drift: missing columns become
+    NULL (R `rbind.fill`). A single lazy plan — Catalyst unions the
+    scans; no driver-side accumulation loop."""
+    dfs = list(dfs)
+    if not dfs:
+        raise ValueError("union_by_name needs at least one DataFrame")
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: Iterable[str] = ("monthyr",), mode: str = "overwrite") -> None:
+    """Canonical storage layout of the engine: parquet partitioned by
+    month so per-month queries prune partitions at plan time."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

@@ -1,0 +1,77 @@
+"""DuckDB-oracle comparison harness mirroring the driver's check:
+row-count + schema-shape + order-insensitive value comparison with the
+columns sorted by name. Exact equality is required for non-floats; for
+floats we require exactness too (the catalog is built to be
+order-independent) but report max-abs-diff on failure for debugging.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def duck_run(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con.execute(sql).fetchdf()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = pd.to_datetime(s).dt.tz_localize(None).astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64")
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("float64")  # unify Int64/int32/int64 & NULLs
+        elif pd.api.types.is_bool_dtype(s):
+            df[c] = s.astype("float64")
+        else:
+            df[c] = s.astype("object").where(s.notna(), None)
+    df = df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
+    return df
+
+
+def assert_matches_oracle(spark_df, oracle_sql: str, sf_dir: str, float_tol: float = 0.0):
+    got = _normalize(spark_df.toPandas())
+    want = _normalize(duck_run(oracle_sql, sf_dir))
+    assert list(got.columns) == list(want.columns), f"columns differ: {list(got.columns)} vs {list(want.columns)}"
+    assert len(got) == len(want), f"row counts differ: {len(got)} vs {len(want)}"
+    for c in got.columns:
+        g, w = got[c], want[c]
+        if pd.api.types.is_float_dtype(g):
+            both_nan = g.isna() & w.isna()
+            close = both_nan | (
+                (g.notna() & w.notna())
+                & ((g - w).abs() <= float_tol + 1e-12 * w.abs().fillna(0))
+            )
+            if not close.all():
+                bad = (~close).idxmax()
+                raise AssertionError(
+                    f"column {c} differs at row {bad}: {g[bad]!r} vs {w[bad]!r}; "
+                    f"max abs diff {(g - w).abs().max()}"
+                )
+        else:
+            same = (g.isna() & w.isna()) | (g == w)
+            if not same.all():
+                bad = (~same).idxmax()
+                raise AssertionError(f"column {c} differs at row {bad}: {g[bad]!r} vs {w[bad]!r}")
