@@ -1,0 +1,181 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH near-dup, SimHash, and n-gram Jaccard verification.
+
+Scale design:
+  * exact dedup = one hash-groupBy on a fingerprint (map-side combine;
+    the only shuffle is on the 16-byte digest, not the document text);
+  * MinHash LSH = signature → band → bucket equi-join; candidate pairs
+    are generated per-bucket so the cross product is bounded by bucket
+    size, never |corpus|²;
+  * Jaccard verification joins an exploded shingle inverted index —
+    also an equi-join, usable standalone for small candidate sets.
+All deterministic: hashes are xxhash64/crc32 with fixed seeds; "keep"
+row is min(id), never first-encountered (SURVEY §7.5 caveat).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from elective_waiting_times_pipeline_spark.operators.text import fingerprint_md5, word_shingles
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row (min id) per normalized-text fingerprint."""
+    keyed = df.withColumn("_fp", fingerprint_md5(text_col))
+    w = Window.partitionBy("_fp").orderBy(id_col)
+    return (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
+    )
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Fingerprint → (canonical_id, n_copies) summary (hash-groupBy)."""
+    return (
+        df.select(F.col(id_col), fingerprint_md5(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, signature ARRAY<BIGINT>[num_hashes]) via min over shingle
+    hashes; hash_i(s) = xxhash64(i, s) (fixed seed → deterministic).
+    Documents with no shingles are dropped.
+
+    Physical shape: explode shingles → num_hashes flat xxhash64
+    columns (whole-stage codegen; nested higher-order lambdas would be
+    interpreted per row, ~50× slower) → one hash-agg of mins per doc
+    (map-side partial combine → the shuffle carries num_hashes longs
+    per doc, not the shingles)."""
+    exploded = df.select(
+        F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("_sh")
+    )
+    mins = exploded.groupBy(id_col).agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("_sh"))).alias(f"_h{i}") for i in range(num_hashes)]
+    )
+    return mins.select(
+        F.col(id_col), F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Band the signatures and self-join on (band_idx, band_hash):
+    pairs agreeing on any band are near-dup candidates. Returns
+    distinct (id_a, id_b) with id_a < id_b."""
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.array_join(F.slice("signature", b * rows_per_band + 1, rows_per_band), ",")).alias(
+                        "bucket"
+                    ),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact Jaccard over word-shingle sets for all co-shingled pairs,
+    via an inverted-index equi-join (shingle → docs). Output:
+    (id_a, id_b, jaccard) with id_a < id_b, rounded to 6 dp.
+
+    Scale note: the self-join fans out by shingle document frequency;
+    at corpus scale, feed this only LSH candidates (or drop hot
+    shingles first). Standalone it is exact and oracle-checkable.
+    """
+    shingled = df.select(
+        F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("shingle")
+    )
+    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= min_jaccard) if min_jaccard > 0 else out
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit SimHash over token crc32-derived bit patterns, computed
+    entirely with fold expressions (no UDF): for each bit position,
+    +1/-1 votes across tokens; sign → bit.
+
+    Token hash = xxhash64(token) (deterministic). The per-bit vote is
+    one aggregate over the exploded token column — a single shuffle.
+    """
+    from elective_waiting_times_pipeline_spark.operators.text import tokens
+
+    toked = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    h = F.xxhash64("tok")
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_v{i}")
+        for i in range(bits)
+    ]
+    voted = toked.groupBy(id_col).agg(*votes)
+    sim = None
+    for i in range(bits):
+        bit = F.when(F.col(f"_v{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << i).cast("long") if i < 63 else bit * F.lit(-(1 << 63)).cast("long")
+        sim = term if sim is None else sim + term
+    return voted.select(F.col(id_col), sim.alias("simhash"))
+
+
+def hamming_distance(a, b) -> F.Column:
+    """Popcount of XOR — for SimHash near-dup thresholds."""
+    x = (F.col(a) if isinstance(a, str) else a).bitwiseXOR(F.col(b) if isinstance(b, str) else b)
+    return F.bit_count(x)

@@ -1,0 +1,120 @@
+"""Similarity search over embedding columns (ARRAY<FLOAT>): exact
+brute-force cosine top-k as the baseline, and a random-hyperplane LSH
+bucketed variant as the scale path.
+
+All vector math is built-in array expressions (zip_with / aggregate —
+JVM fold, no Python). The LSH hyperplanes are generated once on the
+driver from a fixed seed and embedded as literals (a few KB), i.e. an
+implicit broadcast.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Exact top-k by cosine against a single query vector (a 1-row
+    DataFrame, kept lazy — no collect). The query side is broadcast;
+    the candidate side streams, so this is one scan of the corpus.
+    Ordering is (similarity DESC, id ASC) on the ROUNDED similarity so
+    top-k membership is engine-independent."""
+    q = F.broadcast(query_df.select(F.col(vec_col).alias("_qvec")))
+    sim = F.round(cosine(F.col(vec_col), F.col("_qvec")), round_dp)
+    return (
+        df.crossJoin(q)
+        .select(F.col(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold (brute force — quadratic; use
+    lsh_bucketed_pairs at corpus scale)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = F.round(cosine(F.col("_va"), F.col("_vb")), round_dp)
+    return pairs.select("id_a", "id_b", sim.alias("cosine_sim")).filter(
+        F.col("cosine_sim") >= threshold
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).tolist()
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: bit i = sign(vec · plane_i).
+    Returned as a compact bigint (n_planes ≤ 63)."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(v)) for v in plane])
+        bit = F.when(dot(vec, p) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = sig + bit * F.lit(1 << i).cast("long")
+    return sig
+
+
+def lsh_bucketed_pairs(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Scale path for near-dup pairs: bucket by hyperplane signature
+    (highly similar vectors collide with high probability), generate
+    pairs within buckets only, verify with exact cosine. The pair join
+    is an equi-join on the signature — shuffle on a bigint, bounded by
+    bucket size, never |corpus|²."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    sigd = df.select(F.col(id_col), F.col(vec_col), lsh_signature(F.col(vec_col), planes).alias("_sig"))
+    a = sigd.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), F.col("_sig"))
+    b = sigd.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), F.col("_sig"))
+    pairs = a.join(b, ["_sig"]).filter(F.col("id_a") < F.col("id_b"))
+    sim = F.round(cosine(F.col("_va"), F.col("_vb")), round_dp)
+    return pairs.select("id_a", "id_b", sim.alias("cosine_sim")).filter(
+        F.col("cosine_sim") >= threshold
+    )

@@ -12,40 +12,37 @@ match):
     depend on float addition order, then CAST back to DOUBLE;
   * every DuckDB integer aggregate is CAST to BIGINT (DuckDB's SUM
     returns HUGEINT, Spark's returns LONG);
-  * ties in top-k / row_number orderings are broken by a unique key.
+  * ties in top-k / row_number / ntile orderings are broken by a
+    unique key (SURVEY §7.5: order-dependence is nondeterministic in a
+    distributed engine — pin explicit orderings);
+  * moment aggregates (corr/stddev) are rounded to 6 dp, far above
+    float merge-order noise.
+
+This module defines the core relational queries (scan/filter/join/
+agg/window surface); sibling modules register further domains:
+  catalog_relational — reshape, scalar functions, window variants
+  catalog_text       — documents: dedup, fingerprints, quality, lang-id
+  catalog_vector     — embeddings: ANN / near-dup cosine
+  catalog_events     — events: time windows, sessionization
 """
 
 from __future__ import annotations
-
-from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from elective_waiting_times_pipeline_spark.operators.histogram import band_histogram, histogram_stats
+from elective_waiting_times_pipeline_spark.plans.registry import (
+    HEADLINE,
+    ORACLE_SQL,
+    SPARK_QUERIES,
+    dec2,
+    query,
+    sum2,
+)
 from elective_waiting_times_pipeline_spark.sources.readers import load_table
 
-SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLE_SQL: dict[str, str] = {}
-
-
-def query(name: str, oracle: str | None = None):
-    def deco(fn):
-        SPARK_QUERIES[name] = fn
-        if oracle is not None:
-            ORACLE_SQL[name] = oracle
-        return fn
-
-    return deco
-
-
-def _dec2(c) -> F.Column:
-    return F.col(c).cast("decimal(18,2)") if isinstance(c, str) else c.cast("decimal(18,2)")
-
-
-def _sum2(c, alias: str):
-    """Order-independent double sum (via decimal)."""
-    return F.sum(_dec2(c)).cast("double").alias(alias)
+__all__ = ["SPARK_QUERIES", "ORACLE_SQL", "HEADLINE"]
 
 
 # ---------------------------------------------------------------------------
@@ -55,6 +52,7 @@ def _sum2(c, alias: str):
 # ---------------------------------------------------------------------------
 @query(
     "pricing_summary",
+    headline=True,
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -74,11 +72,11 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _sum2("l_quantity", "sum_qty"),
-            _sum2("l_extendedprice", "sum_base_price"),
-            F.sum(_dec2("l_extendedprice") * (1 - _dec2("l_discount"))).cast("double").alias("sum_disc_price"),
-            (F.sum(_dec2("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
-            (F.sum(_dec2("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            sum2("l_quantity", "sum_qty"),
+            sum2("l_extendedprice", "sum_base_price"),
+            F.sum(dec2("l_extendedprice") * (1 - dec2("l_discount"))).cast("double").alias("sum_disc_price"),
+            (F.sum(dec2("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(dec2("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -92,6 +90,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "histogram_quantile",
+    headline=True,
     oracle="""
     WITH binned AS (
       SELECT l_returnflag AS grp, CAST(floor(l_quantity) AS INT) AS band
@@ -162,7 +161,7 @@ def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         "l_quantity",
         "l_extendedprice",
-        (_dec2("l_extendedprice") * (1 - _dec2("l_discount"))).cast("double").alias("net_price"),
+        (dec2("l_extendedprice") * (1 - dec2("l_discount"))).cast("double").alias("net_price"),
     )
 
 
@@ -214,6 +213,7 @@ def top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "join_left_broadcast",
+    headline=True,
     oracle="""
     SELECT c_mktsegment,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -230,8 +230,37 @@ def join_left_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            _sum2("o_totalprice", "total_price"),
+            sum2("o_totalprice", "total_price"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 — composite-key equi-join (reference: data.table merge on a 5-col
+# key, `3d. Ratio.R:104-105`). Aggregate per (order, supplier), join
+# back on BOTH keys.
+# ---------------------------------------------------------------------------
+@query(
+    "join_multikey",
+    oracle="""
+    WITH per AS (
+      SELECT l_orderkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS supp_order_qty
+      FROM lineitem GROUP BY l_orderkey, l_suppkey
+    )
+    SELECT l.l_orderkey, l.l_suppkey, l.l_linenumber, p.supp_order_qty
+    FROM lineitem l
+    JOIN per p ON l.l_orderkey = p.l_orderkey AND l.l_suppkey = p.l_suppkey
+    WHERE l.l_linenumber = 1
+    """,
+)
+def join_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_orderkey", "l_suppkey").agg(sum2("l_quantity", "supp_order_qty"))
+    return (
+        li.join(per, on=["l_orderkey", "l_suppkey"], how="inner")
+        .filter(F.col("l_linenumber") == 1)
+        .select("l_orderkey", "l_suppkey", "l_linenumber", "supp_order_qty")
     )
 
 
@@ -274,6 +303,75 @@ def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# J5 — cross join (parameter grids, `3b. Descriptive stats.R:44-48`
+# expand.grid). Small × small only; at scale the grid is replaced by
+# grouping sets (see grouping_sets_cube).
+# ---------------------------------------------------------------------------
+@query(
+    "cross_join_grid",
+    oracle="""
+    SELECT r.r_name, s.o_orderstatus
+    FROM region r CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+)
+def cross_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    s = load_table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(s)
+
+
+# ---------------------------------------------------------------------------
+# J7 — union-by-name with NULL fill (R rbind.fill, `1b.R:278,386`).
+# customer has mktsegment; supplier doesn't → NULL-filled.
+# ---------------------------------------------------------------------------
+@query(
+    "union_by_name_fill",
+    oracle="""
+    SELECT c_custkey AS entity_key, c_name AS entity_name, c_acctbal AS acctbal,
+           c_mktsegment AS mktsegment, 'customer' AS src
+    FROM customer
+    UNION ALL
+    SELECT s_suppkey AS entity_key, s_name AS entity_name, s_acctbal AS acctbal,
+           CAST(NULL AS VARCHAR) AS mktsegment, 'supplier' AS src
+    FROM supplier
+    """,
+)
+def union_by_name_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elective_waiting_times_pipeline_spark.sources.readers import union_by_name
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_key"),
+        F.col("c_name").alias("entity_name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.lit("customer").alias("src"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_key"),
+        F.col("s_name").alias("entity_name"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.lit("supplier").alias("src"),
+    )
+    return union_by_name([c, s])
+
+
+# ---------------------------------------------------------------------------
+# J8 — positional union of same-schema slices (`3d.R:83`, `3a.R:44`).
+# ---------------------------------------------------------------------------
+@query(
+    "union_positional",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity <= 2
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity >= 49
+    """,
+)
+def union_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    return li.filter(F.col("l_quantity") <= 2).union(li.filter(F.col("l_quantity") >= 49))
+
+
+# ---------------------------------------------------------------------------
 # Grouping sets — the reference's ENGLAND-override + IS∈{0,1,2=All}
 # trick (`2.R:148-150`, `2.R:344-353`) is GROUPING SETS; in Spark a
 # single cube pass replaces the reference's per-combo rescans
@@ -282,6 +380,7 @@ def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "grouping_sets_cube",
+    headline=True,
     oracle="""
     SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
            COALESCE(l_linestatus, 'ALL') AS linestatus,
@@ -295,7 +394,7 @@ def grouping_sets_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")
-        .agg(_sum2("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("n_rows"))
+        .agg(sum2("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("n_rows"))
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
@@ -327,7 +426,14 @@ def window_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         "o_totalprice",
         F.round(
-            100.0 * F.col("o_totalprice") / F.sum(_dec2("o_totalprice")).over(w).cast("double"),
+            100.0 * F.col("o_totalprice") / F.sum(dec2("o_totalprice")).over(w).cast("double"),
             6,
         ).alias("pct_of_status"),
     )
+
+
+# --- register sibling domains (import side effects populate the dicts) ---
+from elective_waiting_times_pipeline_spark.plans import catalog_relational  # noqa: E402,F401
+from elective_waiting_times_pipeline_spark.plans import catalog_text  # noqa: E402,F401
+from elective_waiting_times_pipeline_spark.plans import catalog_vector  # noqa: E402,F401
+from elective_waiting_times_pipeline_spark.plans import catalog_events  # noqa: E402,F401

@@ -1,0 +1,118 @@
+"""Catalog: time-series surface over the `events` table — tumbling
+windows, sessionization, series generation. The streaming counterparts
+(watermarked Structured Streaming versions of the same aggregations)
+live in streaming/windows.py; these batch forms are the oracle-checked
+semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from elective_waiting_times_pipeline_spark.plans.registry import dec2, query
+from elective_waiting_times_pipeline_spark.sources.readers import load_table
+
+
+# ---------------------------------------------------------------------------
+# Tumbling time window (1 hour) per event type. Batch equivalent of
+# the streaming windowed aggregation (streaming/windows.py runs the
+# same logical agg with a watermark).
+# ---------------------------------------------------------------------------
+@query(
+    "events_tumbling_window",
+    headline=True,
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec2("value")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization: 30-minute inactivity gap via lag + cumulative flag.
+# Gap math in integer epoch-microseconds — exact on both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "sessionize",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, event_id,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000 THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id,
+           CAST(1 + SUM(new_session) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM gaps
+    GROUP BY user_id
+    """,
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gaps = ev.select(
+        "user_id",
+        "event_id",
+        F.when(us - F.lag(us).over(w) > 1_800_000_000, 1).otherwise(0).alias("new_session"),
+    )
+    return gaps.groupBy("user_id").agg(
+        (1 + F.sum("new_session")).cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# U3 — month-series generator (`1b.R:58-79` year_lkup): a relational
+# sequence + explode instead of a driver-side loop.
+# ---------------------------------------------------------------------------
+@query(
+    "month_series",
+    oracle="""
+    SELECT CAST(unnest(generate_series(DATE '2018-04-01', DATE '2020-03-01', INTERVAL 1 MONTH)) AS DATE) AS month_start
+    """,
+)
+def month_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2018-04-01").cast("date"),
+                F.lit("2020-03-01").cast("date"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("month_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON prop extraction (events.props is a JSON string) — modern-lake
+# scalar family the reference lacks (its F1 surface is plain strings).
+# ---------------------------------------------------------------------------
+@query(
+    "events_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k_value
+    FROM events
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+    )

@@ -1,0 +1,470 @@
+"""Catalog: aggregation variants, window functions, reshape, scalar
+function families (SURVEY.md §2.4-§2.9)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from elective_waiting_times_pipeline_spark.plans.registry import dec2, query, sum2
+from elective_waiting_times_pipeline_spark.sources.readers import load_table
+
+
+# ---------------------------------------------------------------------------
+# A4 — distinct counts (providers/months: `3c.R:99`, `3c.R:368-370`).
+# Exact here; approx_count_distinct is the 100TB-scale variant (see
+# count_distinct_approx, rows-only check).
+# ---------------------------------------------------------------------------
+@query(
+    "count_distinct",
+    oracle="""
+    SELECT n_name,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7 — weighted mean (population-weighted IMD `1a.R:114`, volume-
+# weighted IS share `3c.R:184,576`) = sum(x*w)/sum(w) with null-guard.
+# ---------------------------------------------------------------------------
+@query(
+    "weighted_mean",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS wavg_discount
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(dec2("l_discount") * dec2("l_quantity")).cast("double")
+            / F.sum(dec2("l_quantity")).cast("double"),
+            6,
+        ).alias("wavg_discount")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8 — conditional aggregate: sum(ifelse(cond, x, NA), na.rm=T)
+# (`3c.R:122-129`) → SUM(CASE WHEN ...).
+# ---------------------------------------------------------------------------
+@query(
+    "conditional_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COALESCE(SUM(CASE WHEN l_discount > 0.05 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS discounted_revenue,
+           CAST(COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS BIGINT) AS n_discounted
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = F.col("l_discount") > 0.05
+    return li.groupBy("l_returnflag").agg(
+        F.coalesce(F.sum(F.when(cond, dec2("l_extendedprice"))), F.lit(0))
+        .cast("double")
+        .alias("discounted_revenue"),
+        F.count(F.when(cond, F.lit(1))).alias("n_discounted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9 — string aggregation: paste(unique(x), collapse=', ') per group
+# (`3c.R:127`). collect_set is unordered → array_sort for determinism.
+# ---------------------------------------------------------------------------
+@query(
+    "string_agg",
+    oracle="""
+    SELECT r_name, STRING_AGG(DISTINCT n_name, ', ' ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.array_join(F.array_sort(F.collect_set("n_name")), ", ").alias("nations"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A11 — frequency table (`table`/`tabyl`, `1a.R:134`, `1c.R:470`).
+# ---------------------------------------------------------------------------
+@query(
+    "freq_table",
+    oracle="SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY o_orderpriority",
+)
+def freq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# W1 — ntile deciles/quintiles inside groups, inverted (IMD deciles:
+# `1a.R:117-118` `11 - ntile(x, 10)`). Tie-broken by unique key.
+# ---------------------------------------------------------------------------
+@query(
+    "ntile_decile",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           11 - NTILE(10) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS decile_inv
+    FROM customer
+    """,
+)
+def ntile_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.lit(11) - F.ntile(10).over(w)).alias("decile_inv"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2 — cumulative sum over an ordered axis (quantile machinery,
+# `2.R:244`). Decimal running sum → exact regardless of plan.
+# ---------------------------------------------------------------------------
+@query(
+    "cumsum_window",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+)
+def cumsum_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec2("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3 — top-1 per group (best geocode result per provider,
+# `1c.R:412-416` top_n(1, abs(number_results))): row_number over an
+# explicit DESC order with unique tie-break.
+# ---------------------------------------------------------------------------
+@query(
+    "top1_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5 — first-wins dedup with pinned order (R `first`/!duplicated keeps
+# arrival order, `1c.R:70`, `1b.R:283`; nondeterministic distributed →
+# pin explicit (date, key) order, SURVEY §4).
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_first_wins",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS first_orderkey, o_orderdate AS first_orderdate FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("first_orderkey"),
+            F.col("o_orderdate").alias("first_orderdate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W4 — lag deltas over a period axis (pre/post COVID deltas,
+# `3b.R:119-120`; here explicit lag() instead of pivot-subtract).
+# ---------------------------------------------------------------------------
+@query(
+    "lag_delta",
+    oracle="""
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY 1
+    )
+    SELECT month, total,
+           total - LAG(total) OVER (ORDER BY month) AS delta
+    FROM monthly
+    """,
+)
+def lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        sum2("o_totalprice", "total")
+    )
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month", "total", (F.col("total") - F.lag("total").over(w)).alias("delta")
+    )
+
+
+# ---------------------------------------------------------------------------
+# R1 — pivot_wider (34 uses in the reference, e.g. `3b.R:105-118` IS
+# sector pivot). Explicit value list keeps the plan static at scale.
+# ---------------------------------------------------------------------------
+@query(
+    "pivot_wide",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS qty_F,
+           CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS qty_O
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(dec2("l_quantity")))
+        .select(
+            "l_returnflag",
+            F.coalesce(F.col("F").cast("double"), F.lit(0.0)).alias("qty_F"),
+            F.coalesce(F.col("O").cast("double"), F.lit(0.0)).alias("qty_O"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# R2 — pivot_longer / unpivot (`1a.R:58`, `3c.R:373-374`) via stack().
+# ---------------------------------------------------------------------------
+@query(
+    "unpivot_long",
+    oracle="""
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part
+    """,
+)
+def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.selectExpr(
+        "p_partkey",
+        "stack(2, 'size', CAST(p_size AS DOUBLE), 'retailprice', p_retailprice) AS (metric, value)",
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1 — string function family (`str_replace_all`, `word(x,n,sep)`,
+# `toupper`, `substr`, regex capture — SURVEY §2.9 F1).
+# ---------------------------------------------------------------------------
+@query(
+    "string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_brand) AS brand_upper,
+           LOWER(p_name) AS name_lower,
+           SUBSTR(p_type, 1, 5) AS type_prefix,
+           split_part(p_type, ' ', 1) AS type_word1,
+           regexp_extract(p_name, '^([a-z]+)', 1) AS first_token,
+           regexp_replace(p_name, ' ', '_', 'g') AS name_snake,
+           p_brand || ':' || p_type AS brand_type,
+           CAST(LENGTH(p_name) AS INT) AS name_len,
+           CONTAINS(p_type, 'BRASS') AS is_brass
+    FROM part
+    """,
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_name").alias("name_lower"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.split("p_type", " ").getItem(0).alias("type_word1"),
+        F.regexp_extract("p_name", r"^([a-z]+)", 1).alias("first_token"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.col("p_type").contains("BRASS").alias("is_brass"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F2 — date function family (month-label parsing `3a.R:50-54`,
+# year/month extraction `Charts.R:142-143`, date compare `3b.R:84-86`).
+# ---------------------------------------------------------------------------
+@query(
+    "date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mth,
+           strftime(o_orderdate, '%b') AS month_label,
+           date_trunc('month', o_orderdate) AS month_start,
+           CAST(date_diff('day', TIMESTAMP '2024-01-01 00:00:00', o_orderdate) AS INT) AS days_since_2024,
+           o_orderdate >= TIMESTAMP '2024-06-01 00:00:00' AS is_h2
+    FROM orders
+    """,
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mth"),
+        F.date_format("o_orderdate", "MMM").alias("month_label"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("2024-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_2024"),
+        (F.col("o_orderdate") >= F.lit("2024-06-01 00:00:00").cast("timestamp")).alias("is_h2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F3 — case_when ladders (pathway mapping `2.R:69-76`, COVID periods
+# `3b.R:84-87`, region order `3c.R:628-638`).
+# ---------------------------------------------------------------------------
+@query(
+    "case_when_bucket",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+                WHEN o_totalprice < 200000 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def case_when_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 100000, "low")
+        .when(F.col("o_totalprice") < 200000, "mid")
+        .otherwise("high")
+    )
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F6 — NULL handling: NA-coalesce fallback (`IS_election_blog.R:91-105`
+# ifelse(is.na(x), fallback, x)) after a left join producing NULLs.
+# ---------------------------------------------------------------------------
+@query(
+    "coalesce_nulls",
+    oracle="""
+    SELECT c_custkey,
+           CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+           COALESCE(total_spend, 0.0) AS total_spend,
+           n_orders IS NULL AS never_ordered
+    FROM customer
+    LEFT JOIN (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+      FROM orders GROUP BY o_custkey
+    ) agg ON c_custkey = o_custkey
+    """,
+)
+def coalesce_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"), sum2("o_totalprice", "total_spend")
+    )
+    return c.join(agg, c.c_custkey == agg.o_custkey, "left").select(
+        "c_custkey",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("total_spend", F.lit(0.0)).alias("total_spend"),
+        F.col("n_orders").isNull().alias("never_ordered"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.10 — Pearson correlation / dispersion (geom_smooth(method=lm) +
+# stat_cor, `3b.R:126-132`). Rounded to 6 dp (moment aggregates carry
+# float merge-order noise well below that).
+# ---------------------------------------------------------------------------
+@query(
+    "corr_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           ROUND(stddev_samp(l_discount), 6) AS disc_stddev
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.stddev_samp("l_discount"), 6).alias("disc_stddev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4 at scale — approx_count_distinct (the 100TB variant of
+# n_distinct; no oracle: HLL estimates are engine-specific → the
+# driver records a rows-only check, and tests bound the error).
+# ---------------------------------------------------------------------------
+@query("count_distinct_approx")
+def count_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )

@@ -1,0 +1,199 @@
+"""Catalog: text-analysis / dedup surface over the `documents` table
+(the beyond-reference training-data-pipeline operators)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from elective_waiting_times_pipeline_spark.operators import dedup as D
+from elective_waiting_times_pipeline_spark.operators import text as X
+from elective_waiting_times_pipeline_spark.plans.registry import query
+from elective_waiting_times_pipeline_spark.sources.readers import load_table
+
+# DuckDB expression fragments mirroring operators/text.py exactly.
+_TOKS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+_NTOKS = rf"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END"
+
+
+def _stop_filter(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in X.STOPWORDS[lang])
+    return rf"len(list_filter({_TOKS}, t -> list_contains([{words}], t)))"
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy on the normalization fingerprint; keep =
+# min(id) (deterministic, unlike R's first-encountered `!duplicated`,
+# `1b.R:283`).
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact_groups",
+    headline=True,
+    oracle=r"""
+    SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dup_groups(docs)
+
+
+# ---------------------------------------------------------------------------
+# Token counting (whitespace tokenizer).
+# ---------------------------------------------------------------------------
+@query(
+    "text_token_count",
+    oracle=rf"SELECT doc_id, CAST({_NTOKS} AS INT) AS n_tokens FROM documents",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.token_count("text").alias("n_tokens"))
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: one-pass char/token/punct/stopword features +
+# composite score (all codegen'd expressions).
+# ---------------------------------------------------------------------------
+@query(
+    "text_quality",
+    oracle=rf"""
+    WITH feat AS (
+      SELECT doc_id,
+             CAST(length(text) AS INT) AS q_n_chars,
+             CAST({_NTOKS} AS INT) AS q_n_tokens,
+             CASE WHEN {_NTOKS} > 0
+                  THEN length(regexp_replace(trim(lower(text)), '\s+', '', 'g')) / {_NTOKS}
+                  ELSE 0.0 END AS mean_tok_len,
+             CASE WHEN length(text) > 0
+                  THEN (length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{{}}-]', '', 'g'))) / length(text)
+                  ELSE 0.0 END AS punct_ratio,
+             CASE WHEN {_NTOKS} > 0 THEN {_stop_filter('en')} / {_NTOKS} ELSE 0.0 END AS stop_ratio
+      FROM documents
+    )
+    SELECT doc_id, q_n_chars, q_n_tokens,
+           ROUND(mean_tok_len, 6) AS q_mean_token_len,
+           ROUND(punct_ratio, 6) AS q_punct_ratio,
+           ROUND(stop_ratio, 6) AS q_stopword_ratio,
+           ROUND(least(q_n_tokens / 100.0, 1.0) * 0.4
+                 + (1 - least(punct_ratio * 5, 1.0)) * 0.3
+                 + least(stop_ratio * 5, 1.0) * 0.3, 6) AS q_score
+    FROM feat
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return X.quality_features(docs).drop("text")
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic: argmax of per-language stopword-hit ratios
+# with fixed precedence (en, de, fr, es) on ties; 'und' on zero hits.
+# ---------------------------------------------------------------------------
+def _langid_oracle() -> str:
+    ratios = {
+        lang: f"CASE WHEN {_NTOKS} > 0 THEN {_stop_filter(lang)} / {_NTOKS} ELSE 0.0 END"
+        for lang in X.STOPWORDS
+    }
+    best = "greatest(" + ", ".join(f"r_{lang}" for lang in X.STOPWORDS) + ")"
+    whens = "\n".join(f"WHEN r_{lang} = best THEN '{lang}'" for lang in X.STOPWORDS)
+    ratio_cols = ",\n".join(f"{expr} AS r_{lang}" for lang, expr in ratios.items())
+    return f"""
+    WITH r AS (SELECT doc_id, {ratio_cols} FROM documents),
+    b AS (SELECT doc_id, r_en, r_de, r_fr, r_es, {best} AS best FROM r)
+    SELECT doc_id,
+           CASE WHEN best <= 0.0 THEN 'und'
+           {whens}
+           ELSE 'und' END AS lang_pred
+    FROM b
+    """
+
+
+@query("text_lang_id", oracle=_langid_oracle())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.lang_id("text").alias("lang_pred"))
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprint (md5 of normalized text) — the exact-dedup key.
+# ---------------------------------------------------------------------------
+@query(
+    "text_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.fingerprint_md5("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Rolling polynomial fingerprint (order-sensitive). crc32 has no DuckDB
+# counterpart → rows-only check; unit tests pin golden values.
+# ---------------------------------------------------------------------------
+@query("text_fingerprint_rolling")
+def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.fingerprint_rolling("text").alias("rolling_fp"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs via shingle inverted-index equi-join
+# (exact; the verification stage of MinHash-LSH, standalone here on a
+# doc_id<100 slice so the oracle's pair join stays small).
+# ---------------------------------------------------------------------------
+@query(
+    "ngram_jaccard_pairs",
+    oracle=r"""
+    WITH docs AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents WHERE doc_id < 100 AND length(trim(text)) > 0
+    ), sh AS (
+      SELECT DISTINCT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS shingle
+      FROM docs WHERE len(w) >= 2
+    ), sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return D.ngram_jaccard_pairs(docs, shingle_n=2)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup candidates (signature → band → bucket join).
+# Hash functions are engine-specific (xxhash64) → rows-only check;
+# tests validate candidate recall against exact Jaccard.
+# ---------------------------------------------------------------------------
+@query("minhash_lsh_candidates", headline=True)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, num_hashes=16, shingle_n=2)
+    return D.minhash_lsh_candidates(sigs, bands=4, rows_per_band=4)
+
+
+# ---------------------------------------------------------------------------
+# SimHash (bitwise fold over token hashes) — rows-only check;
+# unit tests pin golden values and hamming-distance behavior.
+# ---------------------------------------------------------------------------
+@query("simhash64")
+def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash(docs)

@@ -1,0 +1,68 @@
+"""Catalog: similarity search over the `embeddings` table
+(ARRAY<FLOAT> column) — brute-force cosine baseline + LSH scale path."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from elective_waiting_times_pipeline_spark.operators import similarity as S
+from elective_waiting_times_pipeline_spark.plans.registry import query
+from elective_waiting_times_pipeline_spark.sources.readers import load_table
+
+
+# ---------------------------------------------------------------------------
+# ANN baseline: exact cosine top-k against a query vector (vec_id=0),
+# one corpus scan, query side broadcast. Ordering on ROUNDED similarity
+# + id so top-k membership is engine-independent.
+# ---------------------------------------------------------------------------
+@query(
+    "ann_cosine_topk",
+    headline=True,
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6) AS cosine_sim
+    FROM embeddings, q
+    ORDER BY cosine_sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") == 0)
+    return S.cosine_topk(emb, qdf, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup pairs (brute force on a vec_id<150 slice so the
+# oracle's quadratic join stays small; lsh_near_dup_pairs is the
+# corpus-scale variant).
+# ---------------------------------------------------------------------------
+@query(
+    "cosine_near_dup_pairs",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 150 AND b.vec_id < 150
+      AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.5
+    """,
+)
+def cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    return S.cosine_near_dup_pairs(emb, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed near-dup (random-hyperplane signatures, fixed seed):
+# the 100TB path — equi-join on signature instead of all-pairs.
+# Rows-only check; tests measure recall vs brute force.
+# ---------------------------------------------------------------------------
+@query("lsh_near_dup_pairs")
+def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_bucketed_pairs(emb, dim=64, n_planes=12, threshold=0.5)

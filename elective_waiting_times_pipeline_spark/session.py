@@ -46,6 +46,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Oracle comparability: DuckDB timestamps are UTC-naive.
         .config("spark.sql.session.timeZone", "UTC")
+        # Parquet TIMESTAMP(NANOS) (events table) has no Spark type:
+        # read as long; sources.readers converts to TimestampType at
+        # the scan edge (truncating ns → µs).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Quiet the UI for headless runs.
         .config("spark.ui.enabled", "false")
     )

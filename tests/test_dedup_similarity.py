@@ -1,0 +1,117 @@
+"""Validation for the non-SQL-expressible operators (rows-only in the
+driver's check): MinHash-LSH candidate recall vs exact Jaccard, SimHash
+properties, hyperplane-LSH recall vs brute-force cosine."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from elective_waiting_times_pipeline_spark.operators import dedup as D
+from elective_waiting_times_pipeline_spark.operators import similarity as S
+from elective_waiting_times_pipeline_spark.sources.readers import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _doc_df(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+
+
+def test_dedup_exact_keeps_min_id(spark):
+    df = _doc_df(spark, ["a b c", "a  B c", "x y z", "a b c "])
+    out = D.dedup_exact(df)
+    ids = sorted(r.doc_id for r in out.collect())
+    # 0,1,3 normalize to 'a b c' → keep 0; 2 unique
+    assert ids == [0, 2]
+
+
+def test_minhash_lsh_finds_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words entirely unrelated content here now forever"
+    df = _doc_df(spark, [base, near, far])
+    sigs = D.minhash_signatures(df, num_hashes=16, shingle_n=2)
+    cands = {(r.id_a, r.id_b) for r in D.minhash_lsh_candidates(sigs).collect()}
+    assert (0, 1) in cands
+    assert (0, 2) not in cands and (1, 2) not in cands
+
+
+def test_minhash_lsh_recall_against_exact_jaccard(spark):
+    """Every pair with high exact Jaccard should be an LSH candidate
+    (banding theory: 4 bands × 4 rows → ~s^4 per band; j≥0.9 pairs are
+    caught with prob ≈ 1-(1-0.9^4)^4 ≈ 0.97; our fixture pairs are >0.9)."""
+    texts = []
+    for i in range(20):
+        texts.append(f"unique document number {i} with distinct vocabulary token{i} extra words")
+    # two true near-dup clusters
+    texts.append("shared long document body with many common tokens one two three four five six")
+    texts.append("shared long document body with many common tokens one two three four five seven")
+    df = _doc_df(spark, texts)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in D.ngram_jaccard_pairs(df, shingle_n=2, min_jaccard=0.8).collect()
+    }
+    sigs = D.minhash_signatures(df, num_hashes=16, shingle_n=2)
+    cands = {(r.id_a, r.id_b) for r in D.minhash_lsh_candidates(sigs).collect()}
+    assert exact, "fixture should contain at least one true near-dup pair"
+    assert exact <= cands, f"missed: {exact - cands}"
+
+
+def test_simhash_near_texts_have_small_hamming(spark):
+    df = _doc_df(
+        spark,
+        [
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+            "alpha beta gamma delta epsilon zeta eta theta iota lambda",
+            "totally other content words nothing shared at all whatsoever",
+        ],
+    )
+    sims = {r.doc_id: r.simhash for r in D.simhash(df).collect()}
+    joined = spark.createDataFrame(
+        [Row(a=sims[0], b=sims[1]), Row(a=sims[0], b=sims[2])]
+    ).select(D.hamming_distance("a", "b").alias("d")).collect()
+    d_near, d_far = joined[0].d, joined[1].d
+    assert d_near < d_far
+    assert d_near <= 16
+
+
+def test_simhash_deterministic(spark):
+    df = _doc_df(spark, ["one two three four five"])
+    a = D.simhash(df).collect()[0].simhash
+    b = D.simhash(df).collect()[0].simhash
+    assert a == b
+
+
+def test_lsh_cosine_recall_vs_bruteforce(spark):
+    emb = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 200)
+    brute = {
+        (r.id_a, r.id_b)
+        for r in S.cosine_near_dup_pairs(emb, threshold=0.9).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in S.lsh_bucketed_pairs(emb, dim=64, n_planes=8, threshold=0.9).collect()
+    }
+    assert lsh <= brute or not brute  # no false positives (verified pairs)
+    if brute:
+        recall = len(lsh & brute) / len(brute)
+        assert recall >= 0.5, f"recall {recall} too low: {brute - lsh}"
+
+
+def test_approx_count_distinct_within_bound(spark):
+    from elective_waiting_times_pipeline_spark.plans import catalog
+
+    rows = catalog.SPARK_QUERIES["count_distinct_approx"](spark, SF).collect()
+    for r in rows:
+        assert abs(r.approx_parts - r.exact_parts) <= max(3, 0.1 * r.exact_parts)
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    df = _doc_df(spark, ["a b c", "c b a"])
+    from elective_waiting_times_pipeline_spark.operators.text import fingerprint_rolling
+
+    out = df.select(fingerprint_rolling("text").alias("fp")).collect()
+    assert out[0].fp != out[1].fp
