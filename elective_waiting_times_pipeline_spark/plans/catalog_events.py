@@ -99,6 +99,36 @@ def month_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# J6 — point-in-polygon spatial join (reference: `over(points,
+# polygons)` at `1c. Look for provider locations.R:454`), via the
+# broadcast-polygon ray-casting pandas UDF. The oracle uses axis-
+# aligned rectangles so pure BETWEEN predicates verify the generic
+# ray-cast path (bounds at 3dp so no point sits on an edge).
+# ---------------------------------------------------------------------------
+_ZONES = [
+    ("zone_a", [(9.995, 4.5), (80.005, 4.5), (80.005, 30.5), (9.995, 30.5)]),
+    ("zone_b", [(100.005, 30.5), (180.005, 30.5), (180.005, 64.5), (100.005, 64.5)]),
+]
+
+
+@query(
+    "spatial_point_in_polygon",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN value > 9.995 AND value < 80.005 AND user_id > 4.5 AND user_id < 30.5 THEN 'zone_a'
+                WHEN value > 100.005 AND value < 180.005 AND user_id > 30.5 AND user_id < 64.5 THEN 'zone_b'
+           END AS polygon
+    FROM events
+    """,
+)
+def spatial_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elective_waiting_times_pipeline_spark.operators.geo import spatial_join
+
+    ev = load_table(spark, sf_dir, "events")
+    return spatial_join(ev, _ZONES, "value", "user_id").select("event_id", "polygon")
+
+
+# ---------------------------------------------------------------------------
 # JSON prop extraction (events.props is a JSON string) — modern-lake
 # scalar family the reference lacks (its F1 surface is plain strings).
 # ---------------------------------------------------------------------------

@@ -1,0 +1,75 @@
+"""Structured Streaming counterparts of the batch time-series queries.
+
+The reference is strictly monthly batch (SURVEY §2.12); its only
+incremental behavior is skip-if-downloaded + append-month-by-month
+(1b.R:169-178, 383-387). The streaming surface here is the engine
+extension for the `events` table: watermarked tumbling-window
+aggregation whose semantics are oracle-checked in BATCH form by
+catalog_events.events_tumbling_window — the logical agg is shared, so
+the streaming test only has to show the incremental execution agrees.
+
+`trigger(availableNow=True)` + memory sink turns a parquet directory
+into a finite stream — the same shape as the reference's monthly
+append, but with exactly-once bookkeeping handled by the engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # raw nanos (nanosAsLong)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window count+sum per event type with late-data bound.
+    Works on both batch and streaming DataFrames (same logical plan)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def run_available_now(
+    spark: SparkSession,
+    parquet_path: str,
+    query_name: str = "events_stream_out",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Drive the streaming agg over a parquet directory to completion
+    (availableNow) into a memory sink; returns the result table."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
+    # The file-source needs a directory; a single-file path becomes
+    # directory + glob filter.
+    if parquet_path.endswith(".parquet"):
+        head, _, tail = parquet_path.rpartition("/")
+        reader = reader.option("pathGlobFilter", tail)
+        parquet_path = head
+    raw = reader.load(parquet_path).withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+    agg = windowed_event_counts(raw, window=window)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {query_name}")
