@@ -1,0 +1,50 @@
+"""As-of (backward) join — an operator Spark lacks natively (SURVEY
+§2.3 note: the reference approximates as-of semantics with yearly
+vintage lookups, `1a.R:106-120`; the general operator is a first-class
+extension here).
+
+Composition strategy (no UDF, no merge_asof-in-pandas): tag both
+sides, union, and take the running `last(right payload)` over a
+per-key window ordered by the time axis — right rows sort before left
+rows at equal timestamps, giving the standard inclusive (ts_right ≤
+ts_left) semantics. One shuffle + sort per key; scales as a plain
+window aggregation (vs a range-join blowup)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """For each left row, attach the most recent right-side value_cols
+    at or before its timestamp within the same `by` key (NULL if no
+    prior right row). Output: left columns + value_cols."""
+    l_tag = left.withColumn("_side", F.lit(1)).withColumn("_vals", F.lit(None).cast(
+        "struct<" + ", ".join(f"{c}: double" for c in value_cols) + ">"
+    ))
+    r_tag = right.select(
+        by,
+        ts,
+        F.lit(0).alias("_side"),
+        F.struct(*[F.col(c).cast("double").alias(c) for c in value_cols]).alias("_vals"),
+    )
+    unioned = l_tag.select(by, ts, "_side", "_vals", *[c for c in left.columns if c not in (by, ts)]).unionByName(
+        r_tag, allowMissingColumns=True
+    )
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(ts).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.withColumn("_carry", F.last("_vals", ignorenulls=True).over(w))
+    out = carried.filter(F.col("_side") == 1).drop("_side", "_vals")
+    for c in value_cols:
+        out = out.withColumn(c, F.col(f"_carry.{c}"))
+    return out.drop("_carry")

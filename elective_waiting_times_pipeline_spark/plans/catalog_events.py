@@ -132,6 +132,32 @@ def spatial_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
 # JSON prop extraction (events.props is a JSON string) — modern-lake
 # scalar family the reference lacks (its F1 surface is plain strings).
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# As-of join (extension operator — Spark has no native one; DuckDB's
+# ASOF JOIN is the oracle): each click gets the user's most recent
+# purchase value at-or-before its timestamp.
+# ---------------------------------------------------------------------------
+@query(
+    "asof_join_backward",
+    oracle="""
+    SELECT l.event_id, l.user_id, r.value AS last_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_join_backward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elective_waiting_times_pipeline_spark.operators.asof import asof_join_backward
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value")
+    )
+    out = asof_join_backward(clicks, purchases, by="user_id", ts="ts", value_cols=["value"])
+    return out.select("event_id", "user_id", F.col("value").alias("last_purchase_value"))
+
+
 @query(
     "events_json_extract",
     oracle="""

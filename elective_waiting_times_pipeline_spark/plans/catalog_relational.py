@@ -457,6 +457,31 @@ def corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# §2.10 — linear fit via closed-form regression aggregates
+# (geom_smooth(method=lm), `3b.R:126`): slope/intercept of
+# extendedprice ~ quantity per group.
+# ---------------------------------------------------------------------------
+@query(
+    "linear_fit",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # A4 at scale — approx_count_distinct (the 100TB variant of
 # n_distinct; no oracle: HLL estimates are engine-specific → the
 # driver records a rows-only check, and tests bound the error).

@@ -1,0 +1,92 @@
+"""Ingest-edge utilities for non-Spark-native formats — driver-side by
+design (SURVEY §2.1 S3/S5/S7: Excel sheets, scraped HTML link tables,
+shapefiles are dimension-sized inputs read once at the lake edge; the
+lake itself is parquet).
+
+Each helper degrades gracefully when its optional dependency is
+missing (this container ships pandas but not necessarily openpyxl /
+geopandas), raising a clear error only when actually invoked.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_excel_table(
+    spark: SparkSession,
+    path: str,
+    sheet_name: str | int = 0,
+    skiprows: int = 0,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Excel sheet → DataFrame (reference S3: `read_excel(sheet=...,
+    skip=13)`, `1b.R:242-260`). pandas does the parse on the driver —
+    correct for dimension-sized workbooks; never for fact data."""
+    try:
+        pdf = pd.read_excel(path, sheet_name=sheet_name, skiprows=skiprows)
+    except ImportError as e:  # openpyxl/xlrd missing
+        raise ImportError(
+            "Excel ingestion needs openpyxl (xlsx) or xlrd (xls); install one "
+            "or convert the workbook to CSV at the landing zone"
+        ) from e
+    if columns:
+        pdf = pdf[columns]
+    pdf = pdf.where(pd.notna(pdf), None)
+    return spark.createDataFrame(pdf)
+
+
+class _LinkExtractor(HTMLParser):
+    def __init__(self):
+        super().__init__()
+        self.links: list[tuple[str, str]] = []
+        self._href: str | None = None
+        self._text: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "a":
+            self._href = dict(attrs).get("href")
+            self._text = []
+
+    def handle_data(self, data):
+        if self._href is not None:
+            self._text.append(data)
+
+    def handle_endtag(self, tag):
+        if tag == "a" and self._href is not None:
+            self.links.append(("".join(self._text).strip(), self._href))
+            self._href = None
+
+
+def extract_links(html: str, text_pattern: str | None = None) -> pd.DataFrame:
+    """Anchor (text, href) pairs from an HTML page, optionally filtered
+    by a text regex — the reference's XPath link scrape
+    (`//a[contains(text(), month)]/@href`, 1b.R:87-114) without the
+    lxml dependency. Network fetch stays outside (pass the fetched
+    string in); idempotent download bookkeeping is the landing zone's
+    file-exists check (1b.R:169-178)."""
+    p = _LinkExtractor()
+    p.feed(html)
+    pdf = pd.DataFrame(p.links, columns=["text", "href"])
+    if text_pattern:
+        pdf = pdf[pdf["text"].str.contains(text_pattern, regex=True, na=False)]
+    return pdf.reset_index(drop=True)
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = False, mode: str = "overwrite") -> None:
+    """CSV sink (S9: fwrite/write.csv, 30 uses). single_file=True
+    coalesces to one part for golden-output compatibility — only for
+    summary-sized results (a 100 TB result stays multi-part)."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode(mode).option("header", True).csv(path)
+
+
+def sanitize_output_names(df: DataFrame) -> DataFrame:
+    """Rename columns to the reference's golden CSV form (dots kept;
+    anything Spark-illegal is already legal since we use backticks) —
+    placeholder for format-level tweaks; currently identity."""
+    return df

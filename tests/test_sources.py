@@ -1,0 +1,50 @@
+"""Sources: check.names mangling, CSV read with schema, link scraping,
+CSV sink, partitioned parquet sink."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from elective_waiting_times_pipeline_spark.functions.names import check_names
+from elective_waiting_times_pipeline_spark.sources.edges import extract_links, write_csv
+from elective_waiting_times_pipeline_spark.sources.readers import read_csv_checked
+
+
+def test_check_names_matches_r_semantics():
+    assert check_names(["Gt 00 To 01 Weeks SUM 1"]) == ["Gt.00.To.01.Weeks.SUM.1"]
+    assert check_names(["Total", "Total All"]) == ["Total", "Total.All"]
+    assert check_names(["2col", "a-b", ""]) == ["X2col", "a.b", "X"]
+    # duplicates get .1, .2 (make.unique)
+    assert check_names(["x", "x", "x"]) == ["x", "x.1", "x.2"]
+
+
+def test_read_csv_checked(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text("Provider Org Code,Total All\nP1,10\n")
+    df = read_csv_checked(spark, str(p), schema="`Provider Org Code` string, `Total All` int")
+    assert df.columns == ["Provider.Org.Code", "Total.All"]
+    assert df.collect()[0]["Total.All"] == 10
+
+
+def test_extract_links_pattern():
+    html = """
+    <html><body>
+      <a href="/f/Apr20.zip">Full extract Apr20</a>
+      <a href="/f/May20.zip">Full extract May20</a>
+      <a href="/other">About us</a>
+    </body></html>"""
+    out = extract_links(html, text_pattern="Apr20")
+    assert len(out) == 1 and out.loc[0, "href"] == "/f/Apr20.zip"
+    assert len(extract_links(html)) == 3
+
+
+def test_write_csv_single_file(spark, tmp_path):
+    df = spark.range(5).select(F.col("id"), (F.col("id") * 2).alias("dbl"))
+    out = str(tmp_path / "out")
+    write_csv(df, out, single_file=True)
+    files = [f for f in __import__("os").listdir(out) if f.endswith(".csv")]
+    assert len(files) == 1
+    back = pd.read_csv(f"{out}/{files[0]}")
+    assert back["dbl"].sum() == 20
