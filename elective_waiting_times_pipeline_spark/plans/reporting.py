@@ -107,6 +107,78 @@ def per_capita(
     )
 
 
+def ratio_started_vs_completed(stats: DataFrame, geo_col: str = "ccg") -> DataFrame:
+    """Started-vs-completed pathway ratio analysis (`3d. Ratio.R`):
+    per (month, geo, specialty, IS-bucket), the number of pathways
+    started (newRTT) for each one finished (completed admitted +
+    non-admitted) and for each one admitted.
+
+    The reference re-runs the stat kernel 6× per month and merges on a
+    5-column key (3d.R:104-105); here it's one pivot over the already-
+    computed dashboard stats. The reference's 'Total' bucket (IS +
+    Non-IS summed, 3d.R:104-110) is the engine's 'All' grouping set.
+    Provider labels follow 3d.R: IS→IS, Non-IS→NHS, All→Total.
+    """
+    keys = ["monthyear", geo_col, "specialty", "independent"]
+    piv = (
+        stats.filter(F.col("type").isin("newRTT", "completeadmitted", "completenonadmitted"))
+        .groupBy(*keys)
+        .pivot("type", ["newRTT", "completeadmitted", "completenonadmitted"])
+        .agg(F.first("`total.patients`"))
+    )
+    completed = F.coalesce("completeadmitted", F.lit(0)) + F.coalesce("completenonadmitted", F.lit(0))
+    provider = (
+        F.when(F.col("independent") == "IS", "IS")
+        .when(F.col("independent") == "Non-IS", "NHS")
+        .otherwise("Total")
+    )
+    return piv.select(
+        *keys,
+        monthyr_to_date(F.col("monthyear")).alias("date"),
+        provider.alias("Provider"),
+        F.col("newRTT").alias("started"),
+        completed.alias("completed"),
+        F.col("completeadmitted").alias("admitted"),
+        (F.col("newRTT") / F.nullif(completed, F.lit(0))).alias("prop_all"),
+        (F.col("newRTT") / F.nullif(F.col("completeadmitted"), F.lit(0))).alias("prop_adm"),
+    )
+
+
+UNDER_3M_BUCKETS = ("0-50", "50-100")
+UNDER_YEAR_BUCKETS = ("0-50", "50-100", "100-150", "150-200", "200-250", "250-300", "300-350")
+ALL_DAY_BUCKETS = UNDER_YEAR_BUCKETS + ("350-400", "400-450", "450-500")
+
+
+def rebucket_day_waits(
+    su_5x: DataFrame,
+    sectors: tuple[str, ...] = ("Independent Sector", "NHS"),
+) -> DataFrame:
+    """Strategy-Unit wait-distribution re-bucketing (`Charts.R:398-425`):
+    50-day buckets → Under/Over 3 months (and Under/Over a year),
+    proportions summed per (year, sector), then sector pivot with
+    `prop.<sector>` composite names. One groupBy+pivot pass."""
+    time_3m = (
+        F.when(F.col("var_1").isin(*UNDER_3M_BUCKETS), "Under 3m")
+        .when(F.col("var_1").isin(*[b for b in ALL_DAY_BUCKETS if b not in UNDER_3M_BUCKETS]), "Over 3m")
+        .otherwise("NA")
+    )
+    time_year = (
+        F.when(F.col("var_1").isin(*UNDER_YEAR_BUCKETS), "Under a year")
+        .when(F.col("var_1").isin(*[b for b in ALL_DAY_BUCKETS if b not in UNDER_YEAR_BUCKETS]), "Over a year")
+        .otherwise("NA")
+    )
+    out = (
+        su_5x.withColumn("time_3m", time_3m)
+        .withColumn("time_year", time_year)
+        .groupBy("year", "time_3m")
+        .pivot("sector", list(sectors))
+        .agg(F.sum("prop"))
+    )
+    for s in sectors:
+        out = out.withColumnRenamed(s, f"prop.{s}")
+    return out
+
+
 def delta_pre_post(
     pivoted: DataFrame,
     pre_col: str,

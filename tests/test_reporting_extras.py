@@ -1,0 +1,46 @@
+"""Ratio analysis (3d) and Strategy-Unit re-bucketing (Charts.R)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from elective_waiting_times_pipeline_spark.plans import reporting, rtt
+from tests.rtt_fixture import make_fixture, oracle_stats
+
+
+def test_ratio_started_vs_completed(spark):
+    pdf = make_fixture()
+    fact = spark.createDataFrame(pdf)
+    rows, long = rtt.prepare_fact(fact)
+    stats = rtt.dashboard_stats(rows, long, geo_col="ccg")
+    ratios = reporting.ratio_started_vs_completed(stats)
+    got = {
+        (r.monthyear, r.ccg, r.specialty, r.independent): r
+        for r in ratios.collect()
+    }
+    # Verify one cell against the pure-Python oracle
+    key = ("Apr20", "ENGLAND", "Total", "All")
+    w_new = oracle_stats(pdf, "Apr20", "ENGLAND", "Total", "newRTT", "All")
+    w_adm = oracle_stats(pdf, "Apr20", "ENGLAND", "Total", "completeadmitted", "All")
+    w_non = oracle_stats(pdf, "Apr20", "ENGLAND", "Total", "completenonadmitted", "All")
+    r = got[key]
+    assert r.started == w_new["total.patients"]
+    assert r.completed == w_adm["total.patients"] + w_non["total.patients"]
+    assert r.prop_all == pytest.approx(w_new["total.patients"] / (w_adm["total.patients"] + w_non["total.patients"]))
+    assert r.prop_adm == pytest.approx(w_new["total.patients"] / w_adm["total.patients"])
+    assert r.Provider == "Total"
+    assert got[("Apr20", "ENGLAND", "Total", "Non-IS")].Provider == "NHS"
+
+
+def test_rebucket_day_waits(spark):
+    rows = []
+    for b, p in [("0-50", 0.1), ("50-100", 0.2), ("100-150", 0.3), ("350-400", 0.4)]:
+        rows.append(("2022", b, "Inpatient admissions", "NHS", 100, p))
+        rows.append(("2022", b, "Inpatient admissions", "Independent Sector", 50, p / 2))
+    df = spark.createDataFrame(rows, "year string, var_1 string, name string, sector string, value long, prop double")
+    out = reporting.rebucket_day_waits(df)
+    got = {r.time_3m: r for r in out.collect()}
+    assert got["Under 3m"]["prop.NHS"] == pytest.approx(0.3)
+    assert got["Over 3m"]["prop.NHS"] == pytest.approx(0.7)
+    assert got["Under 3m"]["prop.Independent Sector"] == pytest.approx(0.15)

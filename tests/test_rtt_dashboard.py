@@ -77,6 +77,38 @@ def test_england_all_is_superset_row_present(engine_out):
     assert ("Apr20", "ENGLAND", "Total", "incomplete", "All") in engine_out
 
 
+def test_region_variant_via_dim_join(spark, fact):
+    """Region / IMD-quintile variants (2.R:492, 2.R:659) = the same
+    kernel after a broadcast provider→dim join; verified against the
+    Python oracle using the joined column as the geo field."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from tests.rtt_fixture import make_fixture, oracle_stats
+
+    dim = spark.createDataFrame(
+        [(f"P{i:02d}", "North" if i < 3 else "South") for i in range(6)],
+        "`Provider.Org.Code` string, region string",
+    )
+    joined = fact.join(F.broadcast(dim), on="Provider.Org.Code", how="left")
+    rows, long = rtt.prepare_fact(joined)
+    # geo_col must be carried through prepare_fact; patch in region
+    region_map = {f"P{i:02d} TRUST": ("North" if i < 3 else "South") for i in range(6)}
+    rows = rows.replace(region_map, subset=["provider"]).withColumnRenamed("provider", "region")
+    long = long.replace(region_map, subset=["provider"]).withColumnRenamed("provider", "region")
+    out = rtt.dashboard_stats(rows, long, geo_col="region").toPandas()
+    got = {
+        (r["monthyear"], r["region"], r["specialty"], r["type"], r["independent"]): r
+        for _, r in out.iterrows()
+    }
+    pdf = make_fixture()
+    pdf["region"] = pdf["Provider.Org.Code"].map(lambda p: "North" if int(p[1:]) < 3 else "South")
+    want = oracle_stats(pdf, "Apr20", "North", "Total", "incomplete", "All", geo_field="region")
+    r = got[("Apr20", "North", "Total", "incomplete", "All")]
+    assert r["total.patients"] == want["total.patients"]
+    assert _same(r["weeks.50"], want["weeks.50"])
+    assert _same(r["rate.18wks.or.less"], want["rate.18wks.or.less"])
+
+
 def test_provider_variant_runs(spark, fact):
     rows, long = rtt.prepare_fact(fact)
     out = rtt.dashboard_stats(rows, long, geo_col="provider")
