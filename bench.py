@@ -35,17 +35,18 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench")
     timings: dict[str, float] = {}
-    # Warm the JVM/scan path once so per-query numbers measure the
-    # query, not session bootstrap.
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    def run(name: str) -> None:
+        df = catalog.SPARK_QUERIES[name](spark, sf_dir)
+        df.count() if name in _COUNT_ONLY else df.collect()
+
+    # Warmup pass: JIT, parquet footers, broadcast infra — so timings
+    # measure steady-state query execution, not JVM bootstrap.
     for name in headline_queries():
-        fn = catalog.SPARK_QUERIES[name]
+        run(name)
+    for name in headline_queries():
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        if name in _COUNT_ONLY:
-            df.count()
-        else:
-            df.collect()
+        run(name)
         timings[name] = round(time.perf_counter() - t0, 3)
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -41,6 +41,23 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def shingle_hashes(text_col: str, n: int = 3) -> F.Column:
+    """64-bit hashes of word n-grams WITHOUT materializing shingle
+    strings: hash each token once, then fold adjacent token hashes
+    (xxhash64 of the hash pair). String concat per shingle was the
+    minhash hot spot — longs through zip_with are ~an order of
+    magnitude cheaper and hash-equivalent for signature purposes."""
+    from elective_waiting_times_pipeline_spark.operators.text import tokens
+
+    h = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
+    out = h
+    for _ in range(n - 1):
+        nxt = F.slice(h, 2, F.greatest(F.size(h) - 1, F.lit(0)))
+        out = F.zip_with(out, nxt, lambda a, b: F.xxhash64(a, b))
+        h = nxt
+    return F.array_distinct(out)
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -49,17 +66,14 @@ def minhash_signatures(
     shingle_n: int = 3,
 ) -> DataFrame:
     """(id, signature ARRAY<BIGINT>[num_hashes]) via min over shingle
-    hashes; hash_i(s) = xxhash64(i, s) (fixed seed → deterministic).
-    Documents with no shingles are dropped.
+    hashes; hash_i(s) = xxhash64(i, shingle_hash) (fixed seeds →
+    deterministic). Documents with no shingles are dropped.
 
-    Physical shape: explode shingles → num_hashes flat xxhash64
-    columns (whole-stage codegen; nested higher-order lambdas would be
-    interpreted per row, ~50× slower) → one hash-agg of mins per doc
-    (map-side partial combine → the shuffle carries num_hashes longs
-    per doc, not the shingles)."""
-    exploded = df.select(
-        F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("_sh")
-    )
+    Physical shape: hash-chain shingles (no per-shingle string
+    allocation) → explode longs → num_hashes flat xxhash64 columns →
+    one hash-agg of mins per doc (map-side partial combine → the
+    shuffle carries num_hashes longs per doc, not the shingles)."""
+    exploded = df.select(F.col(id_col), F.explode(shingle_hashes(text_col, shingle_n)).alias("_sh"))
     mins = exploded.groupBy(id_col).agg(
         *[F.min(F.xxhash64(F.lit(i), F.col("_sh"))).alias(f"_h{i}") for i in range(num_hashes)]
     )
@@ -74,9 +88,17 @@ def minhash_lsh_candidates(
     bands: int = 4,
     rows_per_band: int = 4,
 ) -> DataFrame:
-    """Band the signatures and self-join on (band_idx, band_hash):
-    pairs agreeing on any band are near-dup candidates. Returns
-    distinct (id_a, id_b) with id_a < id_b."""
+    """Band the signatures, bucket by band hash, and expand candidate
+    pairs WITHIN each bucket. Returns distinct (id_a, id_b), id_a <
+    id_b.
+
+    Physical shape: one pass computes signatures and explodes `bands`
+    (band, bucket_hash) rows per doc; one shuffle groups ids per
+    bucket (collect_set — buckets are small by LSH design); pair
+    expansion is an in-array fold, so the signature pipeline is never
+    recomputed (a self-join formulation scans the corpus twice and, as
+    observed, defeats Spark's exchange reuse). Degenerate hot buckets
+    are the operator's tuning concern: raise bands/rows_per_band."""
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = sigs.select(
         F.col(id_col),
@@ -92,18 +114,20 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_set(id_col)).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
     )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, size(_ids) - 1), i -> "
+                "transform(sequence(0, i - 1), j -> struct(_ids[j] AS id_a, _ids[i] AS id_b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.id_a", "p.id_b").distinct()
 
 
 def ngram_jaccard_pairs(

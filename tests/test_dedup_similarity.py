@@ -34,7 +34,8 @@ def test_minhash_lsh_finds_near_duplicates(spark):
     far = "completely different words entirely unrelated content here now forever"
     df = _doc_df(spark, [base, near, far])
     sigs = D.minhash_signatures(df, num_hashes=16, shingle_n=2)
-    cands = {(r.id_a, r.id_b) for r in D.minhash_lsh_candidates(sigs).collect()}
+    # 8 bands × 2 rows: detection prob ≈ 1-(1-j²)⁸ ≈ 0.999 at j≈0.77
+    cands = {(r.id_a, r.id_b) for r in D.minhash_lsh_candidates(sigs, bands=8, rows_per_band=2).collect()}
     assert (0, 1) in cands
     assert (0, 2) not in cands and (1, 2) not in cands
 
