@@ -199,6 +199,44 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     return voted.select(F.col(id_col), sim.alias("simhash"))
 
 
+def simhash_near_dup_pairs(
+    sims: DataFrame,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+    max_hamming: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit hash into `bands`
+    16-bit chunks — pairs within max_hamming ≤ 16/bands Hamming MUST
+    agree on at least one chunk (pigeonhole), so bucket-join on chunks
+    and verify exact Hamming inside buckets. Same bucket-local pair
+    expansion as MinHash LSH (one shuffle, no self-join)."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    chunk = lambda b: F.shiftright(F.col(sim_col), b * width).bitwiseAND(F.lit(mask))
+    banded = sims.select(
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), chunk(b).alias("bucket")) for b in range(bands)])
+        ).alias("bb"),
+        F.struct(F.col(id_col).alias("id"), F.col(sim_col).alias("sh")).alias("rec"),
+    ).select("bb.band", "bb.bucket", "rec")
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_set("rec")).alias("_recs"))
+        .filter(F.size("_recs") >= 2)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, size(_recs) - 1), i -> "
+                "transform(sequence(0, i - 1), j -> struct(_recs[j].id AS id_a, _recs[i].id AS id_b, "
+                "_recs[j].sh AS sh_a, _recs[i].sh AS sh_b))))"
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b", F.bit_count(F.col("p.sh_a").bitwiseXOR(F.col("p.sh_b"))).alias("hamming"))
+    return pairs.filter(F.col("hamming") <= max_hamming).distinct()
+
+
 def hamming_distance(a, b) -> F.Column:
     """Popcount of XOR — for SimHash near-dup thresholds."""
     x = (F.col(a) if isinstance(a, str) else a).bitwiseXOR(F.col(b) if isinstance(b, str) else b)

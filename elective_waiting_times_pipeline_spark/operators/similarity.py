@@ -78,6 +78,80 @@ def cosine_near_dup_pairs(
     )
 
 
+def ivf_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    round_dp: int = 6,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into `n_cells`
+    centroids (KMeans on a driver-side sample — centroid fitting is a
+    tiny model, the ASSIGNMENT is the distributed pass), then search
+    only the `n_probe` cells nearest the query. Returns (id, cosine)
+    top-k like cosine_topk but scanning ~n_probe/n_cells of the corpus.
+
+    The probe set is decided on the driver from the centroid table
+    (n_cells rows — not a data-scale collect); cell assignment and
+    scoring are single-pass column expressions over a partition-pruned
+    (cell IN probes) scan when the corpus is written partitioned by
+    cell — the 100 TB layout this operator implies."""
+    import numpy as np
+
+    sample = np.array(
+        [r[0] for r in df.select(vec_col).limit(2048).collect()], dtype="float64"
+    )
+    rng = np.random.RandomState(seed)
+    centroids = sample[rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)]
+    for _ in range(8):  # Lloyd iterations, driver-side on the sample
+        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(len(centroids)):
+            m = assign == c
+            if m.any():
+                centroids[c] = sample[m].mean(0)
+
+    qv = np.array(query_df.select(vec_col).head()[0], dtype="float64")
+    qd = ((centroids - qv) ** 2).sum(-1)
+    probes = [int(i) for i in qd.argsort()[:n_probe]]
+
+    def nearest_cell(vec: Column) -> Column:
+        # Distances as ONE array expression + array_position(argmin):
+        # a chained when-ladder would re-embed every prior distance
+        # subtree in each comparison (exponential expression size —
+        # plan-time OOM at n_cells=16).
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(float(v)) for v in c]),
+                        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for c in centroids
+            ]
+        )
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    q = F.broadcast(query_df.select(F.col(vec_col).alias("_qvec")))
+    celled = df.withColumn("_cell", nearest_cell(F.col(vec_col)))
+    pruned = celled.filter(F.col("_cell").isin(probes))
+    sim = F.round(cosine(F.col(vec_col), F.col("_qvec")), round_dp)
+    return (
+        pruned.crossJoin(q)
+        .select(F.col(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.RandomState(seed)
     return rng.randn(n_planes, dim).tolist()

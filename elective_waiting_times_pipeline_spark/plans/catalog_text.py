@@ -197,3 +197,13 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash(docs)
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs via 16-bit chunk bucketing (pigeonhole
+# guarantee for hamming ≤ 16/bands) — rows-only check.
+# ---------------------------------------------------------------------------
+@query("simhash_near_dup_pairs")
+def simhash_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_dup_pairs(D.simhash(docs), max_hamming=16)

@@ -66,3 +66,15 @@ def cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.lsh_bucketed_pairs(emb, dim=64, n_planes=12, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (coarse KMeans cells, probe the nearest n_probe cells):
+# the partition-pruned scale path for top-k. Rows-only check (cell
+# assignment is engine-specific); recall vs brute force is tested.
+# ---------------------------------------------------------------------------
+@query("ivf_cosine_topk")
+def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") == 0)
+    return S.ivf_topk(emb, qdf, k=10, n_cells=16, n_probe=6)

@@ -33,6 +33,10 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # local mode = driver-only JVM; the default 1g heap OOMs on
+        # wide plans and big shuffles long before the box (128 GiB) is
+        # near full. Effective only at JVM launch.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         # Shuffle sizing: ~cores locally; AQE coalesces at runtime so a
         # too-high static number is cheap, a too-low one is not.
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))

@@ -1,0 +1,73 @@
+"""Physical-plan regression guards: the properties that make these
+queries scale (pushdown, pruning, broadcast, partial aggregation) must
+stay visible in the plan — a correctness-preserving refactor that
+loses them is a scale regression."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from elective_waiting_times_pipeline_spark.plans import catalog
+
+
+def _plan(spark, name, sf_dir, mode="formatted"):
+    df = catalog.SPARK_QUERIES[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def _n_scans(plan: str) -> int:
+    """Scan nodes by id — the formatted output names each node twice
+    (tree + details)."""
+    return len(re.findall(r"\(\d+\) Scan parquet", plan))
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, "filter_project", sf_dir)
+    assert "PushedFilters:" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+    # column pruning: untouched wide columns absent from ReadSchema
+    assert "l_comment" not in plan and "l_tax" not in plan
+
+
+def test_dim_join_is_broadcast(spark, sf_dir):
+    plan = _plan(spark, "join_left_broadcast", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_agg_has_mapside_partial(spark, sf_dir):
+    plan = _plan(spark, "pricing_summary", sf_dir)
+    # partial + final pairs around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_semi_anti_join_operators(spark, sf_dir):
+    assert "LeftSemi" in _plan(spark, "semi_join", sf_dir)
+    assert "LeftAnti" in _plan(spark, "anti_join", sf_dir)
+
+
+def test_cube_uses_expand_not_rescans(spark, sf_dir):
+    plan = _plan(spark, "grouping_sets_cube", sf_dir)
+    assert "Expand" in plan
+    assert _n_scans(plan) == 1  # one pass, not per-combo
+
+
+def test_histogram_kernel_single_scan_and_partial_aggs(spark, sf_dir):
+    assert _n_scans(_plan(spark, "histogram_quantile", sf_dir)) == 1
+    simple = _plan(spark, "histogram_quantile", sf_dir, mode="simple")
+    # quantile extraction rides partial+final hash aggregation (the
+    # conditional-min crossing search is map-side combinable)
+    assert "partial_min" in simple and "partial_sum" in simple
+
+
+def test_minhash_single_corpus_scan(spark, sf_dir):
+    plan = _plan(spark, "minhash_lsh_candidates", sf_dir)
+    assert _n_scans(plan) == 1  # bucket-local pairs, no self-join rescan

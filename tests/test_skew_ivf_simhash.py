@@ -1,0 +1,74 @@
+"""Skew-salting equivalence, IVF recall, SimHash pair bucketing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from elective_waiting_times_pipeline_spark.operators import dedup as D
+from elective_waiting_times_pipeline_spark.operators import similarity as S
+from elective_waiting_times_pipeline_spark.operators.skew import salted_join_left, salted_sum
+from elective_waiting_times_pipeline_spark.sources.readers import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_salted_sum_equals_plain(spark):
+    li = load_table(spark, SF, "lineitem")
+    plain = {
+        r.l_returnflag: r.t
+        for r in li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("t")).collect()
+    }
+    salted = {
+        r.l_returnflag: r.total
+        for r in salted_sum(li, ["l_returnflag"], "l_quantity").collect()
+    }
+    assert set(plain) == set(salted)
+    for k in plain:
+        assert salted[k] == pytest.approx(plain[k])
+
+
+def test_salted_join_equals_plain(spark):
+    o = load_table(spark, SF, "orders")
+    c = load_table(spark, SF, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    plain = o.join(c, on="o_custkey", how="left").count()
+    salted = salted_join_left(o, c, on="o_custkey").count()
+    assert salted == plain
+    # row-level equivalence on a sample column
+    a = o.join(c, "o_custkey", "left").groupBy("c_mktsegment").count().collect()
+    b = salted_join_left(o, c, "o_custkey").groupBy("c_mktsegment").count().collect()
+    assert {(r.c_mktsegment, r["count"]) for r in a} == {(r.c_mktsegment, r["count"]) for r in b}
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    brute = [r.vec_id for r in S.cosine_topk(emb, q, k=10).collect()]
+    ivf = [r.vec_id for r in S.ivf_topk(emb, q, k=10, n_cells=8, n_probe=4).collect()]
+    # probing half the cells must recover most of the true top-10
+    overlap = len(set(brute) & set(ivf))
+    assert overlap >= 6, f"IVF recall too low: {overlap}/10 ({ivf} vs {brute})"
+    assert ivf[0] == 0  # the query vector itself is its own nearest
+
+
+def test_simhash_near_dup_pairs_finds_close_docs(spark):
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu",
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lam nu",
+        "unrelated completely different vocabulary nothing in common here at all",
+    ]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    sims = D.simhash(df)
+    pairs = {(r.id_a, r.id_b): r.hamming for r in D.simhash_near_dup_pairs(sims, max_hamming=16).collect()}
+    assert (0, 1) in pairs
+    assert pairs[(0, 1)] <= 16
+    assert (0, 2) not in pairs
+
+
+def test_simhash_pigeonhole_guarantee(spark):
+    # any pair with hamming <= 16 (bands=4) MUST be found
+    rows = [Row(doc_id=1, simhash=0), Row(doc_id=2, simhash=(1 << 5) | (1 << 40))]  # hamming 2
+    sims = spark.createDataFrame(rows)
+    pairs = D.simhash_near_dup_pairs(sims, max_hamming=16).collect()
+    assert len(pairs) == 1 and pairs[0].hamming == 2
