@@ -52,9 +52,22 @@ def _nano_timestamp_cols(path: str) -> list[str]:
         return []
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Self-configure runtime-settable confs the engine depends on —
+    the caller's session (e.g. the driver harness) may not have been
+    built by session.get_spark. Both confs are session-scoped, not
+    static, so setting them here is safe and idempotent."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # locked-down conf: proceed with whatever the session has
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one lake table. Parquet scan → column pruning and predicate
     pushdown happen in the scan node for anything layered on top."""
+    _ensure_session_confs(spark)
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
     for c in _nano_timestamp_cols(path):
