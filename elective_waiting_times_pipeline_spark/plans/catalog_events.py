@@ -47,6 +47,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "sessionize",
+    headline=True,
     oracle="""
     WITH gaps AS (
       SELECT user_id, event_id,
@@ -139,6 +140,7 @@ def spatial_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "asof_join_backward",
+    headline=True,
     oracle="""
     SELECT l.event_id, l.user_id, r.value AS last_purchase_value
     FROM (SELECT * FROM events WHERE event_type = 'click') l

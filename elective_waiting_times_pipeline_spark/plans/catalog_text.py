@@ -60,6 +60,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "text_quality",
+    headline=True,
     oracle=rf"""
     WITH feat AS (
       SELECT doc_id,
