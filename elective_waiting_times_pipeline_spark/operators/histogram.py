@@ -55,6 +55,30 @@ def wide_to_band_long(
     ).filter(F.col(cnt_col).isNotNull())
 
 
+def wide_to_band_array(
+    df: DataFrame,
+    gt_cols: Sequence[str],
+    out_col: str = "wait_band_counts",
+) -> DataFrame:
+    """Canonical ArrayType form (SURVEY §7.1): the wide Gt* columns as
+    one ARRAY<LONG> (index b-1 = band b; NULL cells preserved so the
+    month's populated-band set is recoverable)."""
+    arr = F.array(*[F.col(f"`{c}`").cast("long") for c in gt_cols])
+    return df.withColumn(out_col, arr)
+
+
+def band_array_to_wide(
+    df: DataFrame,
+    n_bands: int,
+    arr_col: str = "wait_band_counts",
+    name_fn=lambda b: f"Gt.{b - 1:02d}.To.{b:02d}.Weeks.SUM.1",
+) -> DataFrame:
+    """Export adapter: ARRAY<LONG> back to the reference's wide Gt*
+    columns (golden CSV compatibility)."""
+    cols = [F.element_at(F.col(arr_col), b).alias(name_fn(b)) for b in range(1, n_bands + 1)]
+    return df.select("*", *cols).drop(arr_col)
+
+
 def band_histogram(
     df: DataFrame,
     group_cols: Sequence[str],

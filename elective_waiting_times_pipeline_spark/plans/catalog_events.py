@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from elective_waiting_times_pipeline_spark.plans.registry import dec2, query
+from elective_waiting_times_pipeline_spark.plans.registry import query, sl2
 from elective_waiting_times_pipeline_spark.sources.readers import load_table
 
 
@@ -24,7 +24,7 @@ from elective_waiting_times_pipeline_spark.sources.readers import load_table
     oracle="""
     SELECT date_trunc('hour', ts) AS window_start, event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -35,7 +35,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(dec2("value")).cast("double").alias("total_value"),
+            (F.sum(sl2("value")) / 100.0).alias("total_value"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
     )

@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from elective_waiting_times_pipeline_spark.plans.registry import dec2, query, sum2
+from elective_waiting_times_pipeline_spark.plans.registry import query, sl2, sum2
 from elective_waiting_times_pipeline_spark.sources.readers import load_table
 
 
@@ -46,18 +46,21 @@ def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "weighted_mean",
     oracle="""
     SELECT l_returnflag,
-           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-                 / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS wavg_discount
+           ROUND(CAST(SUM(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+                          * CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / (100.0 * CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)), 6) AS wavg_discount
     FROM lineitem
     GROUP BY l_returnflag
     """,
 )
 def weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # sum(disc*qty)/sum(qty): scaled numerator 100×100, denominator
+    # 100 → divide by an extra 100 to land on the true ratio.
     return li.groupBy("l_returnflag").agg(
         F.round(
-            F.sum(dec2("l_discount") * dec2("l_quantity")).cast("double")
-            / F.sum(dec2("l_quantity")).cast("double"),
+            F.sum(sl2("l_discount") * sl2("l_quantity"))
+            / (100.0 * F.sum(sl2("l_quantity"))),
             6,
         ).alias("wavg_discount")
     )
@@ -71,7 +74,7 @@ def weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     "conditional_agg",
     oracle="""
     SELECT l_returnflag,
-           CAST(COALESCE(SUM(CASE WHEN l_discount > 0.05 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS discounted_revenue,
+           CAST(COALESCE(SUM(CASE WHEN l_discount > 0.05 THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) END), 0) AS DOUBLE) / 100 AS discounted_revenue,
            CAST(COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS BIGINT) AS n_discounted
     FROM lineitem
     GROUP BY l_returnflag
@@ -81,8 +84,7 @@ def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     cond = F.col("l_discount") > 0.05
     return li.groupBy("l_returnflag").agg(
-        F.coalesce(F.sum(F.when(cond, dec2("l_extendedprice"))), F.lit(0))
-        .cast("double")
+        (F.coalesce(F.sum(F.when(cond, sl2("l_extendedprice"))), F.lit(0)) / 100.0)
         .alias("discounted_revenue"),
         F.count(F.when(cond, F.lit(1))).alias("n_discounted"),
     )
@@ -152,9 +154,9 @@ def ntile_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cumsum_window",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100 AS running_spend
     FROM orders
     """,
 )
@@ -168,7 +170,7 @@ def cumsum_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(dec2("o_totalprice")).over(w).cast("double").alias("running_spend"),
+        (F.sum(sl2("o_totalprice")).over(w) / 100.0).alias("running_spend"),
     )
 
 
@@ -235,7 +237,7 @@ def dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH monthly AS (
       SELECT date_trunc('month', o_orderdate) AS month,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS total
       FROM orders GROUP BY 1
     )
     SELECT month, total,
@@ -262,8 +264,8 @@ def lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_wide",
     oracle="""
     SELECT l_returnflag,
-           CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS qty_F,
-           CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS qty_O
+           CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) END), 0) AS DOUBLE) / 100 AS qty_F,
+           CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) END), 0) AS DOUBLE) / 100 AS qty_O
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -273,11 +275,11 @@ def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["F", "O"])
-        .agg(F.sum(dec2("l_quantity")))
+        .agg(F.sum(sl2("l_quantity")))
         .select(
             "l_returnflag",
-            F.coalesce(F.col("F").cast("double"), F.lit(0.0)).alias("qty_F"),
-            F.coalesce(F.col("O").cast("double"), F.lit(0.0)).alias("qty_O"),
+            (F.coalesce(F.col("F"), F.lit(0)) / 100.0).alias("qty_F"),
+            (F.coalesce(F.col("O"), F.lit(0)) / 100.0).alias("qty_O"),
         )
     )
 
@@ -414,7 +416,7 @@ def case_when_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer
     LEFT JOIN (
       SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS total_spend
       FROM orders GROUP BY o_custkey
     ) agg ON c_custkey = o_custkey
     """,

@@ -79,6 +79,28 @@ def build_fact_lake(
     fact.write.mode(mode).partitionBy("monthyr").parquet(out_path)
 
 
+def download_if_missing(url: str, dest_dir: str, filename: str | None = None, unzip: bool = False) -> str:
+    """Idempotent landing-zone fetch (reference S6: per-month ZIP/XLS
+    download with skip-if-already-present, 1b.R:169-226). Driver-side
+    by design — an external-HTTP concern, not a Spark operator.
+    Returns the local path (existing file short-circuits)."""
+    import os
+    import urllib.request
+    import zipfile
+
+    os.makedirs(dest_dir, exist_ok=True)
+    name = filename or url.rstrip("/").rsplit("/", 1)[-1]
+    path = os.path.join(dest_dir, name)
+    if not os.path.exists(path):
+        tmp = path + ".part"
+        urllib.request.urlretrieve(url, tmp)
+        os.replace(tmp, path)  # atomic: concurrent runs never see partial files
+    if unzip and path.endswith(".zip"):
+        with zipfile.ZipFile(path) as z:
+            z.extractall(dest_dir)
+    return path
+
+
 def month_grid(spark: SparkSession, start: str, end: str) -> DataFrame:
     """The reference's year_lkup month series (1b.R:58-79) as a
     relational sequence: (month_start DATE, monthyr 'Apr20' label)."""

@@ -36,10 +36,26 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 
 
 def dec2(c) -> F.Column:
-    """Cast to DECIMAL(18,2) — the order-independent sum path."""
+    """Cast to DECIMAL(18,2) — order-independent, but ~10× slower than
+    the scaled-long path below (boxed decimal arithmetic per row).
+    Kept for wide-decimal needs; hot aggregates use sl2/sum2."""
     return (F.col(c) if isinstance(c, str) else c).cast("decimal(18,2)")
 
 
+def sl2(c) -> F.Column:
+    """2-dp value as a scaled long: floor(x*100 + 0.5). Exact for any
+    source with ≤2 decimal places (x*100 is then integer ± ε, so the
+    +0.5 floor recovers it for either sign), pure codegen'd double →
+    long math — no BigDecimal boxing (F.round costs ~10× in hot
+    aggregates), and long sums are order-independent."""
+    return F.floor((F.col(c) if isinstance(c, str) else c) * 100 + 0.5).cast("long")
+
+
 def sum2(c, alias: str):
-    """Order-independent double sum (via decimal)."""
-    return F.sum(dec2(c)).cast("double").alias(alias)
+    """Order-independent double sum via scaled-long integer math."""
+    return (F.sum(sl2(c)) / 100.0).alias(alias)
+
+
+# DuckDB oracle fragment mirroring sl2/sum2.
+def o_sum2(expr: str) -> str:
+    return f"CAST(SUM(CAST(floor({expr} * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100"

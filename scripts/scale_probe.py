@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Scale probe: replicate sf0.1 tables ×N into a temp lake and run the
+headline queries — evidence that per-query wall time scales sublinearly
+(shuffle-bound, not driver-bound) before real cluster runs.
+
+Usage: python scripts/scale_probe.py [replication_factor]
+Writes nothing to the repo; prints one JSON line per scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from elective_waiting_times_pipeline_spark import get_spark
+from elective_waiting_times_pipeline_spark.plans import catalog
+from elective_waiting_times_pipeline_spark.sources.readers import TESTDATA_TABLES, load_table
+
+BASE = "/root/testdata/sf0.1"
+_COUNT_ONLY = {"filter_project", "window_share"}
+
+
+def replicate(spark, factor: int, out_dir: str) -> None:
+    for t in TESTDATA_TABLES:
+        df = load_table(spark, BASE, t)
+        if t in ("lineitem", "orders", "events", "documents", "embeddings"):
+            # shift keys per replica so joins/dedup stay realistic
+            key = {"lineitem": "l_orderkey", "orders": "o_orderkey", "events": "event_id",
+                   "documents": "doc_id", "embeddings": "vec_id"}[t]
+            n = df.agg(F.max(key)).collect()[0][0] + 1
+            reps = [df.withColumn(key, F.col(key) + F.lit(i * n)) for i in range(factor)]
+            big = reps[0]
+            for r in reps[1:]:
+                big = big.union(r)
+            big.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+        else:
+            df.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+
+
+def run(sf_dir: str, label: str) -> dict:
+    spark = get_spark(app_name="scale_probe")
+    timings = {}
+    for name in catalog.HEADLINE:
+        fn = catalog.SPARK_QUERIES[name]
+        df = fn(spark, sf_dir)
+        df.count() if name in _COUNT_ONLY else df.collect()  # warm
+        t0 = time.perf_counter()
+        df2 = fn(spark, sf_dir)
+        df2.count() if name in _COUNT_ONLY else df2.collect()
+        timings[name] = round(time.perf_counter() - t0, 2)
+    out = {"label": label, "total_sec": round(sum(timings.values()), 2), "queries": timings}
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    run(BASE, "sf0.1")
+    tmp = tempfile.mkdtemp(prefix="scale_probe_")
+    try:
+        spark = get_spark(app_name="scale_probe")
+        replicate(spark, factor, tmp)
+        run(tmp, f"sf0.1 x{factor}")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
