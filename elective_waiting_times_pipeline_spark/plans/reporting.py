@@ -144,6 +144,31 @@ def ratio_started_vs_completed(stats: DataFrame, geo_col: str = "ccg") -> DataFr
     )
 
 
+def apply_patches(
+    df: DataFrame,
+    patches: DataFrame,
+    key_cols: list[str],
+    value_cols: list[str],
+) -> DataFrame:
+    """Manual override table for known-bad rows (the reference patches
+    region conflicts with a hand-maintained list,
+    `IS_election_blog.R:89-106`): broadcast-left-join the patch rows
+    and COALESCE(patch value, original). Patch rows with NULL values
+    leave the original untouched."""
+    renamed = patches.select(
+        *[F.col(k).alias(f"_pk_{k}") for k in key_cols],
+        *[F.col(v).alias(f"_pv_{v}") for v in value_cols],
+    )
+    cond = None
+    for k in key_cols:
+        c = df[k] == F.col(f"_pk_{k}")
+        cond = c if cond is None else (cond & c)
+    out = df.join(F.broadcast(renamed), cond, "left")
+    for v in value_cols:
+        out = out.withColumn(v, F.coalesce(F.col(f"_pv_{v}"), F.col(v)))
+    return out.drop(*[f"_pk_{k}" for k in key_cols], *[f"_pv_{v}" for v in value_cols])
+
+
 UNDER_3M_BUCKETS = ("0-50", "50-100")
 UNDER_YEAR_BUCKETS = ("0-50", "50-100", "100-150", "150-200", "200-250", "250-300", "300-350")
 ALL_DAY_BUCKETS = UNDER_YEAR_BUCKETS + ("350-400", "400-450", "450-500")
