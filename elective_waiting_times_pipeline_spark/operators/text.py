@@ -45,25 +45,56 @@ def stopword_hits(toks: Column, lang: str) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(lits, t)))
 
 
-def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """One-pass quality features: char/token counts, mean token length,
-    punctuation ratio, English-stopword ratio, composite score."""
-    toks = tokens(text_col)
-    n_chars = F.length(F.col(text_col))
-    n_toks = F.size(toks)
-    no_punct = F.regexp_replace(F.col(text_col), PUNCT_CLASS, "")
-    punct_ratio = F.when(n_chars > 0, (n_chars - F.length(no_punct)) / n_chars).otherwise(0.0)
-    stop_ratio = F.when(n_toks > 0, stopword_hits(toks, "en") / n_toks).otherwise(0.0)
-    mean_tok_len = F.when(n_toks > 0, (F.length(F.concat_ws("", toks)) / n_toks)).otherwise(0.0)
-    # Composite score in [0,1]-ish: long enough, low punctuation,
-    # some stopwords (natural-language-ness).
+def token_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One explode + codegen'd conditional aggregates computing every
+    per-token statistic at once: n_tokens, total token length, and
+    per-language stopword hit counts.
+
+    Physical shape: higher-order `filter` lambdas are interpreted per
+    row (the text hot spot, like the minhash shingle case); exploding
+    once and counting with `isin` predicates stays in whole-stage
+    codegen, and map-side partial aggregation collapses each doc to a
+    single ~8-column row before the shuffle. explode_outer keeps
+    zero-token docs (NULL token → counts of 0)."""
+    toked = df.select(
+        F.col(id_col),
+        F.length(text_col).cast("int").alias("_nc"),
+        (F.length(text_col) - F.length(F.regexp_replace(F.col(text_col), PUNCT_CLASS, "")))
+        .cast("int")
+        .alias("_np"),
+        F.explode_outer(tokens(text_col)).alias("_tok"),
+    )
+    hit_aggs = [
+        F.count(F.when(F.col("_tok").isin(*STOPWORDS[lang]), F.lit(1))).alias(f"hits_{lang}")
+        for lang in STOPWORDS
+    ]
+    return toked.groupBy(id_col).agg(
+        F.first("_nc").alias("n_chars"),
+        F.first("_np").alias("n_punct"),
+        F.count("_tok").cast("int").alias("n_tokens"),
+        F.coalesce(F.sum(F.length("_tok")), F.lit(0)).cast("long").alias("sum_token_len"),
+        *hit_aggs,
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality features from one token_profile pass: char/token counts,
+    mean token length, punctuation ratio, English-stopword ratio,
+    composite score. Semantically identical to the per-row expression
+    form (mean token length == len(concat(tokens))/n)."""
+    p = token_profile(df, text_col, id_col)
+    n_chars = F.col("n_chars")
+    n_toks = F.col("n_tokens")
+    punct_ratio = F.when(n_chars > 0, F.col("n_punct") / n_chars).otherwise(0.0)
+    stop_ratio = F.when(n_toks > 0, F.col("hits_en") / n_toks).otherwise(0.0)
+    mean_tok_len = F.when(n_toks > 0, F.col("sum_token_len") / n_toks).otherwise(0.0)
     score = (
         F.least(n_toks / F.lit(100.0), F.lit(1.0)) * 0.4
         + (1 - F.least(punct_ratio * 5, F.lit(1.0))) * 0.3
         + F.least(stop_ratio * 5, F.lit(1.0)) * 0.3
     )
-    return df.select(
-        "*",
+    return p.select(
+        id_col,
         n_chars.cast("int").alias("q_n_chars"),
         n_toks.cast("int").alias("q_n_tokens"),
         F.round(mean_tok_len, 6).alias("q_mean_token_len"),
@@ -73,10 +104,25 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def lang_id_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit language heuristic over a token_profile pass:
+    argmax of per-language hit ratios, deterministic precedence on
+    ties (STOPWORDS insertion order), 'und' when nothing hits."""
+    p = token_profile(df, text_col, id_col)
+    n = F.col("n_tokens")
+    ratios = {
+        lang: F.when(n > 0, F.col(f"hits_{lang}") / n).otherwise(0.0) for lang in STOPWORDS
+    }
+    best = F.greatest(*ratios.values())
+    out = F.when(best <= 0.0, F.lit("und"))
+    for lang in STOPWORDS:
+        out = out.when(ratios[lang] == best, F.lit(lang))
+    return p.select(id_col, out.otherwise(F.lit("und")).alias("lang_pred"))
+
+
 def lang_id(col: Column | str) -> Column:
-    """Stopword-hit language heuristic: argmax of per-language hit
-    ratios with a deterministic precedence order; 'und' when nothing
-    hits."""
+    """Column-expression form of the language heuristic (per-row HOFs;
+    prefer lang_id_profile for corpus-scale scans)."""
     toks = tokens(col)
     n = F.size(toks)
     ratios = {

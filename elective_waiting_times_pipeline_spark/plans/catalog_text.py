@@ -87,7 +87,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return X.quality_features(docs).drop("text")
+    return X.quality_features(docs)
 
 
 # ---------------------------------------------------------------------------
@@ -116,7 +116,7 @@ def _langid_oracle() -> str:
 @query("text_lang_id", oracle=_langid_oracle())
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", X.lang_id("text").alias("lang_pred"))
+    return X.lang_id_profile(docs)
 
 
 # ---------------------------------------------------------------------------

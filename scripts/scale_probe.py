@@ -68,6 +68,9 @@ if __name__ == "__main__":
     try:
         spark = get_spark(app_name="scale_probe")
         replicate(spark, factor, tmp)
+        # Fresh JVM for the measurement: the replicate writes leave GC
+        # pressure that skews (2-10x) the CPU-bound queries.
+        spark.stop()
         run(tmp, f"sf0.1 x{factor}")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
