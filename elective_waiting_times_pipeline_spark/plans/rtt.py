@@ -235,3 +235,25 @@ def dashboard_stats(
         _supp(F.round(100.0 * F.col("`number.52.or.more`") / nonmiss, 1)).alias("rate.52wks.or.more"),
         *[_supp(F.col(f"`{w}`")).cast("int").alias(w) for w in week_cols],
     )
+
+
+def provider_stats_exact(
+    rows: DataFrame,
+    long: DataFrame,
+    quantiles: Sequence[float] = (0.50, 0.92, 0.95),
+) -> DataFrame:
+    """Exact output parity with `dashboard_stats_provider` (2.R:127-301):
+    the provider variant does NOT take an IS bucket — it emits a
+    single `IS` column = max(IS_provider) over the subset (0 for the
+    ENGLAND pseudo-provider, 2.R:183-185). Implemented as the 'All'
+    grouping-set slice of the generalized kernel plus a broadcast-
+    joined per-(month, provider) max-flag."""
+    stats = dashboard_stats(rows, long, geo_col="provider", quantiles=quantiles)
+    all_rows = stats.filter(F.col("independent") == "All").drop("independent")
+    flags = rows.groupBy("monthyear", "provider").agg(
+        F.max("is_provider").cast("string").alias("IS")
+    )
+    out = all_rows.join(F.broadcast(flags), on=["monthyear", "provider"], how="left")
+    return out.withColumn(
+        "IS", F.when(F.col("provider") == "ENGLAND", F.lit("0")).otherwise(F.col("IS"))
+    )
