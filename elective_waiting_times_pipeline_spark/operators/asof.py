@@ -38,9 +38,14 @@ def asof_join_backward(
     unioned = l_tag.select(by, ts, "_side", "_vals", *[c for c in left.columns if c not in (by, ts)]).unionByName(
         r_tag, allowMissingColumns=True
     )
+    # Tie-break among right rows sharing (key, ts) by the payload
+    # struct itself (lexicographic) — otherwise the carried value is
+    # shuffle-order-dependent (SURVEY §7.5 determinism rule). Left
+    # rows (NULL payload) sort last at their timestamp but after
+    # the equal-ts right rows either way (_side=1 > _side=0).
     w = (
         Window.partitionBy(by)
-        .orderBy(F.col(ts).asc(), F.col("_side").asc())
+        .orderBy(F.col(ts).asc(), F.col("_side").asc(), F.col("_vals").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.withColumn("_carry", F.last("_vals", ignorenulls=True).over(w))

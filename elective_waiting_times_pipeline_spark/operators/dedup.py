@@ -46,16 +46,26 @@ def shingle_hashes(text_col: str, n: int = 3) -> F.Column:
     strings: hash each token once, then fold adjacent token hashes
     (xxhash64 of the hash pair). String concat per shingle was the
     minhash hot spot — longs through zip_with are ~an order of
-    magnitude cheaper and hash-equivalent for signature purposes."""
+    magnitude cheaper and hash-equivalent for signature purposes.
+
+    zip_with pads the shorter side with NULLs (and xxhash64 silently
+    skips NULL args), which would fabricate n-1 spurious suffix
+    shingles — e.g. 'foo bar' and 'zzz bar' sharing a padded 'bar'
+    shingle — so the fold is sliced back to the true shingle count
+    (size - n + 1; empty when fewer than n tokens)."""
     from elective_waiting_times_pipeline_spark.operators.text import tokens
 
-    h = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
+    toks = tokens(text_col)
+    h = F.transform(toks, lambda t: F.xxhash64(t))
     out = h
     for _ in range(n - 1):
         nxt = F.slice(h, 2, F.greatest(F.size(h) - 1, F.lit(0)))
         out = F.zip_with(out, nxt, lambda a, b: F.xxhash64(a, b))
         h = nxt
-    return F.array_distinct(out)
+    count = F.size(toks) - (n - 1)
+    return F.array_distinct(
+        F.when(count <= 0, F.array().cast("array<bigint>")).otherwise(F.slice(out, 1, count))
+    )
 
 
 def minhash_signatures(
@@ -204,16 +214,30 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     sim_col: str = "simhash",
     max_hamming: int = 8,
-    bands: int = 4,
+    bands: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64-bit hash into `bands`
-    16-bit chunks — pairs within max_hamming ≤ 16/bands Hamming MUST
-    agree on at least one chunk (pigeonhole), so bucket-join on chunks
-    and verify exact Hamming inside buckets. Same bucket-local pair
-    expansion as MinHash LSH (one shuffle, no self-join)."""
-    width = 64 // bands
-    mask = (1 << width) - 1
-    chunk = lambda b: F.shiftright(F.col(sim_col), b * width).bitwiseAND(F.lit(mask))
+    """Near-dup pairs by SimHash: band the 64-bit hash into chunks —
+    by pigeonhole, a pair with Hamming distance ≤ max_hamming MUST
+    agree on at least one of max_hamming+1 chunks (the differing bits
+    can ruin at most max_hamming chunks), so bucket-join on chunks and
+    verify exact Hamming inside buckets. Same bucket-local pair
+    expansion as MinHash LSH (one shuffle, no self-join).
+
+    `bands` defaults to max_hamming+1 — the smallest complete-recall
+    choice. Fewer bands = bigger chunks = smaller buckets but NO
+    completeness guarantee beyond hamming < bands."""
+    if bands is None:
+        bands = max_hamming + 1
+    # chunk b covers bits [offsets[b], offsets[b+1]) — widths as even
+    # as 64/bands allows, remainder spread over the first chunks.
+    base, rem = divmod(64, bands)
+    widths = [base + (1 if b < rem else 0) for b in range(bands)]
+    offsets = [sum(widths[:b]) for b in range(bands)]
+
+    def chunk(b: int) -> F.Column:
+        mask = (1 << widths[b]) - 1
+        return F.shiftrightunsigned(F.col(sim_col), offsets[b]).bitwiseAND(F.lit(mask))
+
     banded = sims.select(
         F.explode(
             F.array(*[F.struct(F.lit(b).alias("band"), chunk(b).alias("bucket")) for b in range(bands)])

@@ -116,6 +116,8 @@ def month_grid(spark: SparkSession, start: str, end: str) -> DataFrame:
 
 def validate_no_nulls(df: DataFrame, cols: Sequence[str]) -> None:
     """Scrape-output assertion of 1b.R:153 (`sum(is.na(...)) == 0`)."""
+    if not cols:
+        return  # nothing to validate — trivially OK
     cond = None
     for c in cols:
         n = F.col(f"`{c}`").isNull()

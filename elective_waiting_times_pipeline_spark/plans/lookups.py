@@ -84,15 +84,20 @@ def stack_org_files(org_frames: dict[str, DataFrame]) -> DataFrame:
             F.col("V2").alias("provider_name"),
             F.col("V10").alias("postcode"),
             F.lit(i).alias("_src_order"),
+            # within-file arrival order (monotonic per partition —
+            # faithful for the single-partition dimension files these
+            # are; a distributed multi-file read should supply its own
+            # explicit row-order column)
+            F.monotonically_increasing_id().alias("_row_order"),
         )
         for i, df in enumerate(org_frames.values())
     ]
     stacked = union_by_name(tagged)
-    w = Window.partitionBy("provider_code").orderBy("_src_order", "provider_name")
+    w = Window.partitionBy("provider_code").orderBy("_src_order", "_row_order")
     return (
         stacked.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "_src_order")
+        .drop("_rn", "_src_order", "_row_order")
     )
 
 

@@ -103,7 +103,7 @@ def per_capita(
     return (
         df.join(F.broadcast(pop), df[region_col] == pop["_region"], "left")
         .withColumn(f"{value_col}_per_{per}", F.round(F.col(value_col) * per / F.col("pop20"), 2))
-        .drop("_region")
+        .drop("_region", "pop20")
     )
 
 
@@ -177,25 +177,27 @@ ALL_DAY_BUCKETS = UNDER_YEAR_BUCKETS + ("350-400", "400-450", "450-500")
 def rebucket_day_waits(
     su_5x: DataFrame,
     sectors: tuple[str, ...] = ("Independent Sector", "NHS"),
+    horizon: str = "3m",
 ) -> DataFrame:
     """Strategy-Unit wait-distribution re-bucketing (`Charts.R:398-425`):
-    50-day buckets → Under/Over 3 months (and Under/Over a year),
+    50-day buckets → Under/Over 3 months (horizon='3m') or Under/Over
+    a year (horizon='year' — the reference's time_year ladder),
     proportions summed per (year, sector), then sector pivot with
     `prop.<sector>` composite names. One groupBy+pivot pass."""
-    time_3m = (
-        F.when(F.col("var_1").isin(*UNDER_3M_BUCKETS), "Under 3m")
-        .when(F.col("var_1").isin(*[b for b in ALL_DAY_BUCKETS if b not in UNDER_3M_BUCKETS]), "Over 3m")
-        .otherwise("NA")
-    )
-    time_year = (
-        F.when(F.col("var_1").isin(*UNDER_YEAR_BUCKETS), "Under a year")
-        .when(F.col("var_1").isin(*[b for b in ALL_DAY_BUCKETS if b not in UNDER_YEAR_BUCKETS]), "Over a year")
+    if horizon == "3m":
+        under, labels = UNDER_3M_BUCKETS, ("Under 3m", "Over 3m")
+    elif horizon == "year":
+        under, labels = UNDER_YEAR_BUCKETS, ("Under a year", "Over a year")
+    else:
+        raise ValueError(f"horizon must be '3m' or 'year', got {horizon!r}")
+    bucket = (
+        F.when(F.col("var_1").isin(*under), labels[0])
+        .when(F.col("var_1").isin(*[b for b in ALL_DAY_BUCKETS if b not in under]), labels[1])
         .otherwise("NA")
     )
     out = (
-        su_5x.withColumn("time_3m", time_3m)
-        .withColumn("time_year", time_year)
-        .groupBy("year", "time_3m")
+        su_5x.withColumn("time_bucket", bucket)
+        .groupBy("year", "time_bucket")
         .pivot("sector", list(sectors))
         .agg(F.sum("prop"))
     )

@@ -114,17 +114,9 @@ def prepare_fact(fact: DataFrame, gt_cols: Sequence[str] | None = None) -> tuple
         "is_provider",
     ]
     rows = base.select(*keys, "unknown_start", "total_all")
-    pairs = F.array(
-        *[
-            F.struct(F.lit(i + 1).alias("band"), F.col(f"_gt_{i + 1}").alias("cnt"))
-            for i in range(len(gt_cols))
-        ]
-    )
-    long = (
-        base.select(*keys, F.explode(pairs).alias("_bc"))
-        .select(*keys, F.col("_bc.band").alias("band"), F.col("_bc.cnt").alias("cnt"))
-        .filter(F.col("cnt").isNotNull())
-    )
+    from elective_waiting_times_pipeline_spark.operators.histogram import wide_to_band_long
+
+    long = wide_to_band_long(base, [f"_gt_{i + 1}" for i in range(len(gt_cols))], keys)
     return rows, long
 
 

@@ -40,7 +40,11 @@ def test_rebucket_day_waits(spark):
         rows.append(("2022", b, "Inpatient admissions", "Independent Sector", 50, p / 2))
     df = spark.createDataFrame(rows, "year string, var_1 string, name string, sector string, value long, prop double")
     out = reporting.rebucket_day_waits(df)
-    got = {r.time_3m: r for r in out.collect()}
+    got = {r.time_bucket: r for r in out.collect()}
     assert got["Under 3m"]["prop.NHS"] == pytest.approx(0.3)
     assert got["Over 3m"]["prop.NHS"] == pytest.approx(0.7)
     assert got["Under 3m"]["prop.Independent Sector"] == pytest.approx(0.15)
+    # year-horizon ladder (Charts.R time_year)
+    yr = {r.time_bucket: r for r in reporting.rebucket_day_waits(df, horizon="year").collect()}
+    assert yr["Under a year"]["prop.NHS"] == pytest.approx(0.6)
+    assert yr["Over a year"]["prop.NHS"] == pytest.approx(0.4)

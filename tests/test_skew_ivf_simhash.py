@@ -67,8 +67,31 @@ def test_simhash_near_dup_pairs_finds_close_docs(spark):
 
 
 def test_simhash_pigeonhole_guarantee(spark):
-    # any pair with hamming <= 16 (bands=4) MUST be found
-    rows = [Row(doc_id=1, simhash=0), Row(doc_id=2, simhash=(1 << 5) | (1 << 40))]  # hamming 2
-    sims = spark.createDataFrame(rows)
-    pairs = D.simhash_near_dup_pairs(sims, max_hamming=16).collect()
-    assert len(pairs) == 1 and pairs[0].hamming == 2
+    # Adversarial spread: hamming == max_hamming bits, each placed in a
+    # DIFFERENT chunk — exactly the case a too-coarse banding misses.
+    # With bands = max_hamming+1 (default) the pair MUST be found.
+    for h in (2, 4, 8):
+        bits = 0
+        for i in range(h):
+            bits |= 1 << (i * (64 // h))
+        rows = [Row(doc_id=1, simhash=0), Row(doc_id=2, simhash=bits)]
+        sims = spark.createDataFrame(rows)
+        pairs = D.simhash_near_dup_pairs(sims, max_hamming=h).collect()
+        assert len(pairs) == 1 and pairs[0].hamming == h, f"missed spread pair at hamming {h}"
+
+
+def test_simhash_negative_hash_chunks(spark):
+    # simhash values can be negative (bit 63 set) — chunking must use
+    # unsigned shifts
+    rows = [Row(doc_id=1, simhash=-(1 << 63)), Row(doc_id=2, simhash=-(1 << 63) | 1)]
+    pairs = D.simhash_near_dup_pairs(spark.createDataFrame(rows), max_hamming=2).collect()
+    assert len(pairs) == 1 and pairs[0].hamming == 1
+
+
+def test_minhash_sub_n_token_docs_have_no_signature(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="foo bar"), Row(doc_id=1, text="zzz bar"), Row(doc_id=2, text="a b c d")]
+    )
+    sigs = D.minhash_signatures(df, num_hashes=4, shingle_n=3)
+    ids = {r.doc_id for r in sigs.collect()}
+    assert ids == {2}  # 2-token docs have zero 3-shingles → dropped
