@@ -1,0 +1,108 @@
+"""Near-duplicate clustering: connected components over a pair graph,
+then keep-canonical dedup.
+
+The near-dup operators (operators/dedup.py) emit PAIRS; turning pairs
+into "keep one doc per duplicate group" needs the transitive closure —
+A~B and B~C must collapse to one group even when A and C were never
+compared. That is connected components.
+
+Algorithm: min-label propagation with label-of-label shortcutting
+(Hash-Min + pointer doubling, per Kiveris et al. "Connected Components
+in MapReduce and Beyond", SOCC'14 family). Each round every vertex
+takes the min of its own label, its neighbors' labels, and its label's
+label; shortcutting makes convergence O(log diameter) rounds instead
+of O(diameter). Each round is two shuffled equi-joins + one groupBy —
+all hash-partitioned on vertex id, no driver-side state; per-round
+`localCheckpoint` truncates the lineage so plans stay flat at any
+iteration count (an iterative-plan must in Spark — without it the
+optimizer re-analyzes an exponentially growing tree).
+
+The reference has no graph operator (dedup there is exact
+`!duplicated`, `1b.R:283`); this extends the beyond-reference dedup
+family so `minhash_lsh_candidates`/`ngram_jaccard_pairs` outputs can
+drive an actual dedup decision at corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(vertex, component) for every vertex appearing in `edges`,
+    where component = min vertex id reachable in the undirected graph.
+    Deterministic regardless of partitioning (min is order-free).
+    Converges in O(log diameter) rounds; raises if `max_iter` rounds
+    don't reach a fixpoint (pathological only: 2^max_iter diameter)."""
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = (
+        sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = sym.select(F.col("a").alias("v")).distinct().select("v", F.col("v").alias("label"))
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels.withColumnRenamed("v", "b"), "b")
+            .select(F.col("a").alias("v"), "label")
+        )
+        lol = (
+            labels.alias("x")
+            .join(labels.select(F.col("v").alias("label"), F.col("label").alias("l2")), "label")
+            .select(F.col("x.v").alias("v"), F.col("l2").alias("label"))
+        )
+        new = (
+            labels.unionByName(nbr)
+            .unionByName(lol)
+            .groupBy("v")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("label", "_old"), "v")
+            .filter(F.col("label") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def assign_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """`docs` + a `cluster_id` column: min doc id of the near-dup
+    component, own id for singletons (docs in no pair)."""
+    cc = connected_components(pairs, src, dst).withColumnRenamed("v", "_cc_v")
+    return (
+        docs.join(cc, docs[id_col] == cc["_cc_v"], "left")
+        .withColumn("cluster_id", F.coalesce(F.col("label"), F.col(id_col)))
+        .drop("_cc_v", "label")
+    )
+
+
+def dedup_keep_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Drop every non-canonical member of each near-dup cluster,
+    keeping the min-id doc (deterministic, SURVEY §7.5 rule — never
+    'first encountered')."""
+    withc = assign_clusters(docs, pairs, id_col, src, dst)
+    return withc.filter(F.col(id_col) == F.col("cluster_id")).drop("cluster_id")

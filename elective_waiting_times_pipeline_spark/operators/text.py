@@ -104,6 +104,40 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    max_tokens: int = 5000,
+    min_mean_tok_len: float = 2.0,
+    max_mean_tok_len: float = 12.0,
+    max_punct_ratio: float = 0.2,
+    min_stop_ratio: float = 0.02,
+) -> DataFrame:
+    """Gopher/C4-style rule filter over the token_profile features:
+    token-count window, mean-token-length window, punctuation cap,
+    stopword floor. Predicates compare the RAW (unrounded) feature
+    doubles — both engines derive them from identical integer
+    numerators/denominators, so the comparisons are exactly
+    reproducible (same IEEE division, same operands). Returns
+    (id, n_tokens) of surviving docs; one scan, one partial-agg
+    shuffle, filter evaluated map-side after the agg."""
+    p = token_profile(df, text_col, id_col)
+    n_toks = F.col("n_tokens")
+    punct_ratio = F.when(F.col("n_chars") > 0, F.col("n_punct") / F.col("n_chars")).otherwise(0.0)
+    stop_ratio = F.when(n_toks > 0, F.col("hits_en") / n_toks).otherwise(0.0)
+    mean_tok_len = F.when(n_toks > 0, F.col("sum_token_len") / n_toks).otherwise(0.0)
+    return p.filter(
+        (n_toks >= min_tokens)
+        & (n_toks <= max_tokens)
+        & (mean_tok_len >= min_mean_tok_len)
+        & (mean_tok_len <= max_mean_tok_len)
+        & (punct_ratio <= max_punct_ratio)
+        & (stop_ratio >= min_stop_ratio)
+    ).select(id_col, n_toks.cast("int").alias("n_tokens"))
+
+
 def lang_id_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stopword-hit language heuristic over a token_profile pass:
     argmax of per-language hit ratios, deterministic precedence on

@@ -160,6 +160,54 @@ def asof_join_backward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", F.col("value").alias("last_purchase_value"))
 
 
+# ---------------------------------------------------------------------------
+# Range (interval) join — beyond-reference extension (operators/
+# rangejoin.py): each click event matched to every "busy window"
+# (hours with >= 3 purchases, widened to [h-30min, h+90min) so
+# windows overlap and a point can hit 2 of them — a genuine non-equi
+# interval join, not an hour-truncate equi-join in disguise). Binned
+# strategy: equi-join on hour-wide bins, oracle = DuckDB's native
+# inequality join.
+# ---------------------------------------------------------------------------
+@query(
+    "range_join_busy_windows",
+    oracle="""
+    WITH busy AS (
+      SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS n_purchases
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1 HAVING COUNT(*) >= 3
+    ), win AS (
+      SELECT h - INTERVAL 30 MINUTE AS win_start,
+             h + INTERVAL 90 MINUTE AS win_end,
+             n_purchases
+      FROM busy
+    )
+    SELECT e.event_id, w.win_start, w.win_end, w.n_purchases
+    FROM events e JOIN win w
+      ON e.ts >= w.win_start AND e.ts < w.win_end
+    WHERE e.event_type = 'click'
+    """,
+)
+def range_join_busy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elective_waiting_times_pipeline_spark.operators.rangejoin import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    busy = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .filter(F.col("n_purchases") >= 3)
+    )
+    wins = busy.select(
+        (F.col("h") - F.expr("INTERVAL 30 MINUTES")).alias("win_start"),
+        (F.col("h") + F.expr("INTERVAL 90 MINUTES")).alias("win_end"),
+        "n_purchases",
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "ts")
+    out = range_join(clicks, wins, "ts", "win_start", "win_end", strategy="binned", bin_width=3600)
+    return out.select("event_id", "win_start", "win_end", "n_purchases")
+
+
 @query(
     "events_json_extract",
     oracle="""

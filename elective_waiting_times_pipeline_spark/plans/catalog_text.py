@@ -191,6 +191,89 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Gopher/C4-style quality-rule filter: token-count window, mean
+# token length window, punctuation cap, stopword floor — the
+# "curation decision" layer on top of text_quality's features.
+# Predicates compare raw (unrounded) doubles; both engines derive
+# them from identical integer numerators/denominators, so the same
+# IEEE division yields the same comparison result.
+# ---------------------------------------------------------------------------
+@query(
+    "text_quality_filter",
+    oracle=rf"""
+    WITH feat AS (
+      SELECT doc_id,
+             CAST({_NTOKS} AS INT) AS n_tokens,
+             CASE WHEN {_NTOKS} > 0
+                  THEN length(regexp_replace(trim(lower(text)), '\s+', '', 'g')) / {_NTOKS}
+                  ELSE 0.0 END AS mean_tok_len,
+             CASE WHEN length(text) > 0
+                  THEN (length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{{}}-]', '', 'g'))) / length(text)
+                  ELSE 0.0 END AS punct_ratio,
+             CASE WHEN {_NTOKS} > 0 THEN {_stop_filter('en')} / {_NTOKS} ELSE 0.0 END AS stop_ratio
+      FROM documents
+    )
+    SELECT doc_id, n_tokens FROM feat
+    WHERE n_tokens >= 5 AND n_tokens <= 5000
+      AND mean_tok_len >= 2.0 AND mean_tok_len <= 12.0
+      AND punct_ratio <= 0.2 AND stop_ratio >= 0.02
+    """,
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return X.quality_filter(docs)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup CLUSTERS: transitive closure over the exact-Jaccard pair
+# graph (operators/cluster.py connected components — Hash-Min with
+# label-of-label shortcutting). cluster_id = min doc_id reachable;
+# singletons (incl. empty-text docs) map to themselves. Oracle:
+# DuckDB recursive CTE computing min reachable label — an
+# oracle-checked ITERATIVE operator.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_clusters",
+    oracle=r"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ), sh AS (
+      SELECT DISTINCT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS shingle
+      FROM docs WHERE len(w) >= 2
+    ), sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= 0.1
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach(v, l) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.a, r.l FROM edges e JOIN reach r ON e.b = r.v
+    )
+    SELECT v AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY v
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elective_waiting_times_pipeline_spark.operators.cluster import assign_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, shingle_n=2, min_jaccard=0.1)
+    return assign_clusters(docs.select("doc_id"), pairs).select("doc_id", "cluster_id")
+
+
+# ---------------------------------------------------------------------------
 # SimHash (bitwise fold over token hashes) — rows-only check;
 # unit tests pin golden values and hamming-distance behavior.
 # ---------------------------------------------------------------------------
