@@ -171,6 +171,7 @@ def asof_join_backward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "range_join_busy_windows",
+    headline=True,
     oracle="""
     WITH busy AS (
       SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS n_purchases
