@@ -495,3 +495,33 @@ def count_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A12 counterpart — EXACT continuous percentiles via the built-in
+# sort-based `percentile` aggregate (linear interpolation, identical
+# formula to DuckDB's quantile_cont). The reference computes its
+# quantiles through the banded-histogram kernel (histogram_quantile);
+# this is the direct form an engine user reaches for when the raw
+# values (not pre-binned counts) are at hand. Rounded to 4 dp: both
+# engines interpolate the same two order statistics, so only
+# float-formatting noise is being suppressed, not algorithm drift.
+# ---------------------------------------------------------------------------
+@query(
+    "percentile_exact",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+           ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95_price,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.95)), 4).alias("p95_price"),
+        F.count(F.lit(1)).alias("n"),
+    )

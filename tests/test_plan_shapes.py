@@ -71,3 +71,17 @@ def test_histogram_kernel_single_scan_and_partial_aggs(spark, sf_dir):
 def test_minhash_single_corpus_scan(spark, sf_dir):
     plan = _plan(spark, "minhash_lsh_candidates", sf_dir)
     assert _n_scans(plan) == 1  # bucket-local pairs, no self-join rescan
+
+
+def test_range_join_binned_is_equi_not_nested_loop(spark, sf_dir):
+    plan = _plan(spark, "range_join_busy_windows", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    # the click-side filter must reach the scan
+    assert "EqualTo(event_type,click)" in plan
+
+
+def test_quality_filter_prunes_to_two_columns(spark, sf_dir):
+    plan = _plan(spark, "text_quality_filter", sf_dir)
+    # only doc_id + text read; the source/lang/n_chars columns pruned
+    assert "source" not in plan.split("ReadSchema")[1].splitlines()[0]
+    assert _n_scans(plan) == 1
