@@ -223,3 +223,73 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").cast("int").alias("k_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling time-range mean (1 hour per user): RANGE-framed window over
+# epoch-micros ordering. The frame mean is computed as exact
+# scaled-long sum / count so both engines divide identical integers
+# (registry.sl2 rule); ties in ts are frame-peers in both engines
+# (RANGE semantics), so no order pinning is needed.
+# ---------------------------------------------------------------------------
+@query(
+    "rolling_mean_1h",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS DOUBLE) / 100
+                 / COUNT(*) OVER w, 6) AS roll_avg_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_mean_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round((F.sum(sl2("value")).over(w) / 100.0) / F.count(F.lit(1)).over(w), 6).alias(
+            "roll_avg_1h"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hopping (sliding) window — 1 hour wide, 30 min slide: each event
+# lands in exactly 2 windows. Spark's native F.window(slide) vs a
+# DuckDB offset-lattice expansion (start = trunc_hour(ts - off) + off
+# for off in {0, 30min} — the same two windows). The streaming form is
+# the identical logical agg under a watermark (streaming/windows.py).
+# ---------------------------------------------------------------------------
+@query(
+    "events_hopping_window",
+    oracle="""
+    WITH hops AS (
+      SELECT e.event_type,
+             date_trunc('hour', e.ts - o.off) + o.off AS window_start,
+             e.value
+      FROM events e
+      CROSS JOIN (SELECT unnest([INTERVAL 0 MINUTE, INTERVAL 30 MINUTE]) AS off) o
+    )
+    SELECT event_type, window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS total_value
+    FROM hops
+    GROUP BY 1, 2
+    """,
+)
+def events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(sl2("value")) / 100.0).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
