@@ -146,21 +146,37 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     min_jaccard: float = 0.0,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over word-shingle sets for all co-shingled pairs,
     via an inverted-index equi-join (shingle → docs). Output:
     (id_a, id_b, jaccard) with id_a < id_b, rounded to 6 dp.
 
-    Scale note: the self-join fans out by shingle document frequency;
-    at corpus scale, feed this only LSH candidates (or drop hot
-    shingles first). Standalone it is exact and oracle-checkable.
+    Scale note: the self-join fans out as sum(df_s²) over shingle
+    document frequencies — one boilerplate shingle shared by 1M docs
+    is a 10¹² blow-up. `max_doc_freq` drops shingles appearing in
+    more than that many docs BEFORE the pair join (set sizes still
+    count them, so jaccard is then a lower bound for the surviving
+    pairs — the standard hot-token guard); at corpus scale, also feed
+    this only LSH candidates. Default None = exact, oracle-checkable.
     """
     shingled = df.select(
         F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("shingle")
     )
+    if max_doc_freq is not None:
+        # window-free df cap: aggregate doc-frequency, semi-join back
+        rare = (
+            shingled.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("shingle")
+        )
+        pair_side = shingled.join(rare, "shingle")
+    else:
+        pair_side = shingled
     sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    a = shingled.alias("a")
-    b = shingled.alias("b")
+    a = pair_side.alias("a")
+    b = pair_side.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))

@@ -116,3 +116,27 @@ def test_rolling_fingerprint_order_sensitive(spark):
 
     out = df.select(fingerprint_rolling("text").alias("fp")).collect()
     assert out[0].fp != out[1].fp
+
+
+def test_ngram_jaccard_max_doc_freq_drops_hot_shingles(spark):
+    from pyspark.sql import Row
+
+    # 'common words here' appears in EVERY doc (hot); only docs 0/1
+    # share a rare tail
+    rows = [
+        Row(doc_id=0, text="common words here alpha beta"),
+        Row(doc_id=1, text="common words here alpha beta"),
+        Row(doc_id=2, text="common words here gamma delta"),
+        Row(doc_id=3, text="common words here epsilon zeta"),
+    ]
+    df = spark.createDataFrame(rows)
+    exact = {(r.id_a, r.id_b): r.jaccard for r in D.ngram_jaccard_pairs(df, shingle_n=2).collect()}
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(df, shingle_n=2, max_doc_freq=2).collect()
+    }
+    # hot shingles gone: only the rare-tail pair survives, and its
+    # jaccard is a lower bound of (here <=) the exact value
+    assert set(capped) == {(0, 1)}
+    assert capped[(0, 1)] <= exact[(0, 1)]
+    assert exact[(0, 1)] == 1.0
