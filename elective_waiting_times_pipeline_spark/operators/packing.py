@@ -1,0 +1,117 @@
+"""Sequence packing: laying documents into fixed token-budget context
+windows — the step between a curated corpus and a training batch.
+
+Two standard disciplines, both provided:
+
+1. `chunk_offsets` — **concat-and-chunk** (GPT-style pretraining):
+   within a shard, documents are laid head-to-tail in a deterministic
+   order and the token stream is cut every `budget` tokens; a document
+   may straddle a cut. We emit each doc's start offset and the chunk
+   containing its first token. Pure window cum-sum — one shuffle on the
+   shard key, fully SQL-expressible (DuckDB-oracle-checked), and the
+   shard count bounds per-task state, so it holds at corpus scale.
+
+2. `greedy_pack` — **no-split first-fit-decreasing** (SFT-style: a
+   document must not straddle windows). Bin packing is inherently
+   sequential, so it runs as `applyInPandas` per shard with a
+   deterministic visit order (n_tokens desc, id asc). Oversize docs
+   (> budget) get a singleton bin flagged `oversize`. State per task is
+   O(open bins) ≈ O(shard tokens / budget); shard by enough keys that a
+   shard's docs fit an executor — the packing quality loss vs global
+   FFD is negligible for corpus-scale shards.
+
+Reference has no packing surface; beyond-reference training-data
+operator set (SURVEY §7.3 M5).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+SHARD_COL = "shard"
+
+
+def _with_shard(df: DataFrame, id_col: str, shards: int) -> DataFrame:
+    # positive-key modulo (pmod == % for non-negative ids, matching the
+    # SQL oracle); production keys that aren't dense ints should hash
+    # first (operators/sampling.hash_hex_prefix)
+    return df.withColumn(SHARD_COL, F.pmod(F.col(id_col), F.lit(shards)).cast("int"))
+
+
+def chunk_offsets(
+    df: DataFrame,
+    ntok_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    budget: int = 512,
+    shards: int = 8,
+) -> DataFrame:
+    """Concat-and-chunk offsets: (id, shard, start_offset, chunk_id)
+    where chunk_id = floor(start_offset / budget) under a head-to-tail
+    layout ordered by `id_col` within each shard."""
+    sharded = _with_shard(df, id_col, shards)
+    w = (
+        Window.partitionBy(SHARD_COL)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return sharded.select(
+        F.col(id_col),
+        F.col(SHARD_COL),
+        F.coalesce(F.sum(ntok_col).over(w), F.lit(0)).cast("long").alias("start_offset"),
+        F.floor(F.coalesce(F.sum(ntok_col).over(w), F.lit(0)) / budget)
+        .cast("int")
+        .alias("chunk_id"),
+    )
+
+
+def greedy_pack(
+    df: DataFrame,
+    ntok_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    budget: int = 512,
+    shards: int = 8,
+) -> DataFrame:
+    """First-fit-decreasing no-split packing per shard. Output:
+    (id, shard, n_tokens, bin_id, oversize). Deterministic: visit order
+    is (n_tokens desc, id asc); first bin with room wins."""
+    out_schema = StructType.fromDDL(
+        f"{id_col} long, {SHARD_COL} int, {ntok_col} long, bin_id int, oversize boolean"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ntok_col, id_col], ascending=[False, True])
+        remaining: list[int] = []  # room left per open bin
+        bin_ids, oversize = [], []
+        for n in pdf[ntok_col]:
+            n = int(n)
+            if n > budget:
+                remaining.append(0)  # singleton, permanently full
+                bin_ids.append(len(remaining) - 1)
+                oversize.append(True)
+                continue
+            for b, room in enumerate(remaining):
+                if room >= n:
+                    remaining[b] = room - n
+                    bin_ids.append(b)
+                    break
+            else:
+                remaining.append(budget - n)
+                bin_ids.append(len(remaining) - 1)
+            oversize.append(False)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].astype("int64"),
+                SHARD_COL: pdf[SHARD_COL].astype("int32"),
+                ntok_col: pdf[ntok_col].astype("int64"),
+                "bin_id": pd.Series(bin_ids, index=pdf.index, dtype="int32"),
+                "oversize": pd.Series(oversize, index=pdf.index),
+            }
+        )
+
+    sharded = _with_shard(
+        df.select(F.col(id_col), F.col(ntok_col).cast("long")), id_col, shards
+    )
+    return sharded.groupBy(SHARD_COL).applyInPandas(pack, schema=out_schema)

@@ -1,0 +1,93 @@
+"""Deterministic hash-based sampling and dataset splitting.
+
+Training-data pipelines need reproducible row-level sampling and
+train/val/test splits that (a) never depend on row order or partition
+layout, (b) are stable across reruns and engines, and (c) assign a row
+to exactly one side. Seeded `df.sample` satisfies none of these across
+engines (implementation-defined RNG streams); the standard trick is to
+hash a stable key and threshold the hash.
+
+We use the first 4 hex chars of `md5(key || salt)` — a uniform draw
+over a 65,536-point space, identical in any engine with md5 (Spark and
+DuckDB produce the same lowercase hex, so the DuckDB oracle replays the
+exact assignment). Thresholds compare *hex strings* lexicographically
+(equivalent to numeric compare on lowercase fixed-width hex), avoiding
+engine-specific hex→int conversion quirks.
+
+Scale: pure codegen'd expressions per row — no shuffle, no state, no
+driver participation; safe at any cardinality. The salt gives
+independent re-rolls (e.g. per-epoch subsampling) without touching the
+key. Reference has no sampling surface; this is part of the
+beyond-reference training-data operator set (SURVEY §7.3 M5).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEX_BITS = 4  # hex chars of the digest used ⇒ 16^4 = 65,536 buckets
+HEX_SPACE = 16**HEX_BITS
+
+
+def hash_hex_prefix(key: Column | str, salt: str = "") -> Column:
+    """First `HEX_BITS` hex chars of md5(key || salt) — the uniform
+    [0, HEX_SPACE) draw behind all sampling/splitting here."""
+    c = F.col(key) if isinstance(key, str) else key
+    s = c.cast("string")
+    if salt:
+        s = F.concat(s, F.lit(salt))
+    return F.substring(F.md5(s), 1, HEX_BITS)
+
+
+def hex_threshold(fraction: float) -> str:
+    """Hex-string threshold t such that P(prefix < t) == round-off-exact
+    `fraction` of the 16^HEX_BITS space. Only valid for fraction < 1."""
+    if not 0.0 <= fraction < 1.0:
+        raise ValueError(f"fraction must be in [0, 1): {fraction}")
+    return format(int(round(fraction * HEX_SPACE)), f"0{HEX_BITS}x")
+
+
+def hash_sample(df: DataFrame, key: Column | str, fraction: float, salt: str = "") -> DataFrame:
+    """Deterministic ~`fraction` sample: keep rows whose hash prefix
+    falls below the threshold. Stable under reruns, row order, and
+    partitioning; disjoint salts give independent samples."""
+    if fraction >= 1.0:
+        return df
+    return df.filter(hash_hex_prefix(key, salt) < F.lit(hex_threshold(fraction)))
+
+
+def split_column(key: Column | str, splits: Mapping[str, float], salt: str = "") -> Column:
+    """Label column assigning each row to exactly one named split.
+
+    `splits` maps name → fraction in iteration order; fractions must sum
+    to 1 (±1e-9). The last split takes the remainder of the hash space,
+    so boundary rounding never drops a row.
+    """
+    items = list(splits.items())
+    if len(items) < 2:
+        raise ValueError("need at least 2 splits")
+    total = sum(f for _, f in items)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    h = hash_hex_prefix(key, salt)
+    expr = None
+    cum = 0.0
+    for name, frac in items[:-1]:
+        cum += frac
+        cond = h < F.lit(hex_threshold(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return expr.otherwise(items[-1][0])
+
+
+def hash_split(
+    df: DataFrame,
+    key: Column | str,
+    splits: Mapping[str, float],
+    salt: str = "",
+    col_name: str = "split",
+) -> DataFrame:
+    """Attach a deterministic train/val/test-style split label."""
+    return df.withColumn(col_name, split_column(key, splits, salt))

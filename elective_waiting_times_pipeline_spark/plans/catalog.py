@@ -434,6 +434,52 @@ def window_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Composite 3-table query (TPC-H Q3 shape): selective dim filter →
+# broadcast join → big-big equi-join on the order key → grouped revenue
+# → top-k. Exercises join reordering + partial aggregation in one plan;
+# the reference's closest analog is the fact×lookup×filter reporting
+# joins (`3c.R:105-165`). Ties pinned by (o_orderdate, l_orderkey).
+# ---------------------------------------------------------------------------
+@query(
+    "shipping_priority",
+    headline=True,
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000 AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        # customer is a scaling table (not a true small dim) — no
+        # broadcast hint; AQE auto-broadcasts when the filtered side
+        # fits, shuffle-joins otherwise
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            (F.sum(sl2("l_extendedprice") * (100 - sl2("l_discount"))) / 10000.0).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
 # --- register sibling domains (import side effects populate the dicts) ---
 from elective_waiting_times_pipeline_spark.plans import catalog_relational  # noqa: E402,F401
 from elective_waiting_times_pipeline_spark.plans import catalog_text  # noqa: E402,F401

@@ -291,3 +291,111 @@ def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash_near_dup_pairs(D.simhash(docs), max_hamming=16)
+
+
+# ---------------------------------------------------------------------------
+# Corpus n-gram statistics: top-20 bigrams by frequency. Spark side
+# builds bigrams with a single-level array transform (no shuffle until
+# the count); ties broken lexicographically for determinism.
+# ---------------------------------------------------------------------------
+@query(
+    "ngram_top_bigrams",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT {_TOKS} AS a FROM documents WHERE {_NTOKS} >= 2
+    ), bg AS (
+      SELECT unnest(list_transform(a[1:len(a)-1], (t, i) -> t || ' ' || a[i+1])) AS bigram
+      FROM toks
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM bg GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 20
+    """,
+)
+def ngram_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    bigrams = F.transform(
+        F.slice(toks, 1, F.size(toks) - 1),
+        lambda t, i: F.concat_ws(" ", t, F.element_at(toks, i + F.lit(2))),
+    )
+    return (
+        docs.filter(X.token_count("text") >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split (md5 hex-prefix threshold; see
+# operators/sampling.py). Exactly replayed by the DuckDB oracle —
+# row-order/partitioning independent by construction.
+# ---------------------------------------------------------------------------
+from elective_waiting_times_pipeline_spark.operators import sampling as S  # noqa: E402
+
+_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_T_TRAIN = S.hex_threshold(0.8)
+_T_VAL = S.hex_threshold(0.9)
+
+
+@query(
+    "sample_split_hash",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{_T_TRAIN}' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{_T_VAL}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def sample_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return S.hash_split(docs, "doc_id", _SPLITS).select("doc_id", "split")
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing, concat-and-chunk discipline (GPT-style): start
+# offsets + chunk ids under head-to-tail layout per shard
+# (operators/packing.py). Window cum-sum — SQL-expressible, oracled.
+# ---------------------------------------------------------------------------
+from elective_waiting_times_pipeline_spark.operators import packing as P  # noqa: E402
+
+
+@query(
+    "pack_chunks",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, CAST({_NTOKS} AS BIGINT) AS n_tokens FROM documents
+    ), sh AS (
+      SELECT doc_id, n_tokens, CAST(doc_id % 8 AS INT) AS shard FROM tok
+    ), off AS (
+      SELECT doc_id, shard,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+      FROM sh
+    )
+    SELECT doc_id, shard, start_offset,
+           CAST(floor(start_offset / 512) AS INT) AS chunk_id
+    FROM off
+    """,
+)
+def pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    with_tokens = docs.select("doc_id", X.token_count("text").cast("long").alias("n_tokens"))
+    return P.chunk_offsets(with_tokens, budget=512, shards=8)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing, no-split first-fit-decreasing (SFT-style) — bin
+# packing is sequential per shard (applyInPandas), so rows-only here;
+# budget/partition invariants are unit-tested.
+# ---------------------------------------------------------------------------
+@query("pack_greedy")
+def pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    with_tokens = docs.select("doc_id", X.token_count("text").cast("long").alias("n_tokens"))
+    return P.greedy_pack(with_tokens, budget=512, shards=8)

@@ -1,0 +1,96 @@
+"""Sampling (hash split/sample) and sequence-packing invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from elective_waiting_times_pipeline_spark.operators import packing as P
+from elective_waiting_times_pipeline_spark.operators import sampling as S
+
+
+@pytest.fixture(scope="module")
+def keyed(spark):
+    return spark.range(0, 2000).withColumnRenamed("id", "k")
+
+
+def test_hash_split_partitions_every_row_once(spark, keyed):
+    out = S.hash_split(keyed, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000
+    # uniform md5 ⇒ fractions within a loose tolerance at n=2000
+    assert abs(counts["train"] / 2000 - 0.8) < 0.05
+    assert abs(counts["val"] / 2000 - 0.1) < 0.04
+    assert abs(counts["test"] / 2000 - 0.1) < 0.04
+
+
+def test_hash_split_deterministic_and_salt_sensitive(spark, keyed):
+    a = dict(S.hash_split(keyed, "k", {"a": 0.5, "b": 0.5}).collect())
+    b = dict(S.hash_split(keyed, "k", {"a": 0.5, "b": 0.5}).collect())
+    assert a == b
+    salted = dict(S.hash_split(keyed, "k", {"a": 0.5, "b": 0.5}, salt="epoch1").collect())
+    assert salted != a  # re-roll moves some keys
+
+
+def test_hash_sample_is_subset_and_stable(spark, keyed):
+    s1 = {r.k for r in S.hash_sample(keyed, "k", 0.25).collect()}
+    s2 = {r.k for r in S.hash_sample(keyed, "k", 0.25).collect()}
+    assert s1 == s2
+    assert abs(len(s1) / 2000 - 0.25) < 0.05
+    # nested property: a smaller threshold keeps a subset
+    s_small = {r.k for r in S.hash_sample(keyed, "k", 0.10).collect()}
+    assert s_small <= s1
+
+
+def test_hex_threshold_validation():
+    assert S.hex_threshold(0.5) == "8000"
+    with pytest.raises(ValueError):
+        S.hex_threshold(1.0)
+    with pytest.raises(ValueError):
+        S.split_column("k", {"a": 0.6, "b": 0.6})
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [Row(doc_id=i, n_tokens=(i * 37) % 700 + 1) for i in range(200)]
+    return spark.createDataFrame(rows)
+
+
+def test_chunk_offsets_contiguous_per_shard(spark, docs):
+    out = P.chunk_offsets(docs, budget=512, shards=4).collect()
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    ntok = {r.doc_id: r.n_tokens for r in docs.collect()}
+    assert sum(len(v) for v in by_shard.values()) == 200
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.doc_id)
+        offset = 0
+        for r in rows:
+            assert r.doc_id % 4 == shard
+            assert r.start_offset == offset  # head-to-tail layout
+            assert r.chunk_id == offset // 512
+            offset += ntok[r.doc_id]
+
+
+def test_greedy_pack_respects_budget(spark, docs):
+    out = P.greedy_pack(docs, budget=512, shards=4).collect()
+    assert len(out) == 200  # every doc exactly once
+    assert len({r.doc_id for r in out}) == 200
+    fills: dict[tuple, int] = {}
+    for r in out:
+        assert (r.n_tokens > 512) == r.oversize
+        fills[(r.shard, r.bin_id)] = fills.get((r.shard, r.bin_id), 0) + r.n_tokens
+    for (shard, bin_id), fill in fills.items():
+        members = [r for r in out if r.shard == shard and r.bin_id == bin_id]
+        if any(r.oversize for r in members):
+            assert len(members) == 1  # oversize docs ride alone
+        else:
+            assert fill <= 512
+
+
+def test_greedy_pack_deterministic(spark, docs):
+    a = sorted(map(tuple, P.greedy_pack(docs, budget=512, shards=4).collect()))
+    b = sorted(map(tuple, P.greedy_pack(docs, budget=512, shards=4).collect()))
+    assert a == b
