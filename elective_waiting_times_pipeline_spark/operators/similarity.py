@@ -192,3 +192,30 @@ def lsh_bucketed_pairs(
     return pairs.select("id_a", "id_b", sim.alias("cosine_sim")).filter(
         F.col("cosine_sim") >= threshold
     )
+
+
+def group_centroids(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group embedding centroid in long form: (group, pos, centroid_val),
+    pos 1-based. Per-dimension mean via posexplode → hash agg — partial
+    aggregation makes this one shuffle of |groups|×dim cells regardless of
+    corpus size (the class-mean / cluster-centroid primitive).
+
+    Long form keeps the result oracle-comparable; `F.array_agg` the
+    values back if an array is wanted downstream.
+    """
+    ex = df.select(
+        F.col(group_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val"),
+    )
+    return ex.groupBy(group_col, "pos").agg(
+        F.round(F.avg("val"), round_dp).alias("centroid_val")
+    ).select(
+        F.col(group_col),
+        (F.col("pos") + 1).cast("int").alias("pos"),
+        "centroid_val",
+    )

@@ -10,7 +10,7 @@ table computes every feature (no per-feature rescans).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword lists for the n-gram/stopword-hit
@@ -197,4 +197,45 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
             F.sequence(F.lit(1), count),
             lambda i: F.array_join(F.slice(toks, i, n), " "),
         )
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document: (doc_id, tok, tf, df, tfidf).
+
+    tf = in-doc term count, idf = ln(N / df) with N = docs with ≥1
+    token. Ranking uses the ROUNDED score (6 dp) with the token as the
+    tie-break, so selection is stable across engines' libm ulps. Plan:
+    explode → two hash aggs (partial-agg friendly) → equi-join tf×df on
+    token → per-doc window top-k. The token-level df table scales with
+    vocabulary, not corpus, but is NOT broadcast — vocab is unbounded at
+    corpus scale.
+    """
+    toks = df.filter(token_count(text_col) >= 1).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    )
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = tf.select(F.countDistinct(id_col).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n))  # 1-row scalar, always broadcast-safe
+        .select(
+            F.col(id_col),
+            "tok",
+            "tf",
+            "df",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
     )

@@ -399,3 +399,35 @@ def pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     with_tokens = docs.select("doc_id", X.token_count("text").cast("long").alias("n_tokens"))
     return P.greedy_pack(with_tokens, budget=512, shards=8)
+
+
+# ---------------------------------------------------------------------------
+# Top-3 TF-IDF terms per document (operators/text.py::tfidf_top_terms).
+# Ranking on the ROUNDED score with token tie-break keeps the top-k
+# selection identical across engine libm implementations.
+# ---------------------------------------------------------------------------
+@query(
+    "tfidf_top_terms",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents WHERE {_NTOKS} >= 1
+    ), tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, tok
+    ), dfq AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok
+    ), n AS (
+      SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tf
+    ), scored AS (
+      SELECT t.doc_id, t.tok, t.tf, d.df,
+             ROUND(t.tf * ln(n.n_docs / d.df), 6) AS tfidf
+      FROM tf t JOIN dfq d USING (tok), n
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn
+      FROM scored
+    )
+    SELECT doc_id, tok, tf, df, tfidf FROM ranked WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return X.tfidf_top_terms(docs, k=3)

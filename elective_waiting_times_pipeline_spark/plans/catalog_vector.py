@@ -78,3 +78,27 @@ def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qdf = emb.filter(F.col("vec_id") == 0)
     return S.ivf_topk(emb, qdf, k=10, n_cells=16, n_probe=6)
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroid (class mean / cluster centroid primitive), long
+# form. posexplode → hash agg: one shuffle of |labels|×dim cells
+# regardless of corpus size. DuckDB mirrors with a 1-based index lambda.
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_centroids",
+    oracle="""
+    WITH ex AS (
+      SELECT label,
+             unnest(list_transform(embedding, (x, i) -> struct_pack(pos := i, val := CAST(x AS DOUBLE)))) AS s
+      FROM embeddings
+    )
+    SELECT label, CAST(s.pos AS INT) AS pos, ROUND(AVG(s.val), 6) AS centroid_val
+    FROM ex GROUP BY label, s.pos
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elective_waiting_times_pipeline_spark.operators.similarity import group_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return group_centroids(emb, group_col="label", vec_col="embedding")
