@@ -73,3 +73,55 @@ def run_available_now(
     )
     q.awaitTermination()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def session_window_stats(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Native session windows (gap-based) per user: a session closes
+    after `gap` of inactivity. Works on batch and streaming frames; in
+    streaming, the watermark bounds session state so it is dropped once
+    no on-time event can extend it — O(open sessions) state, the
+    scale-safe form of sessionization (vs. the batch lag/cumsum variant
+    in catalog_events.sessionize, which needs the full history)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_sessions_available_now(
+    spark: SparkSession,
+    parquet_path: str,
+    query_name: str = "events_sessions_out",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Drive session-window aggregation over a parquet directory to
+    completion (availableNow) into a memory sink."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
+    if parquet_path.endswith(".parquet"):
+        head, _, tail = parquet_path.rpartition("/")
+        reader = reader.option("pathGlobFilter", tail)
+        parquet_path = head
+    raw = reader.load(parquet_path).withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+    agg = session_window_stats(raw, gap=gap)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -85,3 +85,42 @@ def test_quality_filter_prunes_to_two_columns(spark, sf_dir):
     # only doc_id + text read; the source/lang/n_chars columns pruned
     assert "source" not in plan.split("ReadSchema")[1].splitlines()[0]
     assert _n_scans(plan) == 1
+
+
+def test_shipping_priority_pushdown_and_topk(spark, sf_dir):
+    plan = _plan(spark, "shipping_priority", sf_dir)
+    # all three selective predicates reach the scans
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "LessThan(o_orderdate" in plan
+    assert "GreaterThan(l_shipdate" in plan
+    # top-k is a TakeOrderedAndProject, never a global sort
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final revenue agg
+    # lineitem scan pruned to the 4 needed columns
+    assert "l_comment" not in plan and "l_quantity" not in plan
+
+
+def test_tfidf_no_cartesian_blowup(spark, sf_dir):
+    plan = _plan(spark, "tfidf_top_terms", sf_dir)
+    # the only product is the 1-row scalar N (broadcast nested loop);
+    # tf×df must be an equi-join
+    assert plan.count("CartesianProduct") == 0
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # one scan of documents feeds both tf and df branches... (two scans
+    # allowed: Spark re-reads rather than caching a lazy plan) — but
+    # never more than the tf/df/N trio
+    assert _n_scans(plan) <= 3
+
+
+def test_sample_split_is_pure_projection(spark, sf_dir):
+    plan = _plan(spark, "sample_split_hash", sf_dir)
+    # no shuffle at all: hash-threshold splitting is per-row codegen
+    assert "Exchange" not in plan
+    assert _n_scans(plan) == 1
+
+
+def test_centroids_partial_agg_before_shuffle(spark, sf_dir):
+    plan = _plan(spark, "embedding_centroids", sf_dir)
+    # posexplode fan-out must be reduced map-side before the exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Generate" in plan  # the posexplode

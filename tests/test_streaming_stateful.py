@@ -19,3 +19,26 @@ def test_stateful_running_totals_match_batch(spark, sf_dir):
     assert len(m) == len(truth)
     assert (m.n_events == m.n).all()
     assert (abs(m.total_value - m.t) < 0.05).all()
+
+
+def test_session_windows_streaming_match_batch(spark, sf_dir):
+    """Streaming session_window == the same session_window run in batch
+    mode (identical logical agg, incremental execution)."""
+    from elective_waiting_times_pipeline_spark.streaming.windows import (
+        run_sessions_available_now,
+        session_window_stats,
+    )
+
+    out = run_sessions_available_now(
+        spark, f"{sf_dir}/events.parquet", query_name="t_sessions"
+    ).toPandas()
+    batch_raw = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+    truth = session_window_stats(batch_raw).toPandas()
+    key = ["session_start", "session_end", "user_id"]
+    out = out.sort_values(key).reset_index(drop=True)
+    truth = truth.sort_values(key).reset_index(drop=True)
+    assert len(out) == len(truth) > 0
+    assert (out[key + ["n_events"]] == truth[key + ["n_events"]]).all().all()
+    assert (abs(out.total_value - truth.total_value) < 1e-9).all()
