@@ -525,3 +525,81 @@ def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("o_totalprice", F.lit(0.95)), 4).alias("p95_price"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Full outer join — absent from the reference (SURVEY §2.3) but part of
+# a complete relational surface: reconcile two aggregates where either
+# side may miss keys. Null-filled sides COALESCEd identically in both
+# engines.
+# ---------------------------------------------------------------------------
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH big AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_big
+      FROM orders WHERE o_totalprice > 250000 GROUP BY o_custkey
+    ), urgent AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_urgent
+      FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
+    )
+    SELECT COALESCE(b.o_custkey, u.o_custkey) AS custkey,
+           COALESCE(n_big, 0) AS n_big,
+           COALESCE(n_urgent, 0) AS n_urgent
+    FROM big b FULL OUTER JOIN urgent u ON b.o_custkey = u.o_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    big = (
+        o.filter(F.col("o_totalprice") > 250000)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_big"))
+    )
+    urgent = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_urgent"))
+    )
+    return (
+        big.alias("b")
+        .join(urgent.alias("u"), F.col("b.o_custkey") == F.col("u.o_custkey"), "full_outer")
+        .select(
+            F.coalesce("b.o_custkey", "u.o_custkey").alias("custkey"),
+            F.coalesce("n_big", F.lit(0)).alias("n_big"),
+            F.coalesce("n_urgent", F.lit(0)).alias("n_urgent"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# INTERSECT / EXCEPT set ops (SURVEY §2.8: the reference covers these
+# with %in% membership filters; the engine exposes the real operators).
+# ---------------------------------------------------------------------------
+@query(
+    "set_intersect_except",
+    oracle="""
+    SELECT c_custkey, 'both' AS which FROM (
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 250000
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    UNION ALL
+    SELECT c_custkey, 'big_only' AS which FROM (
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 250000
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 250000).select(F.col("o_custkey").alias("c_custkey"))
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    # subtract == EXCEPT DISTINCT (exceptAll is the bag variant and
+    # keeps leftover multiplicity — different semantics)
+    return big.intersect(urgent).withColumn("which", F.lit("both")).unionByName(
+        big.subtract(urgent).withColumn("which", F.lit("big_only"))
+    )
