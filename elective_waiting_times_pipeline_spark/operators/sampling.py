@@ -91,3 +91,31 @@ def hash_split(
 ) -> DataFrame:
     """Attach a deterministic train/val/test-style split label."""
     return df.withColumn(col_name, split_column(key, splits, salt))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key: Column | str,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    salt: str = "",
+    default: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-mixture /
+    source-weighting primitive (keep 100% of wiki, 10% of crawl, ...).
+    The deterministic analog of `df.sampleBy`: same hash-threshold
+    mechanics as `hash_sample`, with the threshold chosen per stratum.
+    Strata missing from `fractions` get `default` (0 = drop)."""
+    h = hash_hex_prefix(key, salt)
+    keep = None
+    for stratum, frac in fractions.items():
+        cond = (F.col(strata_col) == stratum) & (
+            F.lit(True) if frac >= 1.0 else h < F.lit(hex_threshold(frac))
+        )
+        keep = cond if keep is None else keep | cond
+    others = ~F.col(strata_col).isin(*fractions.keys())
+    if default >= 1.0:
+        keep = keep | others
+    elif default > 0.0:
+        keep = keep | (others & (h < F.lit(hex_threshold(default))))
+    return df.filter(keep)

@@ -603,3 +603,20 @@ def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return big.intersect(urgent).withColumn("which", F.lit("both")).unionByName(
         big.subtract(urgent).withColumn("which", F.lit("big_only"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate percentile (scale path for percentile_exact): Spark's
+# built-in sketch aggregate with a bounded rank error — single pass,
+# mergeable partials, no global sort. Rows-only (sketch internals are
+# engine-specific); the error bound vs the exact percentile is
+# unit-tested in test_reporting_extras.
+# ---------------------------------------------------------------------------
+@query("percentile_approx_sketch")
+def percentile_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(1000)).alias("median_price_approx"),
+        F.percentile_approx("o_totalprice", F.lit(0.95), F.lit(1000)).alias("p95_price_approx"),
+        F.count(F.lit(1)).alias("n"),
+    )

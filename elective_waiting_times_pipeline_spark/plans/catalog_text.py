@@ -431,3 +431,32 @@ def pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return X.tfidf_top_terms(docs, k=3)
+
+
+# ---------------------------------------------------------------------------
+# Corpus mixture weighting: per-source deterministic sampling rates
+# (operators/sampling.py::stratified_hash_sample) — keep all of src0,
+# half of src1, 10% of everything else. Pure per-row codegen, replayed
+# exactly by the oracle's CASE thresholds.
+# ---------------------------------------------------------------------------
+_MIX = {"src0": 1.0, "src1": 0.5}
+_T_HALF = S.hex_threshold(0.5)
+_T_TENTH = S.hex_threshold(0.1)
+
+
+@query(
+    "mixture_sample",
+    oracle=f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE (source = 'src0')
+       OR (source = 'src1' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{_T_HALF}')
+       OR (source NOT IN ('src0', 'src1')
+           AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{_T_TENTH}')
+    """,
+)
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return S.stratified_hash_sample(docs, "doc_id", "source", _MIX, default=0.1).select(
+        "doc_id", "source"
+    )

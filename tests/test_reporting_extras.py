@@ -48,3 +48,23 @@ def test_rebucket_day_waits(spark):
     yr = {r.time_bucket: r for r in reporting.rebucket_day_waits(df, horizon="year").collect()}
     assert yr["Under a year"]["prop.NHS"] == pytest.approx(0.6)
     assert yr["Over a year"]["prop.NHS"] == pytest.approx(0.4)
+
+
+def test_percentile_approx_within_rank_error(spark, sf_dir):
+    """percentile_approx(accuracy=1000) must land within 1/1000 rank
+    error of the exact percentile — checked by rank, not value."""
+    from elective_waiting_times_pipeline_spark.plans import catalog
+
+    approx = {
+        r.o_orderpriority: r.median_price_approx
+        for r in catalog.SPARK_QUERIES["percentile_approx_sketch"](spark, sf_dir).collect()
+    }
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    for prio, est in approx.items():
+        vals = sorted(
+            r.o_totalprice for r in orders.filter(orders.o_orderpriority == prio).collect()
+        )
+        import bisect
+
+        rank = bisect.bisect_left(vals, est) / len(vals)
+        assert abs(rank - 0.5) <= 0.01 + 1.0 / 1000, (prio, rank)

@@ -94,3 +94,16 @@ def test_greedy_pack_deterministic(spark, docs):
     a = sorted(map(tuple, P.greedy_pack(docs, budget=512, shards=4).collect()))
     b = sorted(map(tuple, P.greedy_pack(docs, budget=512, shards=4).collect()))
     assert a == b
+
+
+def test_stratified_hash_sample_rates(spark):
+    rows = [Row(k=i, src="a" if i % 2 == 0 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows)
+    out = S.stratified_hash_sample(df, "k", "src", {"a": 1.0, "b": 0.2}).collect()
+    a = [r for r in out if r.src == "a"]
+    b = [r for r in out if r.src == "b"]
+    assert len(a) == 1000  # fraction 1.0 keeps everything
+    assert abs(len(b) / 1000 - 0.2) < 0.05
+    # default=0 drops unlisted strata
+    none_c = S.stratified_hash_sample(df, "k", "src", {"a": 0.5}).collect()
+    assert all(r.src == "a" for r in none_c)
