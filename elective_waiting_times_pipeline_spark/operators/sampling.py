@@ -43,11 +43,14 @@ def hash_hex_prefix(key: Column | str, salt: str = "") -> Column:
 
 
 def hex_threshold(fraction: float) -> str:
-    """Hex-string threshold t such that P(prefix < t) == round-off-exact
-    `fraction` of the 16^HEX_BITS space. Only valid for fraction < 1."""
+    """Hex-string threshold t such that P(prefix < t) == `fraction`,
+    quantized to the 16^HEX_BITS grid. Only valid for fraction < 1;
+    fractions within half a grid step of 1 clamp to (HEX_SPACE-1)/
+    HEX_SPACE — the largest probability a strict 4-hex compare can
+    express (a 5-char '10000' would break the lexicographic order)."""
     if not 0.0 <= fraction < 1.0:
         raise ValueError(f"fraction must be in [0, 1): {fraction}")
-    return format(int(round(fraction * HEX_SPACE)), f"0{HEX_BITS}x")
+    return format(min(int(round(fraction * HEX_SPACE)), HEX_SPACE - 1), f"0{HEX_BITS}x")
 
 
 def hash_sample(df: DataFrame, key: Column | str, fraction: float, salt: str = "") -> DataFrame:

@@ -111,3 +111,20 @@ def write_partitioned(df: DataFrame, path: str, partition_cols: Iterable[str] = 
     """Canonical storage layout of the engine: parquet partitioned by
     month so per-month queries prune partitions at plan time."""
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def overwrite_partitions(df: DataFrame, path: str, partition_cols: Iterable[str] = ("monthyr",)) -> None:
+    """Idempotent per-partition recompute: replace ONLY the partitions
+    present in `df`, leaving the rest of the lake untouched (dynamic
+    partition overwrite). This is the monthly-restatement primitive —
+    the reference re-appends a corrected month by rebuilding the whole
+    CSV (`1b.R:383-392`); here a recompute is a partition swap, and a
+    re-run of the same month is a no-op-equivalent, so ingest retries
+    are safe at any lake size."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

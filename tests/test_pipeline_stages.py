@@ -179,3 +179,30 @@ def test_streaming_matches_batch(spark, sf_dir):
     assert len(s) == len(b)
     assert (s["n_events"].values == b["n_events"].values).all()
     assert (abs(s["total_value"].values - b["total_value"].values) < 1e-9).all()
+
+
+def test_overwrite_partitions_replaces_only_touched_month(spark, tmp_path):
+    """Dynamic partition overwrite: restating one month must not touch
+    the others (idempotent monthly recompute)."""
+    from pyspark.sql import functions as F
+
+    from elective_waiting_times_pipeline_spark.sources.readers import (
+        overwrite_partitions,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "lake")
+    base = spark.createDataFrame(
+        [("Apr20", 1, 10.0), ("Apr20", 2, 20.0), ("May20", 3, 30.0)],
+        "monthyr string, k int, v double",
+    )
+    write_partitioned(base, path)
+    # restate May20 with corrected values; Apr20 must survive untouched
+    fix = spark.createDataFrame([("May20", 3, 99.0), ("May20", 4, 44.0)], base.schema)
+    overwrite_partitions(fix, path)
+    out = {(r.monthyr, r.k): r.v for r in spark.read.parquet(path).collect()}
+    assert out == {("Apr20", 1): 10.0, ("Apr20", 2): 20.0, ("May20", 3): 99.0, ("May20", 4): 44.0}
+    # re-running the same restatement is a no-op
+    overwrite_partitions(fix, path)
+    out2 = {(r.monthyr, r.k): r.v for r in spark.read.parquet(path).collect()}
+    assert out2 == out

@@ -107,3 +107,17 @@ def test_stratified_hash_sample_rates(spark):
     # default=0 drops unlisted strata
     none_c = S.stratified_hash_sample(df, "k", "src", {"a": 0.5}).collect()
     assert all(r.src == "a" for r in none_c)
+
+
+def test_sampling_properties_hypothesis():
+    """Pure-python threshold properties: monotone, bounded, 4-hex."""
+    from hypothesis import given, strategies as st
+
+    @given(st.floats(min_value=0, max_value=0.999999), st.floats(min_value=0, max_value=0.999999))
+    def check(f1, f2):
+        t1, t2 = S.hex_threshold(f1), S.hex_threshold(f2)
+        assert len(t1) == 4 and int(t1, 16) <= S.HEX_SPACE
+        if f1 <= f2:
+            assert t1 <= t2  # monotone ⇒ nested samples
+
+    check()
