@@ -61,7 +61,7 @@ def range_join(
     end_col: str,
     extra_eq: Sequence[str] = (),
     strategy: str = "binned",
-    bin_width: float | None = None,
+    bin_width: float | str | None = None,
 ) -> DataFrame:
     """Inner-join each point row to every interval row with
     ``start <= point < end`` (and equality on ``extra_eq`` columns,
@@ -93,13 +93,28 @@ def range_join(
         )
     if strategy != "binned":
         raise ValueError(f"strategy must be 'binned' or 'broadcast', got {strategy!r}")
-    if bin_width is None or bin_width <= 0:
-        raise ValueError("binned strategy requires a positive bin_width")
 
-    w = F.lit(_bin_width_long(bin_width, p_dtype))
     p_num = _to_long(F.col(point_col), p_dtype)
     s_num = _to_long(F.col(start_col), intervals.schema[start_col].dataType)
     e_num = _to_long(F.col(end_col), intervals.schema[end_col].dataType)
+
+    if bin_width == "auto":
+        # Tune the width to the data: the median interval length keeps
+        # the per-interval bin fan-out at ~2 while bounding how many
+        # intervals share a bin. One sketch aggregate over the interval
+        # side, one scalar to the driver — a config value, not a data
+        # path, so scale-safe.
+        med = (
+            intervals.filter(F.col(start_col) < F.col(end_col))
+            .select(F.percentile_approx(e_num - s_num, F.lit(0.5), F.lit(100)).alias("m"))
+            .first()["m"]
+        )
+        w_long = max(float(med or 1.0), 1.0)
+    else:
+        if bin_width is None or bin_width <= 0:
+            raise ValueError("binned strategy requires a positive bin_width (or 'auto')")
+        w_long = _bin_width_long(bin_width, p_dtype)
+    w = F.lit(w_long)
 
     # Bins covered by [start, end): floor(start/w) .. floor(end/w),
     # minus the last when end lands exactly on a bin boundary (the

@@ -137,3 +137,23 @@ def test_connected_components_converges_on_two_chains(spark):
     got = {r.v: r.label for r in C.connected_components(spark.createDataFrame(rows)).collect()}
     assert all(v == 0 for k, v in got.items() if k <= 9)
     assert all(v == 20 for k, v in got.items() if k >= 20)
+
+
+def test_range_join_auto_bin_width_matches_explicit(spark):
+    """bin_width='auto' (median interval length) must produce the same
+    pairs as any explicit width — width only affects the plan."""
+    from pyspark.sql import Row
+
+    from elective_waiting_times_pipeline_spark.operators.rangejoin import range_join
+
+    points = spark.createDataFrame([Row(p=float(i)) for i in range(0, 100, 3)])
+    ivs = spark.createDataFrame(
+        [Row(iv_id=i, s=float(i * 7 % 60), e=float(i * 7 % 60 + 1 + i % 13)) for i in range(40)]
+    )
+    auto = {(r.p, r.iv_id) for r in range_join(points, ivs, "p", "s", "e", bin_width="auto").collect()}
+    explicit = {(r.p, r.iv_id) for r in range_join(points, ivs, "p", "s", "e", bin_width=5.0).collect()}
+    truth = {
+        (r.p, r.iv_id)
+        for r in points.crossJoin(ivs).filter("s <= p AND p < e").collect()
+    }
+    assert auto == explicit == truth and len(truth) > 0
