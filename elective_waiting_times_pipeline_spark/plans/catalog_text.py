@@ -460,3 +460,49 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.stratified_hash_sample(docs, "doc_id", "source", _MIX, default=0.1).select(
         "doc_id", "source"
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier filtering (median ± k·MAD per stratum) — the standard
+# corpus-cleaning rule for length/score distributions (resistant to the
+# very outliers it hunts, unlike mean/stddev). Two grouped percentile
+# aggregates + a broadcast-size join back; Spark F.percentile ==
+# DuckDB quantile_cont exactly (linear interpolation both sides).
+# ---------------------------------------------------------------------------
+@query(
+    "mad_outlier_filter",
+    oracle="""
+    WITH med AS (
+      SELECT source, quantile_cont(n_chars, 0.5) AS med FROM documents GROUP BY source
+    ), dev AS (
+      SELECT d.doc_id, d.source, d.n_chars, m.med,
+             abs(d.n_chars - m.med) AS adev
+      FROM documents d JOIN med m USING (source)
+    ), mad AS (
+      SELECT source, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY source
+    )
+    SELECT v.doc_id, v.source, CAST(v.n_chars AS BIGINT) AS n_chars,
+           ROUND(v.med, 4) AS med_chars, ROUND(d.mad, 4) AS mad_chars,
+           v.adev > 3 * d.mad AS is_outlier
+    FROM dev v JOIN mad d USING (source)
+    """,
+)
+def mad_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    med = docs.groupBy("source").agg(F.percentile("n_chars", F.lit(0.5)).alias("med"))
+    dev = docs.join(F.broadcast(med), "source").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "med",
+        F.abs(F.col("n_chars") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("source").agg(F.percentile("adev", F.lit(0.5)).alias("mad"))
+    return dev.join(F.broadcast(mad), "source").select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long"),
+        F.round("med", 4).alias("med_chars"),
+        F.round("mad", 4).alias("mad_chars"),
+        (F.col("adev") > 3 * F.col("mad")).alias("is_outlier"),
+    )
