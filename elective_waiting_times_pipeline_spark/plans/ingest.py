@@ -125,3 +125,26 @@ def validate_no_nulls(df: DataFrame, cols: Sequence[str]) -> None:
     bad = df.filter(cond).count()
     if bad:
         raise ValueError(f"{bad} rows contain NULLs in {list(cols)}")
+
+
+def validate_unique_key(df: DataFrame, cols: Sequence[str]) -> None:
+    """The reference's duplicate audit (get_dupes, 1a.R:67-68) as a
+    hard check: raise if any key combination appears twice. One hash
+    agg — no full-row comparison."""
+    dupes = (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .limit(5)
+        .collect()
+    )
+    if dupes:
+        raise ValueError(f"duplicate keys on {list(cols)}: {[tuple(r)[:-1] for r in dupes]}")
+
+
+def validate_rowcount_equals(df: DataFrame, other: DataFrame) -> None:
+    """The reference's scrape row-count reconciliation (1b.R:154,
+    `nrow(links.out.df) == nrow(inputs)`)."""
+    a, b = df.count(), other.count()
+    if a != b:
+        raise ValueError(f"row-count mismatch: {a} != {b}")

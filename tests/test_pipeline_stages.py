@@ -206,3 +206,21 @@ def test_overwrite_partitions_replaces_only_touched_month(spark, tmp_path):
     overwrite_partitions(fix, path)
     out2 = {(r.monthyr, r.k): r.v for r in spark.read.parquet(path).collect()}
     assert out2 == out
+
+
+def test_validate_unique_key_and_rowcount(spark):
+    import pytest as _pytest
+
+    from elective_waiting_times_pipeline_spark.plans.ingest import (
+        validate_rowcount_equals,
+        validate_unique_key,
+    )
+
+    clean = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    validate_unique_key(clean, ["k"])  # passes
+    validate_rowcount_equals(clean, clean.select("k"))  # same count
+    duped = clean.union(spark.createDataFrame([(1, "c")], "k int, v string"))
+    with _pytest.raises(ValueError, match="duplicate keys"):
+        validate_unique_key(duped, ["k"])
+    with _pytest.raises(ValueError, match="row-count mismatch"):
+        validate_rowcount_equals(clean, duped)
