@@ -480,6 +480,45 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# HAVING over a grouped aggregate feeding a semi-join (TPC-H Q18
+# shape): orders whose total quantity exceeds a threshold, with
+# customer context. The HAVING filter runs on the aggregate BEFORE the
+# join, so only qualifying keys shuffle onward.
+# ---------------------------------------------------------------------------
+@query(
+    "big_volume_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) > 25000
+    )
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def big_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(sl2("l_quantity")).alias("_sq"))
+        .filter(F.col("_sq") > 25000)
+        .select("l_orderkey", (F.col("_sq") / 100.0).alias("total_qty"))
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "total_qty")
+    )
+
+
+
 # --- register sibling domains (import side effects populate the dicts) ---
 from elective_waiting_times_pipeline_spark.plans import catalog_relational  # noqa: E402,F401
 from elective_waiting_times_pipeline_spark.plans import catalog_text  # noqa: E402,F401

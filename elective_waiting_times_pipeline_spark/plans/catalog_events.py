@@ -293,3 +293,36 @@ def events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Trending: top-3 event types per hour by count — the per-window top-k
+# shape (grouped count → per-window row_number). Partial counts
+# map-side; the window operator sees |windows|×|types| rows, not
+# events.
+# ---------------------------------------------------------------------------
+@query(
+    "events_trending_topk",
+    oracle="""
+    WITH counts AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start ORDER BY n DESC, event_type) AS rnk
+      FROM counts
+    )
+    SELECT window_start, event_type, n, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def events_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("window_start").orderBy(F.col("n").desc(), "event_type")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+    )
