@@ -42,3 +42,23 @@ def test_session_windows_streaming_match_batch(spark, sf_dir):
     assert len(out) == len(truth) > 0
     assert (out[key + ["n_events"]] == truth[key + ["n_events"]]).all().all()
     assert (abs(out.total_value - truth.total_value) < 1e-9).all()
+
+
+def test_stream_stream_attribution_matches_batch(spark, sf_dir):
+    """Watermarked stream-stream interval join == the identical logical
+    join run in batch."""
+    from elective_waiting_times_pipeline_spark.streaming.joins import (
+        attribution_join,
+        run_attribution_available_now,
+    )
+
+    out = run_attribution_available_now(
+        spark, f"{sf_dir}/events.parquet", query_name="t_attr"
+    ).toPandas()
+    batch_raw = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+    truth = attribution_join(batch_raw, batch_raw).toPandas()
+    key = ["trigger_id", "followup_id"]
+    assert len(out) == len(truth) > 0
+    assert set(map(tuple, out[key].values)) == set(map(tuple, truth[key].values))
