@@ -1,0 +1,55 @@
+"""Streaming sink into the month-partitioned parquet lake.
+
+`foreachBatch` bridges a stream onto the batch writer so each
+micro-batch lands with dynamic partition overwrite
+(sources/readers.py::overwrite_partitions): a batch only replaces the
+partitions it actually touches, and a replayed batch (restart after
+failure between Spark's checkpoint commit and the file commit)
+rewrites the same partitions to the same content instead of appending
+duplicates — idempotent ingest without a transactional table format.
+
+Reference analog: the monthly append loop (1b.R:383-392) rebuilt one
+big CSV per run; here each month is an independently replaceable
+partition and the stream's checkpoint tracks what was consumed.
+
+CONSTRAINT: a partition's rows must arrive within ONE micro-batch —
+a later batch touching the same partition replaces it, not appends.
+That holds for the intended layout (one landing file per month, the
+reference's own model); for sources that interleave partitions across
+batches, land to a staging path and compact, or use a transactional
+table format.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from elective_waiting_times_pipeline_spark.sources.readers import overwrite_partitions
+
+
+def stream_to_partitioned_lake(
+    source: DataFrame,
+    lake_path: str,
+    checkpoint_path: str,
+    partition_cols: tuple[str, ...] = ("monthyr",),
+    query_name: str = "lake_ingest",
+) -> StreamingQuery:
+    """Start (and return) a streaming query that lands each micro-batch
+    into the lake, replacing only the partitions present in the batch.
+    Caller drives it (`availableNow` sources terminate on their own via
+    `q.awaitTermination()`)."""
+
+    def land(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        overwrite_partitions(batch, lake_path, partition_cols)
+
+    return (
+        source.writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint_path)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -35,3 +35,33 @@ def test_streaming_dedup_matches_batch(spark, tmp_path):
     out = run_dedup_available_now(spark, str(d), keys=("event_id",), query_name="t_sdedup")
     got = sorted(r.event_id for r in out.collect())
     assert got == [1, 2, 3, 4]
+
+
+def test_stream_to_partitioned_lake_idempotent(spark, tmp_path):
+    """foreachBatch lake sink: lands partitions, and re-running the
+    stream from scratch (fresh checkpoint) converges to the same lake
+    instead of appending duplicates."""
+    from pyspark.sql import functions as F
+
+    from elective_waiting_times_pipeline_spark.streaming.sinks import stream_to_partitioned_lake
+
+    src_dir = str(tmp_path / "landing")
+    spark.createDataFrame(
+        [("Apr20", 1, 10.0), ("Apr20", 2, 20.0), ("May20", 3, 30.0)],
+        "monthyr string, k int, v double",
+    ).coalesce(1).write.parquet(src_dir)
+
+    lake = str(tmp_path / "lake")
+
+    def run(ckpt: str):
+        stream = spark.readStream.schema("monthyr string, k int, v double").parquet(src_dir)
+        q = stream_to_partitioned_lake(stream, lake, str(tmp_path / ckpt), query_name=f"t_{ckpt}")
+        q.awaitTermination()
+
+    run("ck1")
+    first = sorted(tuple(r) for r in spark.read.parquet(lake).select("monthyr", "k", "v").collect())
+    assert {t[0] for t in first} == {"Apr20", "May20"} and len(first) == 3
+    # replay from a fresh checkpoint (simulates redelivery) → same lake
+    run("ck2")
+    second = sorted(tuple(r) for r in spark.read.parquet(lake).select("monthyr", "k", "v").collect())
+    assert second == first
