@@ -125,3 +125,44 @@ def sample_frames(
             yield pd.DataFrame({"id": pd.array(ids, dtype="int64"), "frame_idx": pd.array(idxs, dtype="int32"), "frame_sha1": hashes})
 
     return df.select(id_col, bin_col).mapInPandas(batches, FRAME_SAMPLE_SCHEMA)
+
+
+AUDIO_META_SCHEMA = (
+    "id long, byte_len int, codec string, sample_rate int, n_samples long, duration_s double"
+)
+
+
+def _decode_audio_stub(payload: bytes) -> tuple[str, int, int]:
+    """Deterministic fake decode: (codec, sample_rate, n_samples) from
+    the payload hash. REPLACE with a real decoder (soundfile/ffmpeg) in
+    production — batch plumbing is unchanged."""
+    h = hashlib.sha1(payload).digest()
+    codec = ["pcm_s16le", "flac", "opus"][h[3] % 3]
+    sample_rate = [16000, 24000, 44100][h[4] % 3]
+    n_samples = sample_rate * (1 + h[5] % 30)  # 1-30 s of audio
+    return codec, sample_rate, n_samples
+
+
+def decode_audio_metadata(df: DataFrame, id_col: str = "id", bin_col: str = "payload") -> DataFrame:
+    """BINARY column → typed audio metadata (mapInPandas, Arrow-batched,
+    one pass no shuffle) — same edge pattern as decode_image_metadata;
+    duration is derived, ready for length-bucketed batching."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf[bin_col]
+            meta = [_decode_audio_stub(bytes(p)) for p in payloads]
+            sr = np.array([m[1] for m in meta], dtype="int32")
+            ns = np.array([m[2] for m in meta], dtype="int64")
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "byte_len": payloads.map(len).astype("int32"),
+                    "codec": [m[0] for m in meta],
+                    "sample_rate": sr,
+                    "n_samples": ns,
+                    "duration_s": ns / sr,
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(batches, AUDIO_META_SCHEMA)

@@ -68,3 +68,20 @@ def test_geocode_status_branches(spark):
     # deterministic client → stable coordinates
     again = {r.provider_code: r for r in geocode_providers(df).collect()}
     assert again["P1"].lat == out["P1"].lat
+
+
+def test_decode_audio_metadata_deterministic(spark):
+    from elective_waiting_times_pipeline_spark.operators.multimodal import decode_audio_metadata
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"audio-payload-a")), (2, bytearray(b"audio-payload-b"))],
+        "id long, payload binary",
+    )
+    out = {r.id: r for r in decode_audio_metadata(df).collect()}
+    assert set(out) == {1, 2}
+    for r in out.values():
+        assert r.codec in ("pcm_s16le", "flac", "opus")
+        assert r.sample_rate in (16000, 24000, 44100)
+        assert abs(r.duration_s - r.n_samples / r.sample_rate) < 1e-12
+    again = {r.id: r for r in decode_audio_metadata(df).collect()}
+    assert {i: tuple(r) for i, r in out.items()} == {i: tuple(r) for i, r in again.items()}
