@@ -30,10 +30,15 @@ def period_to_date(col: Column | str) -> Column:
 
 
 def covid_period(date_col: Column | str) -> Column:
-    """COVID-era bucketing ladder (`3b. Descriptive stats.R:84-87`)."""
+    """COVID-era bucketing ladder (`3b. Descriptive stats.R:84-87`).
+
+    The reference's `during_COVID` window runs to `dmy('01-06-2021')`
+    exclusive (`3c. Maps and provider stats.R:54-56` includes Jan–May 2021),
+    so Apr21 and May21 are 'during' and Jun21 is the first 'post' month.
+    """
     d = F.col(date_col) if isinstance(date_col, str) else date_col
     return (
         F.when(d < F.lit("2020-03-01").cast("date"), F.lit("pre"))
-        .when(d < F.lit("2021-04-01").cast("date"), F.lit("during"))
+        .when(d < F.lit("2021-06-01").cast("date"), F.lit("during"))
         .otherwise(F.lit("post"))
     )

@@ -46,7 +46,7 @@ def run_dedup_available_now(
         spark.readStream.schema(EVENTS_SCHEMA)
         .format("parquet")
         .load(parquet_dir)
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     q = (
         dedup_stream(raw, keys, delay=delay)

@@ -84,7 +84,7 @@ def run_attribution_available_now(
             reader = reader.option("pathGlobFilter", tail)
             path = head
         return reader.load(path).withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
 
     joined = attribution_join(stream(), stream(), within=within)

@@ -72,7 +72,7 @@ def run_stateful_available_now(
         reader = reader.option("pathGlobFilter", tail)
         parquet_path = head
     raw = reader.load(parquet_path).withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
     )
     out = running_user_totals(raw.select("user_id", "value"))
     q = (

@@ -61,7 +61,7 @@ def run_available_now(
         reader = reader.option("pathGlobFilter", tail)
         parquet_path = head
     raw = reader.load(parquet_path).withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
     )
     agg = windowed_event_counts(raw, window=window)
     q = (
@@ -113,7 +113,7 @@ def run_sessions_available_now(
         reader = reader.option("pathGlobFilter", tail)
         parquet_path = head
     raw = reader.load(parquet_path).withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
     )
     agg = session_window_stats(raw, gap=gap)
     q = (

@@ -141,6 +141,22 @@ def test_covid_period_summary_and_double_pivot(spark):
     assert delta.delta == 40
 
 
+def test_covid_period_boundaries(spark):
+    # Reference 3b.R:84-87 / 3c.R:54-56: 'during' runs [2020-03-01, 2021-06-01).
+    months = spark.createDataFrame(
+        [("Feb20",), ("Mar20",), ("Apr21",), ("May21",), ("Jun21",)],
+        "monthyear string",
+    )
+    got = {r.monthyear: r.covid_period for r in reporting.with_period(months).collect()}
+    assert got == {
+        "Feb20": "pre",
+        "Mar20": "during",
+        "Apr21": "during",
+        "May21": "during",
+        "Jun21": "post",
+    }
+
+
 def test_share_and_per_capita(spark):
     df = spark.createDataFrame(
         [("London", "IS", 25), ("London", "Non-IS", 75)], "region string, independent string, total int"

@@ -48,3 +48,29 @@ def test_write_csv_single_file(spark, tmp_path):
     assert len(files) == 1
     back = pd.read_csv(f"{out}/{files[0]}")
     assert back["dbl"].sum() == 20
+
+
+def test_nanos_to_micros_exact_truncation(spark, tmp_path):
+    """Nanos past 2^53 must truncate exactly — double division rounds
+    ~12% of epoch-nanos values 1 us off (ADVICE r1)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elective_waiting_times_pipeline_spark.sources import readers
+
+    ns_values = [
+        1_700_000_000_123_456_789,  # float(ns)/1000 rounds this up 1 us
+        1_725_000_000_999_999_999,
+        1_600_000_000_000_000_001,
+    ]
+    tbl = pa.table(
+        {
+            "ev_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(ns_values, pa.timestamp("ns")),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    got = {r.ev_id: r.ts for r in readers.load_table(spark, str(tmp_path), "events").collect()}
+    for ev_id, ns in zip([1, 2, 3], ns_values):
+        assert got[ev_id].microsecond == (ns // 1000) % 1_000_000, (ev_id, ns, got[ev_id])

@@ -33,7 +33,7 @@ def test_session_windows_streaming_match_batch(spark, sf_dir):
         spark, f"{sf_dir}/events.parquet", query_name="t_sessions"
     ).toPandas()
     batch_raw = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
     )
     truth = session_window_stats(batch_raw).toPandas()
     key = ["session_start", "session_end", "user_id"]
@@ -56,7 +56,7 @@ def test_stream_stream_attribution_matches_batch(spark, sf_dir):
         spark, f"{sf_dir}/events.parquet", query_name="t_attr"
     ).toPandas()
     batch_raw = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
     )
     truth = attribution_join(batch_raw, batch_raw).toPandas()
     key = ["trigger_id", "followup_id"]
