@@ -109,6 +109,7 @@ def histogram_stats(
     le_thresholds: Iterable[int] = (18,),
     ge_thresholds: Iterable[int] = (52,),
     min_total: int = 20,
+    half_even: bool = False,
 ) -> DataFrame:
     """Quantiles + threshold counts/rates + suppression from a
     (group × band × cnt) histogram.
@@ -118,7 +119,12 @@ def histogram_stats(
       weeks_{q*100} per quantile (INT, NULL-suppressed),
       number_{T}_or_less / rate_{T}wks_or_less per ≤-threshold,
       number_{T}_or_more / rate_{T}wks_or_more per ≥-threshold.
+
+    ``half_even=True`` rounds the rate columns half-to-even (R/Python
+    ``round`` semantics — needed for golden parity with the reference,
+    e.g. 26.25 → 26.2); the default HALF_UP matches SQL-engine ROUND.
     """
+    _round = F.bround if half_even else F.round
     grp = list(group_cols)
     w_cum = (
         Window.partitionBy(*grp)
@@ -146,12 +152,12 @@ def histogram_stats(
         n_le = F.coalesce(F.sum(F.when(F.col("_band") <= thr, F.col("_cnt"))), F.lit(0))
         aggs.append(_suppress(t, min_total, n_le.cast("long")).alias(f"number_{thr}_or_less"))
         aggs.append(
-            _suppress(t, min_total, F.round(100.0 * n_le / t, 1)).alias(f"rate_{thr}wks_or_less")
+            _suppress(t, min_total, _round(100.0 * n_le / t, 1)).alias(f"rate_{thr}wks_or_less")
         )
     for thr in ge_thresholds:
         n_ge = t - F.coalesce(F.sum(F.when(F.col("_band") <= thr, F.col("_cnt"))), F.lit(0))
         aggs.append(_suppress(t, min_total, n_ge.cast("long")).alias(f"number_{thr}_or_more"))
         aggs.append(
-            _suppress(t, min_total, F.round(100.0 * n_ge / t, 1)).alias(f"rate_{thr}wks_or_more")
+            _suppress(t, min_total, _round(100.0 * n_ge / t, 1)).alias(f"rate_{thr}wks_or_more")
         )
     return enriched.groupBy(*grp).agg(*aggs)

@@ -222,9 +222,10 @@ def dashboard_stats(
         "independent",
         total.cast("long").alias("total.patients"),
         _supp(F.col("`number.18.or.less`")).cast("long").alias("number.18.or.less"),
-        _supp(F.round(100.0 * F.col("`number.18.or.less`") / nonmiss, 1)).alias("rate.18wks.or.less"),
+        # bround: R round() is half-to-even (26.25 → 26.2, not 26.3)
+        _supp(F.bround(100.0 * F.col("`number.18.or.less`") / nonmiss, 1)).alias("rate.18wks.or.less"),
         _supp(F.col("`number.52.or.more`")).cast("long").alias("number.52.or.more"),
-        _supp(F.round(100.0 * F.col("`number.52.or.more`") / nonmiss, 1)).alias("rate.52wks.or.more"),
+        _supp(F.bround(100.0 * F.col("`number.52.or.more`") / nonmiss, 1)).alias("rate.52wks.or.more"),
         *[_supp(F.col(f"`{w}`")).cast("int").alias(w) for w in week_cols],
     )
 

@@ -78,3 +78,13 @@ def test_band_histogram_counts_rows(spark):
     df = spark.createDataFrame([Row(g="x", band=2)] * 3 + [Row(g="x", band=5)])
     hist = {r.band: r.cnt for r in band_histogram(df, ["g"], "band").collect()}
     assert hist == {2: 3, 5: 1}
+
+
+def test_rate_rounding_half_even_vs_half_up(spark):
+    # 21 of 80 ≤ threshold → 26.25 exactly: R/Python half-even gives
+    # 26.2, SQL-engine HALF_UP gives 26.3 (ADVICE r1).
+    counts = {10: 21, 60: 59}
+    up = _stats_for(spark, counts, le_thresholds=(18,), ge_thresholds=())
+    ev = _stats_for(spark, counts, le_thresholds=(18,), ge_thresholds=(), half_even=True)
+    assert up.rate_18wks_or_less == 26.3
+    assert ev.rate_18wks_or_less == 26.2
