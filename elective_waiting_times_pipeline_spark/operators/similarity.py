@@ -66,9 +66,24 @@ def cosine_near_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_dp: int = 6,
+    max_rows: int | None = 10_000,
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold (brute force — quadratic; use
-    lsh_bucketed_pairs at corpus scale)."""
+    lsh_bucketed_pairs at corpus scale).
+
+    This is an oracle/verification baseline: `max_rows` (default 10k
+    ⇒ ≤ 50M candidate pairs) makes the quadratic join an explicit
+    opt-in — pass ``max_rows=None`` only when the caller has already
+    bounded the input. Pointing it at a full corpus must fail loudly,
+    not silently launch an |corpus|² shuffle."""
+    if max_rows is not None:
+        n = df.count()
+        if n > max_rows:
+            raise ValueError(
+                f"cosine_near_dup_pairs is quadratic: input has {n} rows "
+                f"> max_rows={max_rows}. Use lsh_bucketed_pairs at scale, "
+                "or pass max_rows=None to override."
+            )
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
@@ -88,12 +103,21 @@ def ivf_topk(
     id_col: str = "vec_id",
     seed: int = 42,
     round_dp: int = 6,
+    sample_size: int = 2048,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into `n_cells`
     centroids (KMeans on a driver-side sample — centroid fitting is a
     tiny model, the ASSIGNMENT is the distributed pass), then search
     only the `n_probe` cells nearest the query. Returns (id, cosine)
     top-k like cosine_topk but scanning ~n_probe/n_cells of the corpus.
+
+    The fitting sample is the `sample_size` rows with the smallest
+    `xxhash64(id, seed)` — a deterministic pseudo-random draw that is
+    independent of file layout (a bare ``limit`` would take whichever
+    partitions answer first: on a corpus written sorted/clustered, the
+    centroids would mirror one shard and probe recall collapses
+    elsewhere). TakeOrdered keeps only `sample_size` rows per
+    partition, so the draw costs one corpus scan, no full sort.
 
     The probe set is decided on the driver from the centroid table
     (n_cells rows — not a data-scale collect); cell assignment and
@@ -103,8 +127,20 @@ def ivf_topk(
     import numpy as np
 
     sample = np.array(
-        [r[0] for r in df.select(vec_col).limit(2048).collect()], dtype="float64"
+        [
+            r[0]
+            for r in df.select(
+                F.col(vec_col), F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("_h")
+            )
+            .orderBy("_h")
+            .limit(sample_size)
+            .drop("_h")
+            .collect()
+        ],
+        dtype="float64",
     )
+    if len(sample) == 0:
+        raise ValueError("ivf_topk: empty corpus — nothing to fit centroids on")
     rng = np.random.RandomState(seed)
     centroids = sample[rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)]
     for _ in range(8):  # Lloyd iterations, driver-side on the sample
@@ -115,7 +151,10 @@ def ivf_topk(
             if m.any():
                 centroids[c] = sample[m].mean(0)
 
-    qv = np.array(query_df.select(vec_col).head()[0], dtype="float64")
+    qrow = query_df.select(vec_col).head()
+    if qrow is None:
+        raise ValueError("ivf_topk: empty query DataFrame")
+    qv = np.array(qrow[0], dtype="float64")
     qd = ((centroids - qv) ** 2).sum(-1)
     probes = [int(i) for i in qd.argsort()[:n_probe]]
 

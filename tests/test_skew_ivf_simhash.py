@@ -95,3 +95,50 @@ def test_minhash_sub_n_token_docs_have_no_signature(spark):
     sigs = D.minhash_signatures(df, num_hashes=4, shingle_n=3)
     ids = {r.doc_id for r in sigs.collect()}
     assert ids == {2}  # 2-token docs have zero 3-shingles → dropped
+
+
+def test_ivf_sample_unbiased_under_clustered_layout(spark, tmp_path):
+    # Adversarial layout: corpus written SORTED by cluster, one cluster
+    # per partition-ish — a bare limit() sample would draw centroids
+    # from the first cluster only and recall collapses on the rest.
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for cluster in range(8):
+        center = rng.randn(16) * 5
+        for i in range(250):
+            v = center + rng.randn(16) * 0.1
+            rows.append((cluster * 250 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    path = str(tmp_path / "clustered.parquet")
+    # 8 sorted range partitions ⇒ each file holds ~one cluster
+    df.repartitionByRange(8, "vec_id").sortWithinPartitions("vec_id").write.parquet(path)
+    corpus = spark.read.parquet(path)
+
+    # query from the LAST cluster — the one limit() would never sample
+    q = corpus.filter(F.col("vec_id") == 1999)
+    brute = [r.vec_id for r in S.cosine_topk(corpus, q, k=10).collect()]
+    ivf = [r.vec_id for r in S.ivf_topk(corpus, q, k=10, n_cells=8, n_probe=2).collect()]
+    overlap = len(set(brute) & set(ivf))
+    assert overlap >= 8, f"IVF recall collapsed on clustered layout: {overlap}/10"
+
+
+def test_ivf_empty_inputs_raise(spark):
+    empty = spark.createDataFrame([], "vec_id int, embedding array<float>")
+    one = spark.createDataFrame([(0, [1.0, 0.0])], "vec_id int, embedding array<float>")
+    with pytest.raises(ValueError, match="empty corpus"):
+        S.ivf_topk(empty, one)
+    with pytest.raises(ValueError, match="empty query"):
+        S.ivf_topk(one, empty)
+
+
+def test_near_dup_pairs_quadratic_guard(spark):
+    big = spark.range(0, 50).select(
+        F.col("id").cast("int").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="quadratic"):
+        S.cosine_near_dup_pairs(big, max_rows=10)
+    # explicit opt-out still works
+    assert S.cosine_near_dup_pairs(big, max_rows=None).count() > 0
