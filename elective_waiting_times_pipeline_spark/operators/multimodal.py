@@ -89,15 +89,44 @@ def extract_image_features(
     return df.select(id_col, bin_col).mapInPandas(batches, IMAGE_FEATURE_SCHEMA)
 
 
-def resize_images(df: DataFrame, id_col: str = "id", bin_col: str = "payload", target: int = 224):
-    """Resize stub — the codec isn't available in this container, so
-    this is the clearly-marked unimplemented edge. The call signature
-    and output schema (id, payload BINARY) are the production contract."""
-    raise NotImplementedError(
-        "image resize requires a codec library (PIL/libvips) not present in "
-        "this environment; plumbing contract: mapInPandas over "
-        f"({id_col} long, {bin_col} binary) -> (id long, payload binary) at {target}px"
-    )
+RESIZED_IMAGE_SCHEMA = "id long, payload binary"
+
+Codec = "Callable[[bytes, int], bytes]"  # (payload, target_px) -> resized payload
+
+
+def resize_images(
+    df: DataFrame,
+    id_col: str = "id",
+    bin_col: str = "payload",
+    target: int = 224,
+    codec=None,
+) -> DataFrame:
+    """Resize the binary image column through an injected codec callable
+    `(payload: bytes, target: int) -> bytes` — the same injected-client
+    pattern as `enrichment.geocode_providers` (tests inject a fake;
+    production injects e.g. ``lambda b, t: pil_resize(b, t)``). The
+    Spark plumbing — mapInPandas over (id, payload) Arrow batches,
+    1→1, no shuffle — is real and tested; only the pixel work is
+    delegated. Raises if no codec is supplied (PIL/libvips are absent
+    in this container, so there is no meaningful default)."""
+    if codec is None:
+        raise NotImplementedError(
+            "image resize requires a codec callable (e.g. PIL/libvips wrapper) "
+            "— none is available by default in this environment; pass "
+            "codec=(payload, target_px) -> bytes. Plumbing contract: mapInPandas "
+            f"over ({id_col} long, {bin_col} binary) -> {RESIZED_IMAGE_SCHEMA}"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "payload": [codec(bytes(p), target) for p in pdf[bin_col]],
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(batches, RESIZED_IMAGE_SCHEMA)
 
 
 def sample_frames(

@@ -73,25 +73,40 @@ def imd_deciles(weighted: DataFrame) -> DataFrame:
     )
 
 
-def stack_org_files(org_frames: dict[str, DataFrame]) -> DataFrame:
+def stack_org_files(
+    org_frames: dict[str, DataFrame],
+    row_order_col: str | None = None,
+) -> DataFrame:
     """NHS org files (etrust/ephpsite/.../etr; headerless V1/V2/V10 =
     code/name/postcode, 1c.R:78-123) stacked with a source-order
     column, then first-wins dedup per provider code pinned to that
-    order (R's !duplicated keeps the first file's row)."""
-    tagged = [
-        df.select(
-            F.col("V1").alias("provider_code"),
-            F.col("V2").alias("provider_name"),
-            F.col("V10").alias("postcode"),
-            F.lit(i).alias("_src_order"),
-            # within-file arrival order (monotonic per partition —
-            # faithful for the single-partition dimension files these
-            # are; a distributed multi-file read should supply its own
-            # explicit row-order column)
-            F.monotonically_increasing_id().alias("_row_order"),
+    order (R's !duplicated keeps the first file's row).
+
+    Within-file order: monotonically_increasing_id is only faithful on
+    a single partition, so multi-partition inputs are coalesced to one
+    first — coalesce is shuffle-free and concatenates scan splits in
+    byte-offset order, so the stamped order is the file's row order.
+    These are KB-scale dimension files; one partition is the right
+    plan. Callers that already carry a stable order (e.g. stamped at a
+    distributed ingest edge) pass it as `row_order_col` and skip the
+    coalesce."""
+    tagged = []
+    for i, df in enumerate(org_frames.values()):
+        if row_order_col is not None:
+            order = F.col(row_order_col).alias("_row_order")
+        else:
+            if df.rdd.getNumPartitions() > 1:
+                df = df.coalesce(1)
+            order = F.monotonically_increasing_id().alias("_row_order")
+        tagged.append(
+            df.select(
+                F.col("V1").alias("provider_code"),
+                F.col("V2").alias("provider_name"),
+                F.col("V10").alias("postcode"),
+                F.lit(i).alias("_src_order"),
+                order,
+            )
         )
-        for i, df in enumerate(org_frames.values())
-    ]
     stacked = union_by_name(tagged)
     w = Window.partitionBy("provider_code").orderBy("_src_order", "_row_order")
     return (

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from elective_waiting_times_pipeline_spark.functions.labels import covid_period, monthyr_to_date
+from elective_waiting_times_pipeline_spark.functions.ordering import REGION_ORDER, category_rank
 
 # Inline literal population tables (3c.R:432-441 / 3c.R:656-658 use
 # 2020 region / IMD-quintile populations committed in code).
@@ -204,6 +205,33 @@ def rebucket_day_waits(
     for s in sectors:
         out = out.withColumnRenamed(s, f"prop.{s}")
     return out
+
+
+def casemix_presentation(
+    casemix: DataFrame,
+    region_col: str = "region",
+    pathway_col: str = "Pathway",
+    specialty_col: str = "Specialty",
+    value_col: str = "avg_IS",
+) -> DataFrame:
+    """Region casemix table presentation ordering (3c.R:627-645):
+    pin the 'Total' specialty to the top of each (pathway, region)
+    block by forcing its sort value to 1000 (the reference's trick),
+    then arrange by pathway, custom region order (England first, then
+    the eight NHS regions — `category_rank`, replacing the reference's
+    case_when ladder), and value descending. Output-table-sized sort —
+    presentation layer, not mid-pipeline."""
+    pinned = casemix.withColumn(
+        "_sort_val",
+        F.when(F.col(specialty_col) == "Total", F.lit(1000.0)).otherwise(
+            F.col(value_col).cast("double")
+        ),
+    )
+    return pinned.orderBy(
+        F.col(pathway_col),
+        category_rank(region_col, REGION_ORDER),
+        F.col("_sort_val").desc(),
+    ).drop("_sort_val")
 
 
 def delta_pre_post(

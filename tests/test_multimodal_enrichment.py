@@ -43,9 +43,26 @@ def test_frame_sampling_one_to_many(spark, binary_df):
     assert per_doc.max() <= 3 and per_doc.min() >= 1
 
 
-def test_resize_is_marked_stub(spark, binary_df):
+def test_resize_without_codec_is_marked_stub(spark, binary_df):
     with pytest.raises(NotImplementedError):
         MM.resize_images(binary_df)
+
+
+def test_resize_with_injected_codec_round_trips(spark, binary_df):
+    # Fake codec: truncate/pad the payload to `target` bytes — enough to
+    # prove the (id, payload) -> (id, payload) Arrow round trip and that
+    # the codec's target parameter is threaded through.
+    def fake_codec(payload: bytes, target: int) -> bytes:
+        return payload[:target].ljust(target, b"\0")
+
+    out = MM.resize_images(binary_df, target=32, codec=fake_codec)
+    assert [f.name for f in out.schema.fields] == ["id", "payload"]
+    rows = out.collect()
+    assert len(rows) == 50
+    orig = {r.id: bytes(r.payload) for r in binary_df.collect()}
+    for r in rows:
+        assert len(bytes(r.payload)) == 32
+        assert bytes(r.payload) == orig[r.id][:32].ljust(32, b"\0")
 
 
 def test_metadata_filter_prunes_before_decode(spark, binary_df):

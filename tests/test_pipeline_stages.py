@@ -97,6 +97,33 @@ def test_stack_org_files_first_wins(spark):
     assert out == {"P1": "PC1", "P2": "PC3"}  # first file wins for P1
 
 
+def test_stack_org_files_multisplit_scan_keeps_file_order(spark, tmp_path):
+    """A CSV big enough to scan as multiple splits must still dedup to
+    the file's FIRST row per code (1c.R !duplicated keeps file order) —
+    r1 used monotonically_increasing_id, silently nondeterministic the
+    moment a file splits."""
+    lines = []
+    # P0 appears first with postcode WIN, then 400 filler rows, then P0
+    # again near the end of the file with postcode LOSE.
+    lines.append("P0,First Org," + ",".join([""] * 7) + ",WIN")
+    for i in range(400):
+        lines.append(f"F{i:03d},Filler Organisation Number {i}," + ",".join([""] * 7) + f",ZZ{i:03d}")
+    lines.append("P0,Dup Org," + ",".join([""] * 7) + ",LOSE")
+    path = tmp_path / "etrust.csv"
+    path.write_text("\n".join(lines) + "\n")
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+    try:
+        schema = ", ".join(f"V{i} string" for i in range(1, 11))
+        df = spark.read.csv(str(path), schema=schema)
+        assert df.rdd.getNumPartitions() > 1, "test needs a multi-split scan"
+        out = {r.provider_code: r.postcode for r in lookups.stack_org_files({"etrust": df}).collect()}
+        assert out["P0"] == "WIN"
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
 def test_best_geocode_keeps_ties(spark):
     g = spark.createDataFrame(
         [("P1", 3, "a"), ("P1", -3, "b"), ("P1", 1, "c"), ("P2", 0, "d")],

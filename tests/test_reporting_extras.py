@@ -68,3 +68,48 @@ def test_percentile_approx_within_rank_error(spark, sf_dir):
 
         rank = bisect.bisect_left(vals, est) / len(vals)
         assert abs(rank - 0.5) <= 0.01 + 1.0 / 1000, (prio, rank)
+
+
+# --- custom categorical ordering (3c.R:628-642) -------------------------------
+
+def test_category_rank_listed_unlisted_null(spark):
+    from elective_waiting_times_pipeline_spark.functions.ordering import (
+        REGION_ORDER,
+        with_category_order,
+    )
+
+    df = spark.createDataFrame(
+        [("London",), ("England",), ("Narnia",), (None,), ("North East",)],
+        "region string",
+    )
+    got = {r.region: r.region_rank for r in with_category_order(df, "region", REGION_ORDER).collect()}
+    assert got["England"] == 1
+    assert got["North East"] == 2
+    assert got["London"] == 8
+    assert got["Narnia"] == len(REGION_ORDER) + 1  # unlisted after listed
+    assert got[None] == len(REGION_ORDER) + 2  # NULL last
+
+
+def test_casemix_presentation_order(spark):
+    from elective_waiting_times_pipeline_spark.plans import reporting
+
+    rows = [
+        # (region, Pathway, Specialty, avg_IS)
+        ("London", "Admitted", "Urology", 5.0),
+        ("London", "Admitted", "Total", 2.0),       # pinned to top via 1000
+        ("England", "Admitted", "Ophthalmology", 9.0),
+        ("North East", "Admitted", "Urology", 7.0),
+        ("England", "Non-admitted", "Urology", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "region string, Pathway string, Specialty string, avg_IS double")
+    out = [(r.region, r.Pathway, r.Specialty) for r in reporting.casemix_presentation(df).collect()]
+    assert out == [
+        ("England", "Admitted", "Ophthalmology"),
+        ("North East", "Admitted", "Urology"),
+        ("London", "Admitted", "Total"),
+        ("London", "Admitted", "Urology"),
+        ("England", "Non-admitted", "Urology"),
+    ]
+    # avg_IS column untouched (sort used a scratch column)
+    cols = reporting.casemix_presentation(df).columns
+    assert cols == ["region", "Pathway", "Specialty", "avg_IS"]
