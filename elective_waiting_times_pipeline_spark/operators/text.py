@@ -13,14 +13,79 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-# Tiny per-language stopword lists for the n-gram/stopword-hit
-# heuristic. Deliberately small: the operator's shape (argmax of
-# per-language hit ratios) is what matters; lists are swappable.
+# Per-language stopword lists for the stopword-hit heuristic, drawn
+# from standard public function-word inventories (the usual NLTK/ISO
+# high-frequency closed-class words). Insertion order is the
+# deterministic tie-break precedence; words containing single quotes
+# are deliberately excluded so the generated DuckDB oracle IN-lists
+# need no escaping. Lists are swappable — the operator's shape
+# (one explode, argmax of per-language hit ratios) is what scales.
 STOPWORDS = {
-    "en": ["the", "a", "and", "of", "to", "in", "is", "for", "on", "with"],
-    "de": ["der", "die", "das", "und", "ist", "von", "mit", "für", "auf", "ein"],
-    "fr": ["le", "la", "les", "et", "est", "de", "un", "une", "pour", "dans"],
-    "es": ["el", "la", "los", "y", "es", "de", "un", "una", "por", "con"],
+    "en": [
+        "the", "a", "an", "and", "or", "but", "of", "to", "in", "is",
+        "are", "was", "were", "be", "been", "for", "on", "with", "as",
+        "at", "by", "from", "that", "this", "these", "those", "it",
+        "its", "not", "no", "he", "she", "they", "we", "you", "his",
+        "her", "their", "our", "have", "has", "had", "will", "would",
+        "can", "could", "should", "about", "into", "than",
+    ],
+    "de": [
+        "der", "die", "das", "und", "oder", "aber", "ist", "sind",
+        "war", "waren", "sein", "von", "mit", "für", "auf", "ein",
+        "eine", "einen", "einem", "einer", "nicht", "kein", "keine",
+        "zu", "im", "am", "bei", "nach", "aus", "über", "unter",
+        "wenn", "dass", "als", "auch", "noch", "nur", "schon", "sich",
+        "wir", "ihr", "sie", "er", "es", "ich", "du", "haben", "hat",
+        "wird", "werden",
+    ],
+    "fr": [
+        "le", "la", "les", "et", "ou", "mais", "est", "sont", "était",
+        "de", "des", "du", "un", "une", "pour", "dans", "sur", "avec",
+        "par", "pas", "ne", "que", "qui", "quoi", "ce", "cette", "ces",
+        "il", "elle", "ils", "elles", "nous", "vous", "je", "tu", "se",
+        "son", "sa", "ses", "leur", "leurs", "au", "aux", "en", "y",
+        "plus", "moins", "être", "avoir", "fait",
+    ],
+    "es": [
+        "el", "la", "los", "las", "y", "o", "pero", "es", "son", "era",
+        "eran", "ser", "de", "del", "un", "una", "unos", "unas", "por",
+        "con", "para", "en", "no", "sí", "que", "quien", "este", "esta",
+        "estos", "estas", "él", "ella", "ellos", "ellas", "nosotros",
+        "usted", "yo", "tú", "su", "sus", "al", "lo", "se", "me", "te",
+        "más", "menos", "muy", "como", "cuando",
+    ],
+    "it": [
+        "il", "lo", "la", "i", "gli", "le", "e", "o", "ma", "è",
+        "sono", "era", "erano", "essere", "di", "del", "della", "un",
+        "uno", "una", "per", "con", "in", "su", "non", "che", "chi",
+        "questo", "questa", "questi", "queste", "lui", "lei", "loro",
+        "noi", "voi", "io", "tu", "suo", "sua", "al", "dal", "nel",
+        "si", "mi", "ti", "più", "meno", "molto", "come",
+    ],
+    "pt": [
+        "o", "a", "os", "as", "e", "ou", "mas", "é", "são", "era",
+        "eram", "ser", "de", "do", "da", "dos", "das", "um", "uma",
+        "uns", "umas", "por", "com", "para", "em", "no", "na", "nos",
+        "nas", "não", "sim", "que", "quem", "este", "esta", "ele",
+        "ela", "eles", "elas", "nós", "eu", "tu", "seu", "sua", "ao",
+        "se", "me", "te", "mais", "como",
+    ],
+    "nl": [
+        "de", "het", "een", "en", "of", "maar", "is", "zijn", "was",
+        "waren", "van", "met", "voor", "op", "in", "aan", "bij", "uit",
+        "over", "onder", "niet", "geen", "te", "dat", "dit", "deze",
+        "die", "hij", "zij", "ze", "wij", "we", "jullie", "ik", "je",
+        "jij", "hun", "ons", "onze", "hebben", "heeft", "had", "wordt",
+        "worden", "zal", "zou", "kan", "kunnen", "als", "ook",
+    ],
+    "sv": [
+        "och", "eller", "men", "är", "var", "vara", "av", "med", "för",
+        "på", "i", "en", "ett", "den", "det", "de", "dem", "som",
+        "att", "till", "från", "om", "inte", "ingen", "han", "hon",
+        "vi", "ni", "jag", "du", "sin", "sitt", "sina", "har", "hade",
+        "ska", "skulle", "kan", "kunde", "när", "där", "här", "vad",
+        "vem", "hur", "mer", "mindre", "mycket", "också", "efter",
+    ],
 }
 
 PUNCT_CLASS = r"[.,;:!?'\"()\[\]{}-]"
