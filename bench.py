@@ -35,18 +35,28 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench")
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
 
     def run(name: str) -> None:
         df = catalog.SPARK_QUERIES[name](spark, sf_dir)
         df.count() if name in _COUNT_ONLY else df.collect()
 
     # Warmup pass: JIT, parquet footers, broadcast infra — so timings
-    # measure steady-state query execution, not JVM bootstrap.
+    # measure steady-state query execution, not JVM bootstrap. Each
+    # query is failure-isolated: one broken query records an error
+    # instead of zeroing the whole round's perf signal.
     for name in headline_queries():
-        run(name)
+        try:
+            run(name)
+        except Exception:
+            pass  # recorded (with message) in the timed pass below
     for name in headline_queries():
         t0 = time.perf_counter()
-        run(name)
+        try:
+            run(name)
+        except Exception as e:
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -61,6 +71,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                **({"errors": errors} if errors else {}),
                 "sf": sf_val,
             }
         )

@@ -32,14 +32,17 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import DateType, TimestampType
+from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
 
 
 def _to_long(col: F.Column, dtype) -> F.Column:
     """Orderable numeric image of the column for binning: timestamps
-    → epoch micros, dates → epoch days, numerics pass through."""
+    → epoch micros (NTZ cast first — value-preserving under the UTC
+    session tz), dates → epoch days, numerics pass through."""
     if isinstance(dtype, TimestampType):
         return F.unix_micros(col)
+    if isinstance(dtype, TimestampNTZType):
+        return F.unix_micros(col.cast("timestamp"))
     if isinstance(dtype, DateType):
         return F.datediff(col, F.lit("1970-01-01").cast("date"))
     return col
@@ -48,7 +51,7 @@ def _to_long(col: F.Column, dtype) -> F.Column:
 def _bin_width_long(bin_width: float, dtype) -> float:
     """bin_width is given in the column's natural unit (seconds for
     timestamps, days for dates); convert to the _to_long scale."""
-    if isinstance(dtype, TimestampType):
+    if isinstance(dtype, (TimestampType, TimestampNTZType)):
         return bin_width * 1_000_000
     return bin_width
 

@@ -91,8 +91,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Language-ID heuristic: argmax of per-language stopword-hit ratios
-# with fixed precedence (en, de, fr, es) on ties; 'und' on zero hits.
+# Language-ID heuristic: argmax of per-language stopword-hit ratios;
+# ties break by X.STOPWORDS insertion order (en, de, fr, es, it, pt,
+# nl, sv); 'und' on zero hits.
 # ---------------------------------------------------------------------------
 def _langid_oracle() -> str:
     ratios = {
@@ -104,7 +105,7 @@ def _langid_oracle() -> str:
     ratio_cols = ",\n".join(f"{expr} AS r_{lang}" for lang, expr in ratios.items())
     return f"""
     WITH r AS (SELECT doc_id, {ratio_cols} FROM documents),
-    b AS (SELECT doc_id, r_en, r_de, r_fr, r_es, {best} AS best FROM r)
+    b AS (SELECT r.*, {best} AS best FROM r)
     SELECT doc_id,
            CASE WHEN best <= 0.0 THEN 'und'
            {whens}
@@ -234,6 +235,7 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "dedup_clusters",
+    headline=True,
     oracle=r"""
     WITH RECURSIVE docs AS (
       SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
@@ -366,6 +368,7 @@ from elective_waiting_times_pipeline_spark.operators import packing as P  # noqa
 
 @query(
     "pack_chunks",
+    headline=True,
     oracle=rf"""
     WITH tok AS (
       SELECT doc_id, CAST({_NTOKS} AS BIGINT) AS n_tokens FROM documents
@@ -408,6 +411,7 @@ def pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "tfidf_top_terms",
+    headline=True,
     oracle=rf"""
     WITH toks AS (
       SELECT doc_id, unnest({_TOKS}) AS tok FROM documents WHERE {_NTOKS} >= 1

@@ -40,6 +40,32 @@ def read_excel_table(
     return spark.createDataFrame(pdf)
 
 
+def read_excel_sheets(
+    spark: SparkSession,
+    path: str,
+    sheets: list[str | int],
+    skiprows: int = 0,
+    sheet_col: str | None = "sheet",
+) -> DataFrame:
+    """Stack several sheets of one workbook into a single DataFrame
+    (reference S3: the per-month loop reading 5 admitted/non-admitted/
+    incomplete sheets and row-binding them, `1b. Scrape links....R:
+    242-270`). Sheets may drift in schema — the union is by name with
+    NULL fill, same semantics as the reference's rbind.fill. When
+    `sheet_col` is set, each row carries its source sheet name."""
+    from elective_waiting_times_pipeline_spark.sources.readers import union_by_name
+
+    dfs = []
+    for s in sheets:
+        df = read_excel_table(spark, path, sheet_name=s, skiprows=skiprows)
+        if sheet_col:
+            from pyspark.sql import functions as F
+
+            df = df.withColumn(sheet_col, F.lit(str(s)))
+        dfs.append(df)
+    return union_by_name(dfs)
+
+
 class _LinkExtractor(HTMLParser):
     def __init__(self):
         super().__init__()

@@ -66,13 +66,23 @@ def _ensure_session_confs(spark: SparkSession) -> None:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one lake table. Parquet scan → column pruning and predicate
-    pushdown happen in the scan node for anything layered on top."""
+    pushdown happen in the scan node for anything layered on top.
+
+    Event-time normalization: the lake has stored timestamps under more
+    than one physical encoding across writer versions — TIMESTAMP(NANOS)
+    (read as long via nanosAsLong, truncated to micros here) and
+    TIMESTAMP(MICROS) without a timezone (read as TIMESTAMP_NTZ, cast to
+    TIMESTAMP_LTZ here; value-preserving under the UTC session tz). All
+    downstream operators see one dtype — plain TimestampType."""
     _ensure_session_confs(spark)
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
     for c in _nano_timestamp_cols(path):
         # Integer `div` — double division loses 1 us on values past 2^53.
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
+    if ntz:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     return df
 
 

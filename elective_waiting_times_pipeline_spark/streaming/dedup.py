@@ -20,7 +20,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from elective_waiting_times_pipeline_spark.streaming.windows import EVENTS_SCHEMA
+from elective_waiting_times_pipeline_spark.streaming.io import read_events_stream
 
 
 def dedup_stream(
@@ -42,12 +42,7 @@ def run_dedup_available_now(
 ) -> DataFrame:
     """Drive streaming dedup over a parquet directory to completion
     (availableNow) into a memory sink; returns the deduped table."""
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .format("parquet")
-        .load(parquet_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    raw = read_events_stream(spark, parquet_dir)
     q = (
         dedup_stream(raw, keys, delay=delay)
         .writeStream.outputMode("append")

@@ -1,0 +1,54 @@
+"""Scan-edge normalization for streaming event sources.
+
+The lake's `events.parquet` has stored its `ts` column under more than
+one physical encoding (parquet TIMESTAMP(NANOS) read as long via
+`nanosAsLong`, and parquet TIMESTAMP(MICROS) without a timezone read as
+TIMESTAMP_NTZ). The batch edge normalizes in
+`sources.readers.load_table`; this module is the streaming counterpart.
+Every streaming reader goes through `read_events_stream`, which infers
+the actual on-disk schema (a driver-side footer read — no data scan)
+and normalizes the event-time column to TIMESTAMP_LTZ, so the
+watermarked operators downstream see exactly one dtype regardless of
+which encoding the files carry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Branch on the *actual* dtype of the event-time column:
+    long → raw nanos (truncate to micros; integer `div`, double math
+    loses 1 us past 2^53), TIMESTAMP_NTZ → cast (value-preserving
+    under the UTC session tz), TIMESTAMP_LTZ → passthrough."""
+    dtype = df.schema[col].dataType
+    if isinstance(dtype, T.LongType):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    if isinstance(dtype, T.TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
+def read_events_stream(spark: SparkSession, parquet_path: str) -> DataFrame:
+    """File-source stream over a parquet file or directory. Streaming
+    scans need an explicit schema; taking it from a batch read of the
+    same path keeps it in lock-step with the on-disk encoding (and with
+    the session's nanosAsLong conf) instead of a hardcoded StructType
+    that goes stale when the lake's writer changes."""
+    from elective_waiting_times_pipeline_spark.sources.readers import (
+        _ensure_session_confs,
+    )
+
+    _ensure_session_confs(spark)
+    schema = spark.read.parquet(parquet_path).schema
+    reader = spark.readStream.schema(schema).format("parquet")
+    # The file source needs a directory; a single-file path becomes
+    # directory + glob filter.
+    if parquet_path.endswith(".parquet"):
+        head, _, tail = parquet_path.rpartition("/")
+        reader = reader.option("pathGlobFilter", tail)
+        parquet_path = head
+    return normalize_event_time(reader.load(parquet_path))

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from elective_waiting_times_pipeline_spark.streaming.windows import EVENTS_SCHEMA
+from elective_waiting_times_pipeline_spark.streaming.io import read_events_stream
 
 
 def attribution_join(
@@ -77,15 +77,7 @@ def run_attribution_available_now(
     directory to completion (availableNow) into a memory sink."""
 
     def stream():
-        reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
-        path = parquet_path
-        if path.endswith(".parquet"):
-            head, _, tail = path.rpartition("/")
-            reader = reader.option("pathGlobFilter", tail)
-            path = head
-        return reader.load(path).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        return read_events_stream(spark, parquet_path)
 
     joined = attribution_join(stream(), stream(), within=within)
     q = (

@@ -64,16 +64,9 @@ def run_stateful_available_now(
 ) -> DataFrame:
     """Drive the stateful operator over a parquet directory to
     completion; returns the final per-user rows (last update wins)."""
-    from elective_waiting_times_pipeline_spark.streaming.windows import EVENTS_SCHEMA
+    from elective_waiting_times_pipeline_spark.streaming.io import read_events_stream
 
-    reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
-    if parquet_path.endswith(".parquet"):
-        head, _, tail = parquet_path.rpartition("/")
-        reader = reader.option("pathGlobFilter", tail)
-        parquet_path = head
-    raw = reader.load(parquet_path).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    raw = read_events_stream(spark, parquet_path)
     out = running_user_totals(raw.select("user_id", "value"))
     q = (
         out.writeStream.outputMode("update")

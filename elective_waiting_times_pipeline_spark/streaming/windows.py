@@ -17,18 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw nanos (nanosAsLong)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from elective_waiting_times_pipeline_spark.streaming.io import read_events_stream
 
 
 def windowed_event_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
@@ -53,16 +43,7 @@ def run_available_now(
 ) -> DataFrame:
     """Drive the streaming agg over a parquet directory to completion
     (availableNow) into a memory sink; returns the result table."""
-    reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
-    # The file-source needs a directory; a single-file path becomes
-    # directory + glob filter.
-    if parquet_path.endswith(".parquet"):
-        head, _, tail = parquet_path.rpartition("/")
-        reader = reader.option("pathGlobFilter", tail)
-        parquet_path = head
-    raw = reader.load(parquet_path).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    raw = read_events_stream(spark, parquet_path)
     agg = windowed_event_counts(raw, window=window)
     q = (
         agg.writeStream.outputMode("complete")
@@ -107,14 +88,7 @@ def run_sessions_available_now(
 ) -> DataFrame:
     """Drive session-window aggregation over a parquet directory to
     completion (availableNow) into a memory sink."""
-    reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
-    if parquet_path.endswith(".parquet"):
-        head, _, tail = parquet_path.rpartition("/")
-        reader = reader.option("pathGlobFilter", tail)
-        parquet_path = head
-    raw = reader.load(parquet_path).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    raw = read_events_stream(spark, parquet_path)
     agg = session_window_stats(raw, gap=gap)
     q = (
         agg.writeStream.outputMode("complete")

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from elective_waiting_times_pipeline_spark.streaming.io import normalize_event_time
 from elective_waiting_times_pipeline_spark.streaming.stateful import run_stateful_available_now
 
 
@@ -32,9 +33,7 @@ def test_session_windows_streaming_match_batch(spark, sf_dir):
     out = run_sessions_available_now(
         spark, f"{sf_dir}/events.parquet", query_name="t_sessions"
     ).toPandas()
-    batch_raw = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    batch_raw = normalize_event_time(spark.read.parquet(f"{sf_dir}/events.parquet"))
     truth = session_window_stats(batch_raw).toPandas()
     key = ["session_start", "session_end", "user_id"]
     out = out.sort_values(key).reset_index(drop=True)
@@ -55,9 +54,7 @@ def test_stream_stream_attribution_matches_batch(spark, sf_dir):
     out = run_attribution_available_now(
         spark, f"{sf_dir}/events.parquet", query_name="t_attr"
     ).toPandas()
-    batch_raw = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    batch_raw = normalize_event_time(spark.read.parquet(f"{sf_dir}/events.parquet"))
     truth = attribution_join(batch_raw, batch_raw).toPandas()
     key = ["trigger_id", "followup_id"]
     assert len(out) == len(truth) > 0
