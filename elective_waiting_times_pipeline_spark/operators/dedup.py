@@ -174,26 +174,33 @@ def ngram_jaccard_pairs(
         pair_side = shingled.join(rare, "shingle")
     else:
         pair_side = shingled
+    # Attach each doc's set size to its POSTING rows before the pair
+    # join (a postings-sized shuffle co-partitioned on id). The pair
+    # join's output is |co-shingled pairs| rows — orders of magnitude
+    # larger than the postings — so joining sizes onto it after the
+    # fact would shuffle that blow-up twice more; carrying the size
+    # through the join keeps the big relation single-shuffle (the
+    # partial-agg'd groupBy). Sizes always come from the UNCAPPED
+    # shingle set so `max_doc_freq` keeps jaccard a lower bound.
     sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    a = pair_side.alias("a")
-    b = pair_side.alias("b")
+    sized = pair_side.join(sizes, id_col)
+    a = sized.select(
+        F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"), "shingle"
+    )
+    b = sized.select(
+        F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"), "shingle"
+    )
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        a.join(b, (a["shingle"] == b["shingle"]) & (a["id_a"] < b["id_b"]))
+        .groupBy("id_a", "id_b", "size_a", "size_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
-    out = (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 6
-            ).alias("jaccard"),
-        )
+    out = inter.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 6
+        ).alias("jaccard"),
     )
     return out.filter(F.col("jaccard") >= min_jaccard) if min_jaccard > 0 else out
 

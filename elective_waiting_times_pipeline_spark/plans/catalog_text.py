@@ -241,8 +241,8 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
       FROM documents WHERE length(trim(text)) > 0
     ), sh AS (
-      SELECT DISTINCT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS shingle
-      FROM docs WHERE len(w) >= 2
+      SELECT DISTINCT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS shingle
+      FROM docs WHERE len(w) >= 3
     ), sizes AS (
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id
     ), inter AS (
@@ -268,10 +268,15 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Trigram shingles (the operator default): on a vocab-limited
+    # corpus every BIGRAM is hot (sf0.1: 931 distinct bigrams, median
+    # df 285 → 73M-row pair fan-out for 11k pairs), while trigrams
+    # keep df low (27k distinct, max df 25 → 26× less fan-out) —
+    # the standard reason near-dup shingling uses n ≥ 3.
     from elective_waiting_times_pipeline_spark.operators.cluster import assign_clusters
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, shingle_n=2, min_jaccard=0.1)
+    pairs = D.ngram_jaccard_pairs(docs, shingle_n=3, min_jaccard=0.1)
     return assign_clusters(docs.select("doc_id"), pairs).select("doc_id", "cluster_id")
 
 
