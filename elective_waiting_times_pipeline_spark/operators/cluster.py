@@ -94,6 +94,70 @@ def assign_clusters(
     )
 
 
+def near_dup_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_jaccard: float = 0.1,
+) -> DataFrame:
+    """(id, cluster_id) with cluster_id = min doc id reachable through
+    exact-Jaccard ≥ `min_jaccard` word-shingle pairs; docs with fewer
+    than `shingle_n` tokens (no shingles) are singletons.
+
+    Scale shape: EXACT duplicates are collapsed before pair
+    generation. A duplicate-heavy corpus (the reason dedup exists)
+    makes the all-docs inverted-index fan-out grow with the SQUARE of
+    the copy count, while the result is decided entirely by one
+    representative per distinct token sequence: copies share their
+    rep's shingle set, and the copy↔rep edge is jaccard 1 ≥ any
+    threshold, so components over reps lift exactly to components over
+    docs (cluster_id = the rep's component label, since rep id = min
+    doc id of its copy group). Pair-gen cost is therefore
+    O(distinct texts), not O(docs) — ×100 copy replication leaves it
+    unchanged. Result is provably identical to running the pair join
+    over all docs."""
+    from elective_waiting_times_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+    from elective_waiting_times_pipeline_spark.operators.text import tokens
+
+    toks = tokens(text_col)
+    keyed = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.md5(F.concat_ws("\x1f", toks)).alias("_k"),
+        F.size(toks).alias("_nt"),
+    )
+    eligible = keyed.filter(F.col("_nt") >= shingle_n)
+    reps = eligible.groupBy("_k").agg(F.min(id_col).alias("_rep"))
+    # Materialize the representative set once: it feeds BOTH sides of
+    # the pair join plus the set-size agg plus the symmetrized edge
+    # union — six re-evaluations of the scan+tokenize+dedup subtree
+    # without a checkpoint (measured ~2× the whole query at sf0.1).
+    # O(distinct texts) rows, spillable storage (MEMORY_AND_DISK).
+    rep_docs = (
+        eligible.join(reps, "_k")
+        .filter(F.col(id_col) == F.col("_rep"))
+        .select(id_col, text_col)
+        .localCheckpoint(eager=False)
+    )
+    pairs = ngram_jaccard_pairs(
+        rep_docs, text_col, id_col, shingle_n=shingle_n, min_jaccard=min_jaccard
+    )
+    cc = connected_components(pairs).withColumnRenamed("v", "_rep")
+    return (
+        keyed.join(reps, "_k", "left")
+        .join(cc, "_rep", "left")
+        .select(
+            F.col(id_col),
+            F.when(
+                F.col("_nt") >= shingle_n, F.coalesce("label", "_rep")
+            )
+            .otherwise(F.col(id_col))
+            .alias("cluster_id"),
+        )
+    )
+
+
 def dedup_keep_canonical(
     docs: DataFrame,
     pairs: DataFrame,

@@ -273,11 +273,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # df 285 → 73M-row pair fan-out for 11k pairs), while trigrams
     # keep df low (27k distinct, max df 25 → 26× less fan-out) —
     # the standard reason near-dup shingling uses n ≥ 3.
-    from elective_waiting_times_pipeline_spark.operators.cluster import assign_clusters
+    # near_dup_clusters collapses exact copies before pair-gen (cost
+    # O(distinct texts), result provably identical — see cluster.py).
+    from elective_waiting_times_pipeline_spark.operators.cluster import near_dup_clusters
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, shingle_n=3, min_jaccard=0.1)
-    return assign_clusters(docs.select("doc_id"), pairs).select("doc_id", "cluster_id")
+    return near_dup_clusters(docs, shingle_n=3, min_jaccard=0.1).select(
+        "doc_id", "cluster_id"
+    )
 
 
 # ---------------------------------------------------------------------------

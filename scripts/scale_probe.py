@@ -25,7 +25,23 @@ from elective_waiting_times_pipeline_spark.plans import catalog
 from elective_waiting_times_pipeline_spark.sources.readers import TESTDATA_TABLES, load_table
 
 BASE = "/root/testdata/sf0.1"
-_COUNT_ONLY = {"filter_project", "window_share"}
+# count() instead of collect(): row-level outputs whose size grows with
+# the data (or quadratically with duplicate density, for candidate-pair
+# emitters) — collecting them to the Python driver would measure py4j
+# serialization, not the engine.
+_COUNT_ONLY = {
+    "filter_project",
+    "window_share",
+    "minhash_lsh_candidates",
+    "dedup_clusters",
+    "pack_chunks",
+    "sessionize",
+    "tfidf_top_terms",
+    "asof_join_backward",
+    "range_join_busy_windows",
+    "text_quality",
+    "dedup_exact_groups",
+}
 
 
 def replicate(spark, factor: int, out_dir: str) -> None:
@@ -48,15 +64,21 @@ def replicate(spark, factor: int, out_dir: str) -> None:
 def run(sf_dir: str, label: str) -> dict:
     spark = get_spark(app_name="scale_probe")
     timings = {}
+    errors = {}
     for name in catalog.HEADLINE:
         fn = catalog.SPARK_QUERIES[name]
-        df = fn(spark, sf_dir)
-        df.count() if name in _COUNT_ONLY else df.collect()  # warm
-        t0 = time.perf_counter()
-        df2 = fn(spark, sf_dir)
-        df2.count() if name in _COUNT_ONLY else df2.collect()
-        timings[name] = round(time.perf_counter() - t0, 2)
+        try:
+            df = fn(spark, sf_dir)
+            df.count() if name in _COUNT_ONLY else df.collect()  # warm
+            t0 = time.perf_counter()
+            df2 = fn(spark, sf_dir)
+            df2.count() if name in _COUNT_ONLY else df2.collect()
+            timings[name] = round(time.perf_counter() - t0, 2)
+        except Exception as e:  # isolate: one blown query keeps the rest measurable
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
     out = {"label": label, "total_sec": round(sum(timings.values()), 2), "queries": timings}
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
     return out
 

@@ -157,3 +157,40 @@ def test_range_join_auto_bin_width_matches_explicit(spark):
         for r in points.crossJoin(ivs).filter("s <= p AND p < e").collect()
     }
     assert auto == explicit == truth and len(truth) > 0
+
+
+def test_near_dup_clusters_matches_uncollapsed(spark):
+    """The exact-duplicate collapse (pair-gen over representatives
+    only) must give the identical clustering as the all-docs pair
+    join — including: copies merging with their rep, near-dup chains
+    across copy groups, and sub-shingle-length docs (identical or
+    not) staying singletons."""
+    from elective_waiting_times_pipeline_spark.operators.cluster import (
+        assign_clusters,
+        near_dup_clusters,
+    )
+    from elective_waiting_times_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog tonight"
+    near = "the quick brown fox jumps over the lazy cat tonight"
+    rows = [
+        (1, base), (2, base), (7, base),          # exact copies
+        (3, near),                                 # near-dup of base
+        (4, "completely different words entirely here now ok"),
+        (5, "tiny doc"), (6, "tiny doc"),          # <3 tokens: singletons
+        (8, ""),                                   # empty: singleton
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        r.doc_id: r.cluster_id
+        for r in near_dup_clusters(docs, shingle_n=3, min_jaccard=0.1).collect()
+    }
+    pairs = ngram_jaccard_pairs(docs, shingle_n=3, min_jaccard=0.1)
+    want = {
+        r.doc_id: r.cluster_id
+        for r in assign_clusters(docs.select("doc_id"), pairs).collect()
+    }
+    assert got == want
+    assert got[1] == got[2] == got[3] == got[7] == 1
+    assert got[5] == 5 and got[6] == 6 and got[8] == 8
