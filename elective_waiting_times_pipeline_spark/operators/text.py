@@ -292,7 +292,13 @@ def tfidf_top_terms(
     )
     tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    n = tf.select(F.countDistinct(id_col).cast("double").alias("n_docs"))
+    # N = docs with ≥1 token — a plain count over the doc scan; a
+    # countDistinct over the (doc, term) relation would re-shuffle the
+    # corpus-sized tf table to learn a number the scan already knows.
+    n = (
+        df.filter(token_count(text_col) >= 1)
+        .agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    )
     scored = (
         tf.join(dfreq, "tok")
         .crossJoin(F.broadcast(n))  # 1-row scalar, always broadcast-safe

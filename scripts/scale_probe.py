@@ -25,23 +25,13 @@ from elective_waiting_times_pipeline_spark.plans import catalog
 from elective_waiting_times_pipeline_spark.sources.readers import TESTDATA_TABLES, load_table
 
 BASE = "/root/testdata/sf0.1"
-# count() instead of collect(): row-level outputs whose size grows with
-# the data (or quadratically with duplicate density, for candidate-pair
-# emitters) — collecting them to the Python driver would measure py4j
-# serialization, not the engine.
-_COUNT_ONLY = {
-    "filter_project",
-    "window_share",
-    "minhash_lsh_candidates",
-    "dedup_clusters",
-    "pack_chunks",
-    "sessionize",
-    "tfidf_top_terms",
-    "asof_join_backward",
-    "range_join_busy_windows",
-    "text_quality",
-    "dedup_exact_groups",
-}
+# Force full execution through the noop sink: unlike collect() it never
+# measures py4j serialization of multi-million-row outputs, and unlike
+# count() it cannot let Catalyst prune away the computed columns of a
+# narrow projection (a count over a no-shuffle plan collapses to the
+# parquet row count, skipping the work being measured).
+def _exec(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
 
 
 def replicate(spark, factor: int, out_dir: str) -> None:
@@ -68,11 +58,9 @@ def run(sf_dir: str, label: str) -> dict:
     for name in catalog.HEADLINE:
         fn = catalog.SPARK_QUERIES[name]
         try:
-            df = fn(spark, sf_dir)
-            df.count() if name in _COUNT_ONLY else df.collect()  # warm
+            _exec(fn(spark, sf_dir))  # warm
             t0 = time.perf_counter()
-            df2 = fn(spark, sf_dir)
-            df2.count() if name in _COUNT_ONLY else df2.collect()
+            _exec(fn(spark, sf_dir))
             timings[name] = round(time.perf_counter() - t0, 2)
         except Exception as e:  # isolate: one blown query keeps the rest measurable
             errors[name] = f"{type(e).__name__}: {e}"[:300]
