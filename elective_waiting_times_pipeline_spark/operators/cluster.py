@@ -48,6 +48,13 @@ def connected_components(
         .localCheckpoint(eager=False)
     )
     labels = sym.select(F.col("a").alias("v")).distinct().select("v", F.col("v").alias("label"))
+    # Fixpoint detection by exact label sum: every update strictly
+    # DECREASES some vertex's label (min of candidates), so the sum is
+    # strictly decreasing until convergence and an unchanged sum ⟺ an
+    # unchanged labeling. One tiny agg job per round over the freshly
+    # checkpointed labels, vs a join + count. DECIMAL(38,0) so the sum
+    # is exact at any vertex count (a wrapped long sum could alias).
+    prev_sum = None
     for _ in range(max_iter):
         nbr = (
             sym.join(labels.withColumnRenamed("v", "b"), "b")
@@ -65,15 +72,11 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.join(labels.withColumnRenamed("label", "_old"), "v")
-            .filter(F.col("label") != F.col("_old"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = new.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
         labels = new
-        if changed == 0:
+        if cur_sum == prev_sum:
             return labels
+        prev_sum = cur_sum
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 

@@ -59,3 +59,22 @@ def test_stream_stream_attribution_matches_batch(spark, sf_dir):
     key = ["trigger_id", "followup_id"]
     assert len(out) == len(truth) > 0
     assert set(map(tuple, out[key].values)) == set(map(tuple, truth[key].values))
+
+
+def test_normalize_event_time_all_encodings(spark):
+    """The scan-edge normalizer must accept every encoding the lake has
+    shipped: nanos-as-long, TIMESTAMP_NTZ (parquet us, no tz), and
+    TIMESTAMP_LTZ — all mapping to the same TIMESTAMP_LTZ instant."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    us = 1_700_000_000_123_456  # 2023-11-14T22:13:20.123456Z
+    as_long = spark.createDataFrame([(us * 1000,)], T.StructType([T.StructField("ts", T.LongType())]))
+    as_ntz = spark.sql(f"SELECT timestamp_ntz '1970-01-01 00:00:00' + INTERVAL '{us}' MICROSECOND AS ts")
+    as_ltz = spark.sql(f"SELECT timestamp_micros({us}) AS ts")
+    got = set()
+    for df in (as_long, as_ntz, as_ltz):
+        out = normalize_event_time(df)
+        assert out.schema["ts"].dataType == T.TimestampType()
+        got.add(out.select(F.unix_micros("ts")).first()[0])
+    assert got == {us}
