@@ -190,8 +190,17 @@ def ngram_jaccard_pairs(
     b = sized.select(
         F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"), "shingle"
     )
+    # shuffle_hash: both sides are the postings table — sorting them
+    # for a sort-merge join buys nothing (the agg downstream is hash,
+    # not sort-based) and measured 2× the stage time. Build side per
+    # partition is postings/num_partitions (bounded by shuffle sizing;
+    # `max_doc_freq` caps hot keys) — and a hint Catalyst can't honor
+    # is simply ignored, so this never forces an invalid plan.
     inter = (
-        a.join(b, (a["shingle"] == b["shingle"]) & (a["id_a"] < b["id_b"]))
+        a.join(
+            b.hint("shuffle_hash"),
+            (a["shingle"] == b["shingle"]) & (a["id_a"] < b["id_b"]),
+        )
         .groupBy("id_a", "id_b", "size_a", "size_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
