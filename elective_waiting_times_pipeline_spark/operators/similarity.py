@@ -11,6 +11,7 @@ implicit broadcast.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -158,29 +159,25 @@ def ivf_topk(
     qd = ((centroids - qv) ** 2).sum(-1)
     probes = [int(i) for i in qd.argsort()[:n_probe]]
 
-    def nearest_cell(vec: Column) -> Column:
-        # Distances as ONE array expression + array_position(argmin):
-        # a chained when-ladder would re-embed every prior distance
-        # subtree in each comparison (exponential expression size —
-        # plan-time OOM at n_cells=16).
-        dists = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        vec,
-                        F.array(*[F.lit(float(v)) for v in c]),
-                        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                for c in centroids
-            ]
-        )
-        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    # Cell assignment as an Arrow-batched Pandas UDF: the expression
+    # form (n_cells × zip_with/aggregate lambdas) runs INTERPRETED per
+    # row per cell — ~7× slower measured at 16 cells × dim 64. One
+    # numpy broadcast per batch computes the same exact squared
+    # distances (same dtype, same argmin tie behavior: numpy argmin
+    # and array_position(min) both take the first minimum). Centroids
+    # travel in the UDF closure — n_cells × dim floats, not data-scale.
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype="float64")
+
+    @pandas_udf("int")
+    def _cell_of(s: pd.Series) -> pd.Series:
+        M = np.stack(s.to_numpy()).astype("float64")
+        d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        return pd.Series(d.argmin(1).astype("int32"))
 
     q = F.broadcast(query_df.select(F.col(vec_col).alias("_qvec")))
-    celled = df.withColumn("_cell", nearest_cell(F.col(vec_col)))
+    celled = df.withColumn("_cell", _cell_of(F.col(vec_col)))
     pruned = celled.filter(F.col("_cell").isin(probes))
     sim = F.round(cosine(F.col(vec_col), F.col("_qvec")), round_dp)
     return (

@@ -73,7 +73,7 @@ def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the partition-pruned scale path for top-k. Rows-only check (cell
 # assignment is engine-specific); recall vs brute force is tested.
 # ---------------------------------------------------------------------------
-@query("ivf_cosine_topk")
+@query("ivf_cosine_topk", headline=True)
 def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qdf = emb.filter(F.col("vec_id") == 0)
