@@ -220,7 +220,24 @@ def lsh_bucketed_pairs(
     is an equi-join on the signature — shuffle on a bigint, bounded by
     bucket size, never |corpus|²."""
     planes = _hyperplanes(dim, n_planes, seed)
-    sigd = df.select(F.col(id_col), F.col(vec_col), lsh_signature(F.col(vec_col), planes).alias("_sig"))
+    # Arrow-batched signature: n_planes interpreted dot-product lambdas
+    # per row (lsh_signature's expression form, kept for composability)
+    # become one numpy matmul + sign bit-pack per batch. Bucketing is
+    # sign-based, so the different-but-deterministic float summation
+    # order only matters for exact-zero-boundary dots; the exact cosine
+    # verification downstream is unaffected either way.
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes, dtype="float64")
+    weights = (1 << np.arange(n_planes)).astype("int64")
+
+    @pandas_udf("long")
+    def _sig_of(s: pd.Series) -> pd.Series:
+        M = np.stack(s.to_numpy()).astype("float64")
+        bits = (M @ P.T) >= 0
+        return pd.Series(bits @ weights)
+
+    sigd = df.select(F.col(id_col), F.col(vec_col), _sig_of(F.col(vec_col)).alias("_sig"))
     a = sigd.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), F.col("_sig"))
     b = sigd.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), F.col("_sig"))
     pairs = a.join(b, ["_sig"]).filter(F.col("id_a") < F.col("id_b"))
