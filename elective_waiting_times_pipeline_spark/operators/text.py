@@ -104,6 +104,25 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col)).cast("int")
 
 
+# GPT-2-style pre-tokenizer pattern (contractions | space?-letter-run |
+# space?-digit-run | space?-punct-run), with the original's trailing
+# `\s+(?!\S)` lookahead dropped: RE2 (DuckDB's engine) has no
+# lookahead, and for COUNTING, unmatched whitespace runs simply don't
+# produce tokens. Verified to match between Java regex and RE2 on
+# unicode (combining letters, CJK, number signs) — no engine-specific
+# syntax used.
+BPE_SPLIT_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
+
+
+def token_count_bpe(col: Column | str) -> Column:
+    """Subword-style token count: how many pieces a BPE-family
+    pre-tokenizer would split the RAW (case-preserved) text into —
+    the cheap proxy for LLM token budgeting, vs the whitespace
+    `token_count` used by the linguistic features."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_SPLIT_RE), 0)).cast("int")
+
+
 def stopword_hits(toks: Column, lang: str) -> Column:
     """Count of tokens (with multiplicity) in the language's list."""
     lits = F.array(*[F.lit(w) for w in STOPWORDS[lang]])

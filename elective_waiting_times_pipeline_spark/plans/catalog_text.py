@@ -55,6 +55,25 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Token counting (BPE-ish pre-tokenizer regex, raw text) — the LLM
+# token-budget proxy next to the whitespace count above. The pattern
+# (operators/text.py::BPE_SPLIT_RE) is lookahead-free so Java regex
+# (Spark) and RE2 (DuckDB) agree match-for-match.
+# ---------------------------------------------------------------------------
+@query(
+    "text_token_count_bpe",
+    oracle=(
+        "SELECT doc_id, CAST(len(regexp_extract_all(text, '"
+        + X.BPE_SPLIT_RE.replace("'", "''")
+        + "', 0)) AS INT) AS n_bpe_tokens FROM documents"
+    ),
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.token_count_bpe("text").alias("n_bpe_tokens"))
+
+
+# ---------------------------------------------------------------------------
 # Quality scoring: one-pass char/token/punct/stopword features +
 # composite score (all codegen'd expressions).
 # ---------------------------------------------------------------------------
