@@ -97,6 +97,7 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     bands: int = 4,
     rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band the signatures, bucket by band hash, and expand candidate
     pairs WITHIN each bucket. Returns distinct (id_a, id_b), id_a <
@@ -107,8 +108,18 @@ def minhash_lsh_candidates(
     bucket (collect_set — buckets are small by LSH design); pair
     expansion is an in-array fold, so the signature pipeline is never
     recomputed (a self-join formulation scans the corpus twice and, as
-    observed, defeats Spark's exchange reuse). Degenerate hot buckets
-    are the operator's tuning concern: raise bands/rows_per_band."""
+    observed, defeats Spark's exchange reuse).
+
+    ``max_bucket_size`` is the hot-bucket guard for corpus scale: a
+    bucket of n ids expands to a C(n,2)-struct array in ONE row before
+    exploding, so a degenerate bucket (exact copies all share every
+    band hash; boilerplate docs collide too) is a per-row memory bomb
+    — 10k copies → 50M structs in a single row. Buckets above the cap
+    are dropped entirely (standard LSH practice: an over-full bucket
+    identifies an exact-dup/boilerplate group, which exact dedup
+    handles at O(group) cost, not a NEAR-dup neighborhood worth
+    C(n,2) verification). Default None = emit everything
+    (rows-only-checkable, used by the recall tests)."""
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = sigs.select(
         F.col(id_col),
@@ -129,6 +140,8 @@ def minhash_lsh_candidates(
         .agg(F.array_sort(F.collect_set(id_col)).alias("_ids"))
         .filter(F.size("_ids") >= 2)
     )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("_ids") <= max_bucket_size)
     pairs = buckets.select(
         F.explode(
             F.expr(

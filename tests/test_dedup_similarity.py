@@ -140,3 +140,25 @@ def test_ngram_jaccard_max_doc_freq_drops_hot_shingles(spark):
     assert set(capped) == {(0, 1)}
     assert capped[(0, 1)] <= exact[(0, 1)]
     assert exact[(0, 1)] == 1.0
+
+
+def test_minhash_lsh_hot_bucket_cap(spark):
+    """max_bucket_size drops degenerate buckets (exact-copy groups
+    whose C(n,2) expansion is the per-row memory bomb at scale) while
+    small near-dup buckets keep emitting candidates."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    texts = ["boiler plate text repeated verbatim many times over here"] * 10 + [base, near]
+    df = _doc_df(spark, texts)
+    sigs = D.minhash_signatures(df, num_hashes=16, shingle_n=2)
+    capped = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_candidates(sigs, bands=8, rows_per_band=2, max_bucket_size=5).collect()
+    }
+    assert (10, 11) in capped  # small bucket survives
+    assert not any(a < 10 and b < 10 for a, b in capped)  # copy-group dropped
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_candidates(sigs, bands=8, rows_per_band=2).collect()
+    }
+    assert (0, 9) in uncapped and (10, 11) in uncapped  # default emits all
