@@ -260,6 +260,7 @@ def simhash_near_dup_pairs(
     sim_col: str = "simhash",
     max_hamming: int = 8,
     bands: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit hash into chunks —
     by pigeonhole, a pair with Hamming distance ≤ max_hamming MUST
@@ -270,7 +271,13 @@ def simhash_near_dup_pairs(
 
     `bands` defaults to max_hamming+1 — the smallest complete-recall
     choice. Fewer bands = bigger chunks = smaller buckets but NO
-    completeness guarantee beyond hamming < bands."""
+    completeness guarantee beyond hamming < bands.
+
+    ``max_bucket_size`` is the same hot-bucket guard as in
+    minhash_lsh_candidates (exact copies share the full simhash →
+    every chunk collides → C(n,2) per-row expansion); over-cap
+    buckets are dropped, trading the exact-dup group (covered by
+    exact dedup) for bounded memory."""
     if bands is None:
         bands = max_hamming + 1
     # chunk b covers bits [offsets[b], offsets[b+1]) — widths as even
@@ -294,6 +301,8 @@ def simhash_near_dup_pairs(
         .agg(F.array_sort(F.collect_set("rec")).alias("_recs"))
         .filter(F.size("_recs") >= 2)
     )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("_recs") <= max_bucket_size)
     pairs = buckets.select(
         F.explode(
             F.expr(
