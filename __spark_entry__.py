@@ -42,6 +42,7 @@ _ROTATE_FIRST = (
     "range_join_busy_windows", "events_json_extract", "rolling_mean_1h",
     "events_hopping_window", "events_trending_topk",
     "text_token_count_bpe",  # new in round 3 — never driver-checked
+    "dedup_keep_canonical",  # new in round 3 — never driver-checked
 )
 
 

@@ -252,10 +252,10 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB recursive CTE computing min reachable label — an
 # oracle-checked ITERATIVE operator.
 # ---------------------------------------------------------------------------
-@query(
-    "dedup_clusters",
-    headline=True,
-    oracle=r"""
+# Shared recursive CTE: trigram-Jaccard pair graph → min reachable
+# label per doc. Used by the dedup_clusters oracle and the
+# keep-canonical oracle below (same closure, different final select).
+_CLUSTERS_CTE = r"""
     WITH RECURSIVE docs AS (
       SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
       FROM documents WHERE length(trim(text)) > 0
@@ -283,8 +283,14 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION
       SELECT e.a, r.l FROM edges e JOIN reach r ON e.b = r.v
     )
-    SELECT v AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY v
-    """,
+"""
+
+
+@query(
+    "dedup_clusters",
+    headline=True,
+    oracle=_CLUSTERS_CTE
+    + "SELECT v AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY v",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Trigram shingles (the operator default): on a vocab-limited
@@ -300,6 +306,25 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_clusters(docs, shingle_n=3, min_jaccard=0.1).select(
         "doc_id", "cluster_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# The dedup DECISION on top of the clusters: keep the min-id doc per
+# near-dup cluster (SURVEY §7.5 — deterministic canonical, never
+# "first encountered"). Same closure as dedup_clusters; the oracle
+# keeps docs that are their own component minimum.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_keep_canonical",
+    oracle=_CLUSTERS_CTE
+    + "SELECT v AS doc_id FROM reach GROUP BY v HAVING v = MIN(l)",
+)
+def dedup_keep_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elective_waiting_times_pipeline_spark.operators.cluster import near_dup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = near_dup_clusters(docs, shingle_n=3, min_jaccard=0.1)
+    return clusters.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
 
 
 # ---------------------------------------------------------------------------
