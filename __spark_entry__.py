@@ -43,6 +43,10 @@ _ROTATE_FIRST = (
     "events_hopping_window", "events_trending_topk",
     "text_token_count_bpe",  # new in round 3 — never driver-checked
     "dedup_keep_canonical",  # new in round 3 — never driver-checked
+    "text_pii_redact",       # new in round 3 — never driver-checked
+    "text_repetition",       # new in round 3 — never driver-checked
+    "contamination_check",   # new in round 3 — never driver-checked
+    "training_order",        # new in round 3 — never driver-checked
 )
 
 

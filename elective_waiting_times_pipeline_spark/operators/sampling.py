@@ -122,3 +122,58 @@ def stratified_hash_sample(
     elif default > 0.0:
         keep = keep | (others & (h < F.lit(hex_threshold(default))))
     return df.filter(keep)
+
+
+def hash_order_position(
+    df: DataFrame,
+    key: Column | str,
+    salt: str = "",
+    out: str = "position",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: 1-based contiguous
+    `position` of every row under the order (md5(key || salt), key).
+
+    A naive ROW_NUMBER() OVER (ORDER BY hash) is a single-partition
+    window — the whole table through one task. The scalable shape is
+    the classic distributed rank:
+      1. bucket = first 2 hex chars of the hash — a RANGE prefix of
+         the global order, so bucket boundaries respect it (256
+         uniform buckets; the hash makes them skew-free by
+         construction, no sampling pass needed);
+      2. row_number within each bucket — 256-way parallel window;
+      3. per-bucket counts (≤256 rows) → running offsets via a window
+         over the tiny bucket axis → broadcast back;
+      4. position = bucket offset + within-bucket row number.
+    Two shuffles of the data (bucket exchange + window sort) — the
+    same cost as any global sort — plus a 256-row side plan. The salt
+    re-rolls the epoch order without touching the key.
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    s = c.cast("string")
+    if salt:
+        s = F.concat(s, F.lit(salt))
+    from pyspark.sql import Window
+
+    keyed = df.withColumn("_h", F.md5(s))
+    bucketed = keyed.withColumn("_bk", F.substring("_h", 1, 2))
+    w = Window.partitionBy("_bk").orderBy("_h", c)
+    ranked = bucketed.withColumn("_rn", F.row_number().over(w))
+    offsets = (
+        bucketed.groupBy("_bk")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_bk", "_off")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "_bk")
+        .withColumn(out, (F.col("_off") + F.col("_rn")).cast("long"))
+        .drop("_h", "_bk", "_rn", "_off")
+    )

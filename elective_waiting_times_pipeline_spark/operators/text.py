@@ -348,3 +348,92 @@ def tfidf_top_terms(
         .select(id_col, F.explode("_top").alias("_t"))
         .select(id_col, "_t.tok", "_t.tf", "_t.df", "_t.tfidf")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction — the standard pre-training scrub step
+# (emails, IPv4s, phone-like digit runs). Patterns use only syntax
+# with identical semantics in Java regex (Spark) and RE2 (DuckDB):
+# no lookaround, no backrefs, ASCII classes, greedy bounded repeats.
+# Order matters and is fixed: IP first (the phone class contains '.'
+# and digits, so an un-redacted IP would read as a phone), then email
+# (its local part could contain digit runs), then phone.
+# ---------------------------------------------------------------------------
+PII_PATTERNS = (
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IP]"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"\+?[0-9][0-9 ().-]{6,}[0-9]", "[PHONE]"),
+)
+
+
+def pii_counts(col: Column | str) -> list[Column]:
+    """One `n_{kind}` match-count column per PII pattern, counted on
+    the RAW text (before any replacement) with the same masking
+    cascade applied to earlier kinds, so counts match what redact_pii
+    replaces. Pure regexp_count — codegen'd, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = []
+    masked = c
+    for kind, pat, token in PII_PATTERNS:
+        out.append(F.regexp_count(masked, F.lit(pat)).cast("int").alias(f"n_{kind}"))
+        masked = F.regexp_replace(masked, pat, token)
+    return out
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Text with every PII match replaced by its `[KIND]` token,
+    applying the cascade in PII_PATTERNS order."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
+# ---------------------------------------------------------------------------
+# Repetition features (Gopher-style): within-document repetition is
+# the classic signal for boilerplate / spam / degenerate generations.
+#   dup_unigram_frac = 1 − distinct_tokens / n_tokens
+#   top_bigram_frac  = occurrences of the most frequent bigram / n_bigrams
+# Shape: one token explode + one bigram explode, each collapsing
+# map-side to a handful of longs per document before the shuffle.
+# ---------------------------------------------------------------------------
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    uni = (
+        df.select(F.col(id_col), F.explode_outer(tokens(text_col)).alias("_tok"))
+        .groupBy(id_col)
+        .agg(
+            F.count("_tok").cast("int").alias("n_tokens"),
+            F.count_distinct("_tok").cast("int").alias("n_distinct_tokens"),
+        )
+    )
+    bigrams = word_shingles(text_col, n=2)
+    bg = (
+        df.select(F.col(id_col), F.explode(bigrams).alias("_bg"))
+        .groupBy(id_col, "_bg")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").cast("int").alias("n_bigrams"),
+            F.max("_c").cast("int").alias("top_bigram_count"),
+        )
+    )
+    n_toks = F.col("n_tokens")
+    n_bg = F.coalesce(F.col("n_bigrams"), F.lit(0))
+    return (
+        uni.join(bg, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "n_distinct_tokens",
+            n_bg.alias("n_bigrams"),
+            F.round(
+                F.when(n_toks > 0, 1.0 - F.col("n_distinct_tokens") / n_toks).otherwise(0.0),
+                6,
+            ).alias("dup_unigram_frac"),
+            F.round(
+                F.when(n_bg > 0, F.col("top_bigram_count") / n_bg).otherwise(0.0), 6
+            ).alias("top_bigram_frac"),
+        )
+    )

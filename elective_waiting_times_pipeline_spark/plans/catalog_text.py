@@ -562,3 +562,169 @@ def mad_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mad", 4).alias("mad_chars"),
         (F.col("adev") > 3 * F.col("mad")).alias("is_outlier"),
     )
+
+
+_PII_RAW = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com at 10.0.' "
+    "|| CAST(doc_id % 256 AS VARCHAR) || '.7 or +44 20 7946 0' "
+    "|| CAST(doc_id % 1000 AS VARCHAR)"
+)
+
+
+def _pii_oracle() -> str:
+    # Mirror operators/text.py::PII_PATTERNS cascade: count on the
+    # text masked by all EARLIER kinds, then replace. The `[KIND]`
+    # replacement is a plain literal to DuckDB's regexp_replace (no
+    # backrefs used), so it needs no escaping.
+    counts, masked = [], _PII_RAW
+    for kind, pat, token in X.PII_PATTERNS:
+        esc = pat.replace("'", "''")
+        counts.append(f"CAST(len(regexp_extract_all({masked}, '{esc}')) AS INT) AS n_{kind}")
+        masked = f"regexp_replace({masked}, '{esc}', '{token}', 'g')"
+    cols = ",\n           ".join(counts)
+    return f"""
+    SELECT doc_id,
+           {cols},
+           {masked} AS redacted
+    FROM documents
+    """
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (emails / IPv4s / phone-like runs) — the standard
+# pre-training scrub. The synthetic corpus has no PII, so the query
+# derives a deterministic PII-laden column (same expression in both
+# engines) and the oracle hash-checks the FULL redacted text plus
+# per-kind match counts — proving both engines found and replaced
+# exactly the same spans.
+# ---------------------------------------------------------------------------
+@query("text_pii_redact", oracle=_pii_oracle())
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com at 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 or +44 20 7946 0"),
+        (F.col("doc_id") % 1000).cast("string"),
+    )
+    return docs.select(
+        "doc_id",
+        *X.pii_counts(raw),
+        X.redact_pii(raw).alias("redacted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition metrics: duplicate-unigram fraction and
+# top-bigram fraction per document — the classic boilerplate/spam
+# signal. One token explode + one bigram explode, both collapsing
+# map-side before the shuffle.
+# ---------------------------------------------------------------------------
+@query(
+    "text_repetition",
+    oracle=rf"""
+    WITH uni AS (
+      SELECT doc_id,
+             CAST({_NTOKS} AS INT) AS n_tokens,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(list_distinct({_TOKS})) END AS INT) AS n_distinct_tokens
+      FROM documents
+    ), bgl AS (
+      SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+      FROM (SELECT doc_id, {_TOKS} AS w FROM documents WHERE {_NTOKS} >= 2)
+    ), bgc AS (
+      SELECT doc_id, bg, COUNT(*) AS c FROM bgl GROUP BY 1, 2
+    ), bga AS (
+      SELECT doc_id, CAST(SUM(c) AS INT) AS n_bigrams,
+             CAST(MAX(c) AS INT) AS top_bigram_count
+      FROM bgc GROUP BY 1
+    )
+    SELECT u.doc_id, u.n_tokens, u.n_distinct_tokens,
+           COALESCE(b.n_bigrams, 0) AS n_bigrams,
+           ROUND(CASE WHEN u.n_tokens > 0
+                 THEN 1.0 - u.n_distinct_tokens / CAST(u.n_tokens AS DOUBLE)
+                 ELSE 0.0 END, 6) AS dup_unigram_frac,
+           ROUND(CASE WHEN COALESCE(b.n_bigrams, 0) > 0
+                 THEN b.top_bigram_count / CAST(b.n_bigrams AS DOUBLE)
+                 ELSE 0.0 END, 6) AS top_bigram_frac
+    FROM uni u LEFT JOIN bga b USING (doc_id)
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return X.repetition_features(docs)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-contamination check: corpus documents sharing any word
+# trigram with the "benchmark" slice (source = 'src0' stands in for an
+# eval suite). Inverted-index equi-join on the shingle; the benchmark
+# shingle set is broadcast — eval benchmarks are tiny next to a 100 TB
+# corpus, so the corpus never shuffles.
+# ---------------------------------------------------------------------------
+_SH3 = "unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])"
+
+
+@query(
+    "contamination_check",
+    oracle=rf"""
+    WITH bsh AS (
+      SELECT DISTINCT {_SH3} AS shingle
+      FROM (SELECT {_TOKS} AS w FROM documents
+            WHERE source = 'src0' AND length(trim(text)) > 0)
+      WHERE len(w) >= 3
+    ), csh AS (
+      SELECT DISTINCT doc_id, {_SH3} AS shingle
+      FROM (SELECT doc_id, {_TOKS} AS w FROM documents
+            WHERE source <> 'src0' AND length(trim(text)) > 0)
+      WHERE len(w) >= 3
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched
+    FROM csh JOIN bsh USING (shingle)
+    GROUP BY doc_id
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = X.word_shingles("text", n=3)
+    bench_sh = (
+        docs.filter(F.col("source") == "src0")
+        .select(F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+    corp_sh = (
+        docs.filter(F.col("source") != "src0")
+        .select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+    return (
+        corp_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global training order (epoch shuffle): contiguous
+# 1-based position under (md5(id || salt), id). Scalable distributed
+# rank — 256 hash-prefix range buckets, per-bucket window, tiny offset
+# table broadcast back (operators/sampling.py::hash_order_position);
+# never a single-partition ROW_NUMBER.
+# ---------------------------------------------------------------------------
+@query(
+    "training_order",
+    oracle="""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY md5(CAST(doc_id AS VARCHAR) || 'epoch0'), doc_id
+           ) AS BIGINT) AS position
+    FROM documents
+    """,
+)
+def training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return S.hash_order_position(docs, "doc_id", salt="epoch0").select("doc_id", "position")
+

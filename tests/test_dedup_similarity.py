@@ -162,3 +162,52 @@ def test_minhash_lsh_hot_bucket_cap(spark):
         for r in D.minhash_lsh_candidates(sigs, bands=8, rows_per_band=2).collect()
     }
     assert (0, 9) in uncapped and (10, 11) in uncapped  # default emits all
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (operators/text.py::redact_pii / pii_counts) — the
+# synthetic corpus has no PII, so pin behavior on a PII-laden fixture.
+# ---------------------------------------------------------------------------
+def test_pii_redaction_fixture(spark):
+    from pyspark.sql import Row
+
+    from elective_waiting_times_pipeline_spark.operators.text import pii_counts, redact_pii
+
+    rows = [
+        Row(i=0, t="mail me at jane.doe+spam@sub.example.co.uk today"),
+        Row(i=1, t="server 192.168.0.1 and 10.0.255.7 are up"),
+        Row(i=2, t="call +44 (0)20 7946-0958 now"),
+        Row(i=3, t="no pii here, just words and 42"),
+        Row(i=4, t="a@b.io or 1.2.3.4 tel 0123456789"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r["i"]: r
+        for r in df.select("i", *pii_counts("t"), redact_pii("t").alias("red")).collect()
+    }
+    assert out[0]["n_email"] == 1 and out[0]["red"] == "mail me at [EMAIL] today"
+    assert out[1]["n_ip"] == 2 and out[1]["red"] == "server [IP] and [IP] are up"
+    assert out[2]["n_phone"] == 1 and out[2]["red"] == "call [PHONE] now"
+    assert out[3]["n_email"] == out[3]["n_ip"] == out[3]["n_phone"] == 0
+    assert out[3]["red"] == "no pii here, just words and 42"
+    assert out[4]["n_email"] == 1 and out[4]["n_ip"] == 1 and out[4]["n_phone"] == 1
+    assert out[4]["red"] == "[EMAIL] or [IP] tel [PHONE]"
+
+
+def test_repetition_features_edges(spark):
+    from pyspark.sql import Row
+
+    from elective_waiting_times_pipeline_spark.operators.text import repetition_features
+
+    rows = [
+        Row(doc_id=0, text=""),                       # no tokens
+        Row(doc_id=1, text="one"),                    # 1 token, no bigrams
+        Row(doc_id=2, text="a a a a"),                # maximal repetition
+        Row(doc_id=3, text="w x y z"),                # all distinct
+    ]
+    out = {r["doc_id"]: r for r in repetition_features(spark.createDataFrame(rows)).collect()}
+    assert out[0]["n_tokens"] == 0 and out[0]["dup_unigram_frac"] == 0.0
+    assert out[1]["n_bigrams"] == 0 and out[1]["top_bigram_frac"] == 0.0
+    assert out[2]["n_tokens"] == 4 and out[2]["n_distinct_tokens"] == 1
+    assert out[2]["dup_unigram_frac"] == 0.75 and out[2]["top_bigram_frac"] == 1.0
+    assert out[3]["dup_unigram_frac"] == 0.0 and abs(out[3]["top_bigram_frac"] - 1 / 3) < 1e-6

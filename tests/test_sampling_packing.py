@@ -121,3 +121,43 @@ def test_sampling_properties_hypothesis():
             assert t1 <= t2  # monotone ⇒ nested samples
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# Global training-order shuffle (hash_order_position).
+# ---------------------------------------------------------------------------
+def test_hash_order_position_is_contiguous_permutation(spark, keyed):
+    out = S.hash_order_position(keyed, "k")
+    rows = out.collect()
+    positions = sorted(r["position"] for r in rows)
+    assert positions == list(range(1, 2001))
+    # deterministic across reruns and input partitioning
+    again = {r.k: r["position"] for r in S.hash_order_position(keyed.repartition(7), "k").collect()}
+    assert {r.k: r["position"] for r in rows} == again
+
+
+def test_hash_order_position_matches_global_sort_and_salt_rerolls(spark, keyed):
+    out = {r.k: r["position"] for r in S.hash_order_position(keyed, "k").collect()}
+    truth = [
+        r.k
+        for r in keyed.withColumn("_h", F.md5(F.col("k").cast("string")))
+        .orderBy("_h", "k")
+        .collect()
+    ]
+    assert [k for k, _ in sorted(out.items(), key=lambda kv: kv[1])] == truth
+    salted = {r.k: r["position"] for r in S.hash_order_position(keyed, "k", salt="e1").collect()}
+    assert salted != out
+
+
+def test_hash_order_position_window_is_bucket_partitioned(spark, keyed):
+    # The scalable shape: the big window must be hash-bucket
+    # partitioned, never a global (empty partition-spec) sort of the
+    # full table through one task. The only unpartitioned window
+    # allowed is the ≤256-row bucket-offset cumulative sum.
+    plan = S.hash_order_position(keyed, "k")._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    windows = [ln for ln in plan.split("\n") if "Window [" in ln or ln.strip().startswith("Window")]
+    big = [w for w in windows if "row_number" in w]
+    assert big, plan
+    assert all("_bk" in w for w in big), plan
