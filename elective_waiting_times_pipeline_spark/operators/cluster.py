@@ -70,7 +70,12 @@ def connected_components(
             .unionByName(lol)
             .groupBy("v")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            # Lazy: the fixpoint agg right below is the round's first
+            # action, so ONE job both materializes the checkpoint and
+            # computes the sum (eager=True ran a separate
+            # checkpoint-only job per round — measured ~2× the whole
+            # query at sf0.1, where per-job overhead dominates).
+            .localCheckpoint(eager=False)
         )
         cur_sum = new.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
         labels = new
