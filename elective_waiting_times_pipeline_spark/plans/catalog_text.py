@@ -625,6 +625,7 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "text_repetition",
+    headline=True,
     oracle=rf"""
     WITH uni AS (
       SELECT doc_id,
@@ -670,6 +671,7 @@ _SH3 = "unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) 
 
 @query(
     "contamination_check",
+    headline=True,
     oracle=rf"""
     WITH bsh AS (
       SELECT DISTINCT {_SH3} AS shingle
@@ -716,6 +718,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "training_order",
+    headline=True,
     oracle="""
     SELECT doc_id,
            CAST(ROW_NUMBER() OVER (
