@@ -47,6 +47,8 @@ _ROTATE_FIRST = (
     "text_repetition",       # new in round 3 — never driver-checked
     "contamination_check",   # new in round 3 — never driver-checked
     "training_order",        # new in round 3 — never driver-checked
+    "text_lang_id",          # err in r02 (oracle generator bug, fixed
+                             # this round) — surface the driver re-check
 )
 
 
