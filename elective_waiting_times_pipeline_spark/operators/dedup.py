@@ -153,6 +153,42 @@ def minhash_lsh_candidates(
     return pairs.select("p.id_a", "p.id_b").distinct()
 
 
+def minhash_estimate_jaccard(
+    pairs: DataFrame,
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Candidate pairs + `est_jaccard`: the fraction of agreeing
+    MinHash components (the unbiased Jaccard estimator, Broder '97).
+
+    The standard middle stage of the MinHash pipeline —
+    candidates → ESTIMATE → exact verification: a component compare
+    costs O(num_hashes) per pair vs re-tokenizing both documents, so
+    thresholding on the estimate first keeps the expensive exact
+    `ngram_jaccard_pairs` verification off the (much larger)
+    false-candidate set. Two equi-joins against the signature table
+    (hash-partitioned on id, signatures are num_hashes longs — a
+    narrow shuffle); the agreement count is a codegen'd zip_with
+    fold, no UDF."""
+    sa = sigs.select(F.col(id_col).alias(src), F.col("signature").alias("_sig_a"))
+    sb = sigs.select(F.col(id_col).alias(dst), F.col("signature").alias("_sig_b"))
+    agree = F.aggregate(
+        F.zip_with("_sig_a", "_sig_b", lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        pairs.join(sa, src)
+        .join(sb, dst)
+        .withColumn(
+            "est_jaccard", F.round(agree / F.size("_sig_a"), 6)
+        )
+        .drop("_sig_a", "_sig_b")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

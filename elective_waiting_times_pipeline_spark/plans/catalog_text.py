@@ -211,6 +211,20 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# MinHash Jaccard ESTIMATE over the LSH candidates (Broder '97
+# component-agreement estimator) — the cheap middle stage between
+# candidate generation and exact verification. xxhash64-based →
+# rows-only; the estimator-vs-exact tolerance is unit-tested.
+# ---------------------------------------------------------------------------
+@query("minhash_estimate_pairs")
+def minhash_estimate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, num_hashes=16, shingle_n=2)
+    cand = D.minhash_lsh_candidates(sigs, bands=4, rows_per_band=4)
+    return D.minhash_estimate_jaccard(cand, sigs).select("id_a", "id_b", "est_jaccard")
+
+
+# ---------------------------------------------------------------------------
 # Gopher/C4-style quality-rule filter: token-count window, mean
 # token length window, punctuation cap, stopword floor — the
 # "curation decision" layer on top of text_quality's features.

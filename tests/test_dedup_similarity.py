@@ -211,3 +211,35 @@ def test_repetition_features_edges(spark):
     assert out[2]["n_tokens"] == 4 and out[2]["n_distinct_tokens"] == 1
     assert out[2]["dup_unigram_frac"] == 0.75 and out[2]["top_bigram_frac"] == 1.0
     assert out[3]["dup_unigram_frac"] == 0.0 and abs(out[3]["top_bigram_frac"] - 1 / 3) < 1e-6
+
+
+def test_minhash_estimate_jaccard_tracks_exact(spark):
+    """The signature-agreement estimator should (a) be exactly 1.0 for
+    identical docs, (b) correlate with exact Jaccard on near-dups —
+    with only 32 hashes the per-pair tolerance is loose (stderr
+    ~ sqrt(J(1-J)/32) ≈ 0.09), so assert a band, not equality."""
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 60)
+    sigs = D.minhash_signatures(docs, num_hashes=32, shingle_n=2)
+    cand = D.minhash_lsh_candidates(sigs, bands=8, rows_per_band=4)
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in D.minhash_estimate_jaccard(cand, sigs).collect()
+    }
+    assert est, "no candidate pairs at this slice"
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, shingle_n=2, min_jaccard=0.0).collect()
+    }
+    # identical-text pairs estimate exactly 1.0
+    fp = docs.select("doc_id", F.md5(F.col("text")).alias("h"))
+    same = {
+        tuple(sorted((r["a"], r["b"])))
+        for r in fp.alias("x")
+        .join(fp.alias("y"), (F.col("x.h") == F.col("y.h")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .collect()
+    }
+    for p in same & set(est):
+        assert est[p] == 1.0
+    errs = [abs(est[p] - exact.get(p, 0.0)) for p in est]
+    assert sum(errs) / len(errs) < 0.15, max(errs)
