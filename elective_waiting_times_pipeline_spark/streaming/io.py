@@ -32,12 +32,14 @@ def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
-def read_events_stream(spark: SparkSession, parquet_path: str) -> DataFrame:
-    """File-source stream over a parquet file or directory. Streaming
-    scans need an explicit schema; taking it from a batch read of the
-    same path keeps it in lock-step with the on-disk encoding (and with
-    the session's nanosAsLong conf) instead of a hardcoded StructType
-    that goes stale when the lake's writer changes."""
+def read_table_stream(spark: SparkSession, parquet_path: str) -> DataFrame:
+    """File-source stream over a parquet file or directory, for ANY
+    lake table. Streaming scans need an explicit schema; taking it
+    from a batch read of the same path keeps it in lock-step with the
+    on-disk encoding (and with the session's nanosAsLong conf) instead
+    of a hardcoded StructType that goes stale when the lake's writer
+    changes. Event-time normalization applies only when a `ts` column
+    exists."""
     from elective_waiting_times_pipeline_spark.sources.readers import (
         _ensure_session_confs,
     )
@@ -51,4 +53,10 @@ def read_events_stream(spark: SparkSession, parquet_path: str) -> DataFrame:
         head, _, tail = parquet_path.rpartition("/")
         reader = reader.option("pathGlobFilter", tail)
         parquet_path = head
-    return normalize_event_time(reader.load(parquet_path))
+    df = reader.load(parquet_path)
+    return normalize_event_time(df) if "ts" in df.columns else df
+
+
+def read_events_stream(spark: SparkSession, parquet_path: str) -> DataFrame:
+    """Events-table stream (ts normalized to TIMESTAMP_LTZ)."""
+    return read_table_stream(spark, parquet_path)
