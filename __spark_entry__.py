@@ -47,6 +47,9 @@ _ROTATE_FIRST = (
     "text_repetition",       # new in round 3 — never driver-checked
     "contamination_check",   # new in round 3 — never driver-checked
     "training_order",        # new in round 3 — never driver-checked
+    "source_cap_sample",     # new in round 3 — never driver-checked
+    "token_budget_select",   # new in round 3 — never driver-checked
+    "curation_pipeline",     # new in round 3 — never driver-checked
     "text_lang_id",          # err in r02 (oracle generator bug, fixed
                              # this round) — surface the driver re-check
 )

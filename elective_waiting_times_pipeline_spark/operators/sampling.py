@@ -23,7 +23,7 @@ beyond-reference training-data operator set (SURVEY §7.3 M5).
 
 from __future__ import annotations
 
-from collections.abc import Mapping
+from collections.abc import Iterable, Mapping
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -124,6 +124,72 @@ def stratified_hash_sample(
     return df.filter(keep)
 
 
+def hash_order_prefix(
+    df: DataFrame,
+    key: Column | str,
+    group_cols: Iterable[str] = (),
+    salt: str = "",
+    weight: Column | str | None = None,
+    out_pos: str = "position",
+    out_prefix: str = "cum_weight",
+) -> DataFrame:
+    """Distributed rank — and, with `weight`, inclusive running total —
+    under the deterministic order (md5(key || salt), key), optionally
+    partitioned by `group_cols` (e.g. per-source corpus quotas).
+
+    A naive ROW_NUMBER()/SUM() OVER (ORDER BY hash) is a
+    single-partition window — the whole table (or the whole hot group)
+    through one task. The scalable shape is the classic distributed
+    rank:
+      1. bucket = first 2 hex chars of the hash — a RANGE prefix of
+         the order, so bucket boundaries respect it (256 uniform
+         buckets; the hash makes them skew-free by construction, no
+         sampling pass needed);
+      2. row_number (+ running weight) within each (group, bucket) —
+         a 256-way parallel window even inside ONE hot group;
+      3. per-(group, bucket) counts/weight sums (≤256 rows per group)
+         → running offsets via a window over the tiny bucket axis →
+         broadcast back (|groups|·256 rows — thousands of sources is
+         still well under any broadcast threshold);
+      4. position = bucket offset + within-bucket row number (same
+         for the weight prefix).
+    Two shuffles of the data (bucket exchange + window sort) — the
+    same cost as any global sort — plus a tiny side plan. The salt
+    re-rolls the order without touching the key.
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    s = c.cast("string")
+    if salt:
+        s = F.concat(s, F.lit(salt))
+    from pyspark.sql import Window
+
+    gcols = list(group_cols)
+    bucketed = df.withColumn("_h", F.md5(s)).withColumn("_bk", F.substring("_h", 1, 2))
+    w = Window.partitionBy(*gcols, "_bk").orderBy("_h", c)
+    ranked = bucketed.withColumn("_rn", F.row_number().over(w))
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    if weight is not None:
+        wc = F.col(weight) if isinstance(weight, str) else weight
+        ranked = ranked.withColumn(
+            "_cw", F.sum(wc).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        aggs.append(F.sum(wc).alias("_ws"))
+    ow = Window.partitionBy(*gcols).orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bucketed.groupBy(*gcols, "_bk").agg(*aggs).withColumn(
+        "_off", F.coalesce(F.sum("_n").over(ow), F.lit(0))
+    )
+    keep = [*gcols, "_bk", "_off"]
+    if weight is not None:
+        offsets = offsets.withColumn("_woff", F.coalesce(F.sum("_ws").over(ow), F.lit(0)))
+        keep.append("_woff")
+    out = ranked.join(F.broadcast(offsets.select(*keep)), [*gcols, "_bk"]).withColumn(
+        out_pos, (F.col("_off") + F.col("_rn")).cast("long")
+    )
+    if weight is not None:
+        out = out.withColumn(out_prefix, (F.col("_woff") + F.col("_cw")).cast("long"))
+    return out.drop("_h", "_bk", "_rn", "_cw", "_off", "_woff")
+
+
 def hash_order_position(
     df: DataFrame,
     key: Column | str,
@@ -132,48 +198,45 @@ def hash_order_position(
 ) -> DataFrame:
     """Deterministic global training-order shuffle: 1-based contiguous
     `position` of every row under the order (md5(key || salt), key).
+    The ungrouped case of `hash_order_prefix` (see its scale notes)."""
+    return hash_order_prefix(df, key, (), salt, out_pos=out)
 
-    A naive ROW_NUMBER() OVER (ORDER BY hash) is a single-partition
-    window — the whole table through one task. The scalable shape is
-    the classic distributed rank:
-      1. bucket = first 2 hex chars of the hash — a RANGE prefix of
-         the global order, so bucket boundaries respect it (256
-         uniform buckets; the hash makes them skew-free by
-         construction, no sampling pass needed);
-      2. row_number within each bucket — 256-way parallel window;
-      3. per-bucket counts (≤256 rows) → running offsets via a window
-         over the tiny bucket axis → broadcast back;
-      4. position = bucket offset + within-bucket row number.
-    Two shuffles of the data (bucket exchange + window sort) — the
-    same cost as any global sort — plus a 256-row side plan. The salt
-    re-rolls the epoch order without touching the key.
-    """
-    c = F.col(key) if isinstance(key, str) else key
-    s = c.cast("string")
-    if salt:
-        s = F.concat(s, F.lit(salt))
-    from pyspark.sql import Window
 
-    keyed = df.withColumn("_h", F.md5(s))
-    bucketed = keyed.withColumn("_bk", F.substring("_h", 1, 2))
-    w = Window.partitionBy("_bk").orderBy("_h", c)
-    ranked = bucketed.withColumn("_rn", F.row_number().over(w))
-    offsets = (
-        bucketed.groupBy("_bk")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .withColumn(
-            "_off",
-            F.coalesce(
-                F.sum("_n").over(
-                    Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("_bk", "_off")
-    )
-    return (
-        ranked.join(F.broadcast(offsets), "_bk")
-        .withColumn(out, (F.col("_off") + F.col("_rn")).cast("long"))
-        .drop("_h", "_bk", "_rn", "_off")
-    )
+def cap_per_group(
+    df: DataFrame,
+    key: Column | str,
+    group_cols: Iterable[str],
+    max_rows: int,
+    salt: str = "",
+    out: str = "position",
+) -> DataFrame:
+    """Per-group row cap: keep the `max_rows` hash-smallest rows of
+    each group — the per-domain/per-source document cap every crawl
+    curation applies (no single domain may dominate the corpus).
+    Deterministic under reruns and layout; `out` is the 1-based rank
+    of the kept row within its group. Skew-safe: the rank comes from
+    `hash_order_prefix`, which fans even one hot domain across 256
+    bucket windows instead of one task."""
+    ranked = hash_order_prefix(df, key, group_cols, salt, out_pos=out)
+    return ranked.filter(F.col(out) <= max_rows)
+
+
+def budget_per_group(
+    df: DataFrame,
+    key: Column | str,
+    group_cols: Iterable[str],
+    weight: Column | str,
+    budget: int,
+    salt: str = "",
+    out: str = "cum_weight",
+) -> DataFrame:
+    """Per-group weight budget: walk each group in deterministic hash
+    order accumulating `weight` (token counts, bytes) and keep rows
+    while the INCLUSIVE running total stays ≤ `budget` — "take ~N
+    tokens per source" corpus composition. A row that would cross the
+    budget is dropped, as is everything after it (hash order makes
+    "after" well-defined and layout-independent). `out` is the
+    inclusive running total over kept rows. Same skew-safe distributed
+    prefix-sum machinery as `cap_per_group`."""
+    pref = hash_order_prefix(df, key, group_cols, salt, weight=weight, out_prefix=out)
+    return pref.filter(F.col(out) <= budget)

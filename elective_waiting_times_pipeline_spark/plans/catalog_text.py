@@ -745,3 +745,122 @@ def training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return S.hash_order_position(docs, "doc_id", salt="epoch0").select("doc_id", "position")
 
+
+
+# ---------------------------------------------------------------------------
+# Per-source document cap: keep the 10 hash-smallest docs of every
+# source — the per-domain cap every crawl curation applies so no
+# single domain dominates the corpus. Skew-safe distributed rank
+# (operators/sampling.py::cap_per_group): even ONE hot domain fans
+# across 256 bucket windows, never a single task.
+# ---------------------------------------------------------------------------
+@query(
+    "source_cap_sample",
+    oracle="""
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS position
+    FROM (SELECT doc_id, source,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || 'cap'), doc_id
+                 ) AS rn
+          FROM documents)
+    WHERE rn <= 10
+    """,
+)
+def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return S.cap_per_group(docs, "doc_id", ["source"], max_rows=10, salt="cap").select(
+        "doc_id", "source", "position"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source token budget: walk each source in deterministic hash
+# order and keep docs while the inclusive running token count stays
+# ≤ 600 — "take ~N tokens per source" corpus composition. Same
+# skew-safe distributed prefix-sum as the cap above.
+# ---------------------------------------------------------------------------
+@query(
+    "token_budget_select",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, source, CAST({_NTOKS} AS INT) AS n_tokens FROM documents
+    ), pre AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || 'budget'), doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS BIGINT) AS cum_tokens
+      FROM tok
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens FROM pre WHERE cum_tokens <= 600
+    """,
+)
+def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", X.token_count("text").alias("n_tokens"))
+    return S.budget_per_group(
+        toks, "doc_id", ["source"], weight="n_tokens", budget=600,
+        salt="budget", out="cum_tokens",
+    ).select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end batch curation: ONE declarative plan running the full
+# ingest chain — quality-rule filter → PII redaction → exact-dedup
+# keep-min-id → deterministic split label (streaming/curation.py's
+# `curate`, the same function the ingest stream runs — batch/stream
+# parity is asserted in tests/test_streaming_curation.py). The whole
+# pipeline is per-row codegen'd expressions plus ONE fingerprint
+# window — a single scan of a 100 TB corpus, no per-stage rescans.
+# The oracle replays every stage in SQL, so the hash check proves the
+# composed decisions (kept set, canonical ids, split labels) match,
+# not just each stage alone.
+# ---------------------------------------------------------------------------
+def _curation_oracle() -> str:
+    return rf"""
+    WITH feat AS (
+      SELECT doc_id, text,
+             CAST({_NTOKS} AS INT) AS n_tokens,
+             CASE WHEN {_NTOKS} > 0
+                  THEN length(regexp_replace(trim(lower(text)), '\s+', '', 'g')) / {_NTOKS}
+                  ELSE 0.0 END AS mean_tok_len,
+             CASE WHEN length(text) > 0
+                  THEN (length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{{}}-]', '', 'g'))) / length(text)
+                  ELSE 0.0 END AS punct_ratio,
+             CASE WHEN {_NTOKS} > 0 THEN {_stop_filter('en')} / {_NTOKS} ELSE 0.0 END AS stop_ratio
+      FROM documents
+    ), kept AS (
+      SELECT doc_id, n_tokens,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+      FROM feat
+      WHERE n_tokens BETWEEN 5 AND 5000
+        AND mean_tok_len BETWEEN 2.0 AND 12.0
+        AND punct_ratio <= 0.2
+        AND stop_ratio >= 0.02
+    ), dedup AS (
+      SELECT *, MIN(doc_id) OVER (PARTITION BY fingerprint) AS min_id FROM kept
+    )
+    SELECT doc_id, n_tokens, fingerprint,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{_T_TRAIN}' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{_T_VAL}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM dedup WHERE doc_id = min_id
+    """
+
+
+@query("curation_pipeline", headline=True, oracle=_curation_oracle())
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from elective_waiting_times_pipeline_spark.streaming.curation import curate
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cur = curate(docs)
+    wmin = Window.partitionBy("fingerprint")
+    return (
+        cur.withColumn("_min", F.min("doc_id").over(wmin))
+        .filter(F.col("doc_id") == F.col("_min"))
+        .select("doc_id", "n_tokens", "fingerprint", "split")
+    )

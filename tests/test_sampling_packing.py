@@ -161,3 +161,76 @@ def test_hash_order_position_window_is_bucket_partitioned(spark, keyed):
     big = [w for w in windows if "row_number" in w]
     assert big, plan
     assert all("_bk" in w for w in big), plan
+
+
+# ---------------------------------------------------------------------------
+# Grouped distributed rank / prefix-sum (cap_per_group, budget_per_group).
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def grouped(spark):
+    # 3 groups with very different sizes (g0 hot) and varying weights.
+    return spark.range(0, 900).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 600, "g0").when(F.col("id") < 850, "g1").otherwise("g2").alias("g"),
+        (F.col("id") % 7 + 1).cast("int").alias("w"),
+    )
+
+
+def _naive_rank(df):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g").orderBy(F.md5(F.col("k").cast("string")), "k")
+    return df.withColumn("position", F.row_number().over(w).cast("long"))
+
+
+def test_cap_per_group_matches_naive_window(spark, grouped):
+    out = {(r.g, r.k): r["position"]
+           for r in S.cap_per_group(grouped, "k", ["g"], max_rows=50).collect()}
+    naive = {(r.g, r.k): r["position"]
+             for r in _naive_rank(grouped).filter(F.col("position") <= 50).collect()}
+    assert out == naive
+    # every group capped at exactly min(50, group size)
+    sizes = {r.g: r.n for r in S.cap_per_group(grouped, "k", ["g"], max_rows=50)
+             .groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {"g0": 50, "g1": 50, "g2": 50}
+
+
+def test_cap_per_group_layout_independent(spark, grouped):
+    a = sorted((r.g, r.k) for r in S.cap_per_group(grouped, "k", ["g"], 30).collect())
+    b = sorted((r.g, r.k) for r in S.cap_per_group(grouped.repartition(13), "k", ["g"], 30).collect())
+    assert a == b
+
+
+def test_budget_per_group_matches_naive_cumsum(spark, grouped):
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("g")
+        .orderBy(F.md5(F.col("k").cast("string")), "k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    naive = (
+        grouped.withColumn("cum_weight", F.sum("w").over(w).cast("long"))
+        .filter(F.col("cum_weight") <= 120)
+    )
+    out = S.budget_per_group(grouped, "k", ["g"], weight="w", budget=120)
+    assert sorted((r.g, r.k, r["cum_weight"]) for r in out.collect()) == sorted(
+        (r.g, r.k, r["cum_weight"]) for r in naive.collect()
+    )
+    # inclusive semantics: adding the next-in-order row would cross 120
+    per_group_max = {r.g: r.m for r in out.groupBy("g").agg(F.max("cum_weight").alias("m")).collect()}
+    assert all(m <= 120 for m in per_group_max.values())
+
+
+def test_grouped_rank_window_is_bucket_partitioned(spark, grouped):
+    # Skew-safety: the data-sized windows must partition on
+    # (group, _bk), never on the group alone (a hot group would funnel
+    # into one task). Only the per-group ≤256-row offset window may
+    # omit _bk.
+    plan = (
+        S.budget_per_group(grouped, "k", ["g"], weight="w", budget=120)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    windows = [ln for ln in plan.split("\n") if "row_number" in ln and "Window" in ln]
+    assert windows, plan
+    assert all("_bk" in w for w in windows), plan
