@@ -50,6 +50,7 @@ _ROTATE_FIRST = (
     "source_cap_sample",     # new in round 3 — never driver-checked
     "token_budget_select",   # new in round 3 — never driver-checked
     "curation_pipeline",     # new in round 3 — never driver-checked
+    "unigram_logprob",       # new in round 3 — never driver-checked
     "text_lang_id",          # err in r02 (oracle generator bug, fixed
                              # this round) — surface the driver re-check
 )

@@ -437,3 +437,51 @@ def repetition_features(
             ).alias("top_bigram_frac"),
         )
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document mean unigram log-probability — the cheap
+    perplexity proxy behind LM-based corpus quality filtering (the
+    CCNet-family recipe: score every document under a language model
+    and drop the far tail; a corpus-MLE unigram model with add-`alpha`
+    smoothing is its shuffle-friendly first rung).
+
+    (doc_id, n_tokens, mean_logprob) for every doc with ≥1 token,
+    mean_logprob = (1/n_d) · Σ_tok ln((cnt(tok)+α) / (N + α·V)),
+    with cnt = corpus count, N = corpus token total, V = vocab size.
+
+    Plan: one explode → (doc, tok) and (tok) hash aggs → equi-join on
+    the token key (the count table scales with VOCABULARY, not corpus,
+    and is NOT broadcast); the (N, V) scalar row is. Cross-engine
+    determinism: each token's ln() is snapped to integer micros with
+    the same floor(x·1e6 + 0.5) expression both engines evaluate, so
+    the per-doc mean is an exact integer sum divided by an exact
+    count — no float-summation order sensitivity.
+    """
+    toks = df.filter(token_count(text_col) >= 1).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    )
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    cnt = tf.groupBy("tok").agg(F.sum("tf").alias("cnt"))
+    totals = cnt.agg(
+        F.sum("cnt").cast("double").alias("n_total"),
+        F.count(F.lit(1)).cast("double").alias("vocab"),
+    )
+    lp = F.log((F.col("cnt") + alpha) / (F.col("n_total") + alpha * F.col("vocab")))
+    lpm = F.floor(lp * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return (
+        tf.join(cnt, "tok")
+        .crossJoin(F.broadcast(totals))  # 1-row scalar, always broadcast-safe
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tf") * lpm) / F.sum("tf").cast("double") / F.lit(1e6), 6
+            ).alias("mean_logprob"),
+        )
+    )

@@ -864,3 +864,38 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") == F.col("_min"))
         .select("doc_id", "n_tokens", "fingerprint", "split")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram log-probability scoring (CCNet-style perplexity proxy): mean
+# smoothed corpus-MLE unigram logprob per doc — the LM-based quality
+# filter's first rung. Token-count table joins on the token key (vocab
+# scales with language, not corpus — never broadcast); per-token ln()
+# snapped to integer micros in BOTH engines so the mean is an exact
+# integer sum, immune to float summation order.
+# ---------------------------------------------------------------------------
+@query(
+    "unigram_logprob",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents WHERE {_NTOKS} >= 1
+    ), tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+    ), cnt AS (
+      SELECT tok, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(cnt) AS DOUBLE) AS n_total, CAST(COUNT(*) AS DOUBLE) AS vocab
+      FROM cnt
+    ), lp AS (
+      SELECT t.doc_id, t.tf,
+             CAST(floor(ln((c.cnt + 0.5) / (tot.n_total + 0.5 * tot.vocab)) * 1000000 + 0.5) AS BIGINT) AS lpm
+      FROM tf t JOIN cnt c USING (tok), tot
+    )
+    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           ROUND(SUM(tf * lpm) / CAST(SUM(tf) AS DOUBLE) / 1000000, 6) AS mean_logprob
+    FROM lp GROUP BY doc_id
+    """,
+)
+def unigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return X.unigram_logprob(docs)
