@@ -51,6 +51,9 @@ _ROTATE_FIRST = (
     "token_budget_select",   # new in round 3 — never driver-checked
     "curation_pipeline",     # new in round 3 — never driver-checked
     "unigram_logprob",       # new in round 3 — never driver-checked
+    "skew_salted_agg",       # new in round 3 — never driver-checked
+    "skew_salted_join",      # new in round 3 — never driver-checked
+    "chunk_sliding_window",  # new in round 3 — never driver-checked
     "text_lang_id",          # err in r02 (oracle generator bug, fixed
                              # this round) — surface the driver re-check
 )

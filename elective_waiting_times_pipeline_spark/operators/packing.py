@@ -115,3 +115,47 @@ def greedy_pack(
         df.select(F.col(id_col), F.col(ntok_col).cast("long")), id_col, shards
     )
     return sharded.groupBy(SHARD_COL).applyInPandas(pack, schema=out_schema)
+
+
+def sliding_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """WITHIN-document sliding-window chunking: cut each document's
+    token sequence into `window`-token chunks advancing by `stride`
+    (overlap = window - stride) — the RAG / long-context prep step,
+    complementary to the cross-document disciplines above. Every token
+    is covered; the last chunk may be short; docs with ≤ window tokens
+    yield exactly one chunk; empty docs yield none.
+
+    One row per (doc, chunk): chunk_idx, start_tok (0-based),
+    n_chunk_tokens, chunk_text. Pure array expressions — tokenize
+    once, explode a chunk-index sequence, slice the token array; no
+    UDF, no shuffle at all (the explode is in-partition), so the
+    operator streams a 100 TB corpus at scan speed with output
+    amplification ≈ window/stride."""
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be ≥ 1")
+    from elective_waiting_times_pipeline_spark.operators.text import tokens
+
+    n = F.col("_n")
+    n_chunks = F.when(n <= window, F.lit(1)).otherwise(
+        F.expr(f"((_n - {window} + {stride} - 1) div {stride})") + 1
+    )
+    start = F.col("chunk_idx") * stride
+    return (
+        df.select(F.col(id_col), tokens(text_col).alias("_w"))
+        .withColumn("_n", F.size("_w"))
+        .filter(n >= 1)
+        .select(id_col, "_w", "_n", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"))
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("int"),
+            start.cast("int").alias("start_tok"),
+            F.least(F.lit(window), n - start).cast("int").alias("n_chunk_tokens"),
+            F.concat_ws(" ", F.slice("_w", start + 1, window)).alias("chunk_text"),
+        )
+    )

@@ -620,3 +620,51 @@ def percentile_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("o_totalprice", F.lit(0.95), F.lit(1000)).alias("p95_price_approx"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew mitigation surfaced in the checked set (operators/skew.py):
+# both queries must produce byte-identical results to their plain
+# (unsalted) SQL — salting is a physical rewrite, never a semantic
+# one. l_returnflag has 3 values over the whole fact table: exactly
+# the hot-key shape where one reducer would take ~half the corpus.
+# ---------------------------------------------------------------------------
+@query(
+    "skew_salted_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elective_waiting_times_pipeline_spark.operators.skew import salted_sum
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn("_q", sl2("l_quantity"))
+    out = salted_sum(li, ["l_returnflag"], "_q", salt=16, out_col="_t")
+    return out.select("l_returnflag", (F.col("_t") / 100.0).alias("sum_qty"))
+
+
+@query(
+    "skew_salted_join",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty
+    FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elective_waiting_times_pipeline_spark.operators.skew import salted_join_left
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", sl2("l_quantity").alias("_q"))
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = salted_join_left(li, sup, on="l_suppkey", salt=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        (F.sum("_q") / 100.0).alias("sum_qty"),
+    )

@@ -876,6 +876,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "unigram_logprob",
+    headline=True,
     oracle=rf"""
     WITH toks AS (
       SELECT doc_id, unnest({_TOKS}) AS tok FROM documents WHERE {_NTOKS} >= 1
@@ -899,3 +900,34 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def unigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return X.unigram_logprob(docs)
+
+
+# ---------------------------------------------------------------------------
+# Within-document sliding-window chunking (RAG / long-context prep):
+# 64-token windows, stride 48. Shuffle-free — tokenize once, explode a
+# chunk-index sequence, slice the token array; streams the corpus at
+# scan speed with output amplification window/stride.
+# ---------------------------------------------------------------------------
+@query(
+    "chunk_sliding_window",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS w, CAST({_NTOKS} AS INT) AS n
+      FROM documents WHERE {_NTOKS} >= 1
+    ), c AS (
+      SELECT doc_id, w, n,
+             CASE WHEN n <= 64 THEN 1 ELSE ((n - 64 + 47) // 48) + 1 END AS n_chunks
+      FROM t
+    ), e AS (
+      SELECT doc_id, w, n, unnest(range(n_chunks)) AS chunk_idx FROM c
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(chunk_idx * 48 AS INT) AS start_tok,
+           CAST(least(64, n - chunk_idx * 48) AS INT) AS n_chunk_tokens,
+           array_to_string(list_slice(w, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ') AS chunk_text
+    FROM e
+    """,
+)
+def chunk_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return P.sliding_chunks(docs, window=64, stride=48)
