@@ -234,3 +234,47 @@ def test_grouped_rank_window_is_bucket_partitioned(spark, grouped):
     windows = [ln for ln in plan.split("\n") if "row_number" in ln and "Window" in ln]
     assert windows, plan
     assert all("_bk" in w for w in windows), plan
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window chunking (packing.sliding_chunks).
+# ---------------------------------------------------------------------------
+def test_sliding_chunks_edges_and_coverage(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, ""),                               # empty → no chunks
+            (2, "a b c"),                          # < window → 1 chunk
+            (3, " ".join(f"t{i}" for i in range(10))),   # == window
+            (4, " ".join(f"t{i}" for i in range(11))),   # window+1 → 2 chunks
+            (5, " ".join(f"t{i}" for i in range(25))),   # several
+        ],
+        "doc_id long, text string",
+    )
+    out = P.sliding_chunks(docs, window=10, stride=7).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 1 not in by_doc
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "a b c"
+    assert len(by_doc[3]) == 1 and by_doc[3][0].n_chunk_tokens == 10
+    assert len(by_doc[4]) == 2
+    assert by_doc[4][1].start_tok == 7 and by_doc[4][1].n_chunk_tokens == 4
+    # ceil((25-10)/7)+1 = 4 chunks; every token covered; text slices agree
+    chunks5 = sorted(by_doc[5], key=lambda r: r.chunk_idx)
+    assert len(chunks5) == 4
+    toks = [f"t{i}" for i in range(25)]
+    covered = set()
+    for c in chunks5:
+        assert c.start_tok == c.chunk_idx * 7
+        assert c.chunk_text.split(" ") == toks[c.start_tok : c.start_tok + 10]
+        assert c.n_chunk_tokens == len(c.chunk_text.split(" "))
+        covered.update(range(c.start_tok, c.start_tok + c.n_chunk_tokens))
+    assert covered == set(range(25))
+
+
+def test_sliding_chunks_validates_params(spark):
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        P.sliding_chunks(docs, window=0)
+    with pytest.raises(ValueError):
+        P.sliding_chunks(docs, stride=0)
