@@ -54,6 +54,7 @@ _ROTATE_FIRST = (
     "skew_salted_agg",       # new in round 3 — never driver-checked
     "skew_salted_join",      # new in round 3 — never driver-checked
     "chunk_sliding_window",  # new in round 3 — never driver-checked
+    "embedding_outlier_filter",  # new in round 3 — never driver-checked
     "text_lang_id",          # err in r02 (oracle generator bug, fixed
                              # this round) — surface the driver re-check
 )

@@ -272,3 +272,46 @@ def group_centroids(
         (F.col("pos") + 1).cast("int").alias("pos"),
         "centroid_val",
     )
+
+
+def centroid_outliers(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    min_sim: float = 0.0,
+) -> DataFrame:
+    """Embedding-space quality filter: cosine of every vector to its
+    group's mean vector, flagging vectors below `min_sim` as outliers
+    (mislabeled / noise / off-distribution — the embedding-side analog
+    of the MAD text-length filter).
+
+    Scale shape: centroids come from the `group_centroids` long-form
+    agg (one shuffle of |groups|·dim cells regardless of corpus size),
+    reassembled into |groups| arrays and broadcast back — the corpus
+    itself never re-shuffles. The cosine is a sequential `zip_with` +
+    `aggregate` fold over the array — deterministic summation order,
+    codegen'd, no UDF. Centroid components are pre-rounded to 6 dp
+    (group_centroids) so the flag is reproducible across engines' AVG
+    summation orders."""
+    cents = group_centroids(df, group_col=group_col, vec_col=vec_col)
+    carr = (
+        cents.groupBy(group_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "centroid_val"))).alias("_s"))
+        .select(group_col, F.transform("_s", lambda s: s["centroid_val"]).alias("_cv"))
+    )
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    add = lambda acc, x: acc + x  # noqa: E731
+    dot = F.aggregate(F.zip_with(v, F.col("_cv"), lambda a, b: a * b), F.lit(0.0), add)
+    n1 = F.sqrt(F.aggregate(F.transform(v, lambda a: a * a), F.lit(0.0), add))
+    n2 = F.sqrt(F.aggregate(F.transform(F.col("_cv"), lambda a: a * a), F.lit(0.0), add))
+    sim = F.round(F.when((n1 > 0) & (n2 > 0), dot / (n1 * n2)).otherwise(F.lit(0.0)), 6)
+    return (
+        df.join(F.broadcast(carr), group_col)
+        .select(
+            id_col,
+            group_col,
+            sim.alias("centroid_sim"),
+            (sim < min_sim).alias("is_outlier"),
+        )
+    )

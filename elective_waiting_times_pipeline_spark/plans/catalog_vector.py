@@ -102,3 +102,34 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return group_centroids(emb, group_col="label", vec_col="embedding")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-outlier curation: cosine of each vector to its label
+# centroid; below-threshold vectors flagged (mislabeled / noise — the
+# embedding-side analog of the MAD text filter). Corpus never
+# re-shuffles: one |labels|×dim centroid agg, broadcast back; cosine
+# is a deterministic codegen'd fold. DuckDB replays it with
+# list_cosine_similarity over the same 6-dp-rounded centroids.
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_outlier_filter",
+    oracle="""
+    WITH ex AS (
+      SELECT label,
+             unnest(list_transform(embedding, (x, i) -> struct_pack(pos := i, val := CAST(x AS DOUBLE)))) AS s
+      FROM embeddings
+    ), c AS (
+      SELECT label, s.pos AS pos, ROUND(AVG(s.val), 6) AS cv FROM ex GROUP BY 1, 2
+    ), ca AS (
+      SELECT label, list(cv ORDER BY pos) AS cvec FROM c GROUP BY 1
+    )
+    SELECT e.vec_id, e.label,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ca.cvec), 6) AS centroid_sim,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ca.cvec), 6) < 0.0 AS is_outlier
+    FROM embeddings e JOIN ca USING (label)
+    """,
+)
+def embedding_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.centroid_outliers(emb, min_sim=0.0)
