@@ -129,10 +129,18 @@ def stopword_hits(toks: Column, lang: str) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(lits, t)))
 
 
-def token_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def token_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    langs: tuple[str, ...] | None = None,
+) -> DataFrame:
     """One explode + codegen'd conditional aggregates computing every
     per-token statistic at once: n_tokens, total token length, and
-    per-language stopword hit counts.
+    per-language stopword hit counts for `langs` (default: every
+    STOPWORDS language — pass only what the caller consumes; each
+    language is a ~50-literal isin chain per token row, so quality
+    scoring, which needs only English, skips 7/8ths of the compares).
 
     Physical shape: higher-order `filter` lambdas are interpreted per
     row (the text hot spot, like the minhash shingle case); exploding
@@ -150,7 +158,7 @@ def token_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
     hit_aggs = [
         F.count(F.when(F.col("_tok").isin(*STOPWORDS[lang]), F.lit(1))).alias(f"hits_{lang}")
-        for lang in STOPWORDS
+        for lang in (STOPWORDS if langs is None else langs)
     ]
     return toked.groupBy(id_col).agg(
         F.first("_nc").alias("n_chars"),
@@ -166,7 +174,7 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     mean token length, punctuation ratio, English-stopword ratio,
     composite score. Semantically identical to the per-row expression
     form (mean token length == len(concat(tokens))/n)."""
-    p = token_profile(df, text_col, id_col)
+    p = token_profile(df, text_col, id_col, langs=("en",))
     n_chars = F.col("n_chars")
     n_toks = F.col("n_tokens")
     punct_ratio = F.when(n_chars > 0, F.col("n_punct") / n_chars).otherwise(0.0)
@@ -207,7 +215,7 @@ def quality_filter(
     reproducible (same IEEE division, same operands). Returns
     (id, n_tokens) of surviving docs; one scan, one partial-agg
     shuffle, filter evaluated map-side after the agg."""
-    p = token_profile(df, text_col, id_col)
+    p = token_profile(df, text_col, id_col, langs=("en",))
     n_toks = F.col("n_tokens")
     punct_ratio = F.when(F.col("n_chars") > 0, F.col("n_punct") / F.col("n_chars")).otherwise(0.0)
     stop_ratio = F.when(n_toks > 0, F.col("hits_en") / n_toks).otherwise(0.0)
