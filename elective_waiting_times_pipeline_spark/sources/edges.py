@@ -116,3 +116,19 @@ def sanitize_output_names(df: DataFrame) -> DataFrame:
     anything Spark-illegal is already legal since we use backticks) —
     placeholder for format-level tweaks; currently identity."""
     return df
+
+
+def read_jsonl(
+    spark,
+    path: str,
+    schema,
+    **options,
+):
+    """JSON-Lines scan with an explicit schema (never infer in prod —
+    a schema inference pass reads the whole lake twice and silently
+    widens types). The standard pretraining-corpus interchange format;
+    `.gz`/`.zst` droppings are decompressed by the underlying reader
+    where Hadoop codecs exist. One DataFrame row per line; corrupt
+    lines are captured in `_corrupt_record` when the schema declares
+    it (Spark PERMISSIVE default) instead of failing the scan."""
+    return spark.read.schema(schema).json(path, **options)

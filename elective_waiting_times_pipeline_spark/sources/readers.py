@@ -139,3 +139,25 @@ def overwrite_partitions(df: DataFrame, path: str, partition_cols: Iterable[str]
         df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    position_col: str = "position",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a training-ordered dataset as `n_shards` parquet
+    files, each holding a CONTIGUOUS run of the global order (the
+    layout data loaders stream sequentially): one range exchange on
+    `position_col` (sampled range partitioner — skew-free for the
+    dense ranks `hash_order_position` emits) + a local sort per shard.
+    No global sort, no single-task write; shard count = file count,
+    sized to the loader's parallelism."""
+    (
+        df.repartitionByRange(n_shards, position_col)
+        .sortWithinPartitions(position_col)
+        .write.mode(mode)
+        .parquet(path)
+    )

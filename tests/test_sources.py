@@ -74,3 +74,56 @@ def test_nanos_to_micros_exact_truncation(spark, tmp_path):
     got = {r.ev_id: r.ts for r in readers.load_table(spark, str(tmp_path), "events").collect()}
     for ev_id, ns in zip([1, 2, 3], ns_values):
         assert got[ev_id].microsecond == (ns // 1000) % 1_000_000, (ev_id, ns, got[ev_id])
+
+
+# ---------------------------------------------------------------------------
+# JSONL lake edge + training-shard writer.
+# ---------------------------------------------------------------------------
+def test_read_jsonl_explicit_schema(spark, tmp_path):
+    import gzip
+
+    from elective_waiting_times_pipeline_spark.sources.edges import read_jsonl
+
+    lines = [
+        '{"doc_id": 1, "text": "hello world", "meta": {"lang": "en"}}',
+        '{"doc_id": 2, "text": "zwei", "meta": {"lang": "de"}}',
+        '{"doc_id": 3, "text": null, "meta": null}',
+    ]
+    plain = tmp_path / "docs.jsonl"
+    plain.write_text("\n".join(lines) + "\n")
+    gz = tmp_path / "docs2.jsonl.gz"
+    with gzip.open(gz, "wt") as f:
+        f.write("\n".join(lines) + "\n")
+    schema = "doc_id long, text string, meta struct<lang: string>"
+    for p in (plain, gz):
+        out = read_jsonl(spark, str(p), schema).orderBy("doc_id").collect()
+        assert [r.doc_id for r in out] == [1, 2, 3]
+        assert out[0].text == "hello world" and out[1].meta.lang == "de"
+        assert out[2].text is None and out[2].meta is None
+
+
+def test_write_training_shards_contiguous_runs(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from elective_waiting_times_pipeline_spark.operators.sampling import hash_order_position
+    from elective_waiting_times_pipeline_spark.sources.readers import write_training_shards
+
+    df = hash_order_position(spark.range(0, 1000).withColumnRenamed("id", "k"), "k")
+    out_dir = str(tmp_path / "shards")
+    write_training_shards(df, out_dir, n_shards=4)
+    back = (
+        spark.read.parquet(out_dir)
+        .select("position", F.input_file_name().alias("f"))
+        .collect()
+    )
+    by_file = {}
+    for r in back:
+        by_file.setdefault(r.f, []).append(r.position)
+    assert len(by_file) == 4
+    ranges = sorted((min(v), max(v), len(v)) for v in by_file.values())
+    # each file holds a contiguous run; runs tile 1..1000 without overlap
+    nxt = 1
+    for lo, hi, n in ranges:
+        assert lo == nxt and hi - lo + 1 == n
+        nxt = hi + 1
+    assert nxt == 1001
