@@ -47,7 +47,20 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    labels = sym.select(F.col("a").alias("v")).distinct().select("v", F.col("v").alias("label"))
+    # Seed labels with round 1's output directly: starting from
+    # label(v)=v, the first propagation round computes exactly
+    # min({v} ∪ neighbors(v)) (the label-of-label join is the identity
+    # on that start), so folding it into initialization is one groupBy
+    # over the already-checkpointed edge list instead of a full
+    # two-join round. Typical near-dup graphs (tiny star/clique
+    # components) then converge in 1-2 loop rounds instead of 2-3.
+    labels = (
+        sym.select(F.col("a").alias("v"), F.col("b").alias("label"))
+        .unionByName(sym.select(F.col("a").alias("v"), F.col("a").alias("label")))
+        .groupBy("v")
+        .agg(F.min("label").alias("label"))
+        .localCheckpoint(eager=False)
+    )
     # Fixpoint detection by exact label sum: every update strictly
     # DECREASES some vertex's label (min of candidates), so the sum is
     # strictly decreasing until convergence and an unchanged sum ⟺ an
