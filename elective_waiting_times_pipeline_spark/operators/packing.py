@@ -142,8 +142,15 @@ def sliding_chunks(
     from elective_waiting_times_pipeline_spark.operators.text import tokens
 
     n = F.col("_n")
+    # chunks start at 0, stride, 2·stride, …; the last is the first
+    # whose end reaches n — ceil((n-window)/stride)+1 — except when
+    # stride > window (gap-subsampling), where that start could land
+    # past the end: clamp by ceil(n/stride) so every start is < n.
     n_chunks = F.when(n <= window, F.lit(1)).otherwise(
-        F.expr(f"((_n - {window} + {stride} - 1) div {stride})") + 1
+        F.least(
+            F.expr(f"((_n - {window} + {stride} - 1) div {stride})") + 1,
+            F.expr(f"((_n + {stride} - 1) div {stride})"),
+        )
     )
     start = F.col("chunk_idx") * stride
     return (

@@ -278,3 +278,36 @@ def test_sliding_chunks_validates_params(spark):
         P.sliding_chunks(docs, window=0)
     with pytest.raises(ValueError):
         P.sliding_chunks(docs, stride=0)
+
+
+@pytest.mark.parametrize("window,stride", [(1, 1), (5, 5), (5, 3), (8, 2), (3, 7)])
+def test_sliding_chunks_invariants_across_shapes(spark, window, stride):
+    # docs with every token count 0..40: chunk set must tile each doc
+    # (full coverage, no index beyond n, stride-spaced starts) for any
+    # window/stride relation incl. stride > window (gaps allowed only
+    # in OVERLAP, never in coverage ... stride>window legitimately
+    # subsamples, so coverage is only asserted when stride <= window).
+    docs = spark.createDataFrame(
+        [(n, " ".join(f"w{i}" for i in range(n))) for n in range(0, 41)],
+        "doc_id long, text string",
+    )
+    rows = P.sliding_chunks(docs, window=window, stride=stride).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 0 not in by_doc  # empty doc -> no chunks
+    for n in range(1, 41):
+        chunks = sorted(by_doc[n], key=lambda r: r.chunk_idx)
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        for c in chunks:
+            assert c.start_tok == c.chunk_idx * stride < n
+            assert 1 <= c.n_chunk_tokens == min(window, n - c.start_tok)
+        # last chunk reaches the end; next start would be >= n
+        last = chunks[-1]
+        assert last.start_tok + last.n_chunk_tokens <= n
+        assert last.start_tok + stride >= n or last.start_tok + window >= n
+        if stride <= window:
+            covered = set()
+            for c in chunks:
+                covered.update(range(c.start_tok, c.start_tok + c.n_chunk_tokens))
+            assert covered == set(range(n))
