@@ -493,3 +493,49 @@ def unigram_logprob(
             ).alias("mean_logprob"),
         )
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval for a bag of query terms — the
+    classic lexical-search baseline next to the tf-idf ranking.
+
+    score(D,Q) = Σ_t idf(t)·tf·(k1+1) / (tf + k1·(1-b+b·|D|/avgdl)),
+    idf(t) = ln((N-df+0.5)/(df+0.5)+1) (the standard non-negative
+    variant). Plan: ONE corpus tokenize feeds the (doc,term) tf, the
+    doc-length, and the term df relations; only (doc, query-term) rows
+    survive into scoring (the isin filter cuts the join input to
+    |Q|·df rows), the (N, avgdl) scalar broadcasts, and the top-k is
+    TakeOrderedAndProject — no global sort. Cross-engine determinism:
+    per-term scores snap to integer micros (same floor expression both
+    engines) so the per-doc sum is exact integer math."""
+    toks = df.filter(token_count(text_col) >= 1).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    )
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + k1 * (1.0 - b + b * (F.col("dl") / F.col("avgdl")))
+    spm = F.floor((idf * (F.col("tf") * (k1 + 1.0)) / denom) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return (
+        tf.filter(F.col("tok").isin(list(query_terms)))
+        .join(dfreq, "tok")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))  # 1-row scalar
+        .groupBy(id_col)
+        .agg(F.round(F.sum(spm) / F.lit(1e6), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), id_col)
+        .limit(k)
+    )

@@ -931,3 +931,47 @@ def unigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def chunk_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return P.sliding_chunks(docs, window=64, stride=48)
+
+
+# ---------------------------------------------------------------------------
+# BM25 top-k retrieval (Okapi, k1=1.2 b=0.75) for a fixed query bag —
+# the lexical-search baseline beside tfidf_top_terms. One corpus
+# tokenize feeds tf / doclen / df; only query-term rows reach the
+# score join; top-k is TakeOrderedAndProject. Per-term scores snap to
+# integer micros in both engines, so ranking is float-order-immune.
+# ---------------------------------------------------------------------------
+_BM25_TERMS = "'hash', 'join', 'filter', 'scan'"
+
+
+@query(
+    "bm25_topk",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents WHERE {_NTOKS} >= 1
+    ), tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1
+    ), st AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ), dfq AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), sc AS (
+      SELECT t.doc_id,
+             CAST(floor((ln((st.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                   * (t.tf * 2.2)
+                   / (t.tf + 1.2 * (0.25 + 0.75 * (l.dl / st.avgdl)))) * 1000000 + 0.5) AS BIGINT) AS spm
+      FROM tf t JOIN dfq d USING (tok) JOIN dl l USING (doc_id), st
+      WHERE t.tok IN ({_BM25_TERMS})
+    )
+    SELECT doc_id, ROUND(SUM(spm) / 1000000.0, 6) AS bm25
+    FROM sc GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 10
+    """,
+)
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return X.bm25_topk(docs, ["hash", "join", "filter", "scan"], k=10)
