@@ -57,6 +57,8 @@ _ROTATE_FIRST = (
     "embedding_outlier_filter",  # new in round 3 — never driver-checked
     "minhash_estimate_pairs",    # new in round 3 — never driver-checked (rows-only)
     "bm25_topk",                 # new in round 3 — never driver-checked
+    "funnel_conversion",         # new in round 3 — never driver-checked
+    "cohort_retention",          # new in round 3 — never driver-checked
     "text_lang_id",          # err in r02 (oracle generator bug, fixed
                              # this round) — surface the driver re-check
 )

@@ -326,3 +326,103 @@ def events_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel (view → click → purchase): per user, the first view,
+# the first click AFTER that view, the first purchase AFTER that
+# click, and the furthest stage reached. Three chained min-windows on
+# the SAME user partitioning — Catalyst plans ONE exchange and reuses
+# it for all three Window ops and the final agg; no self-joins of the
+# event log (the classic funnel anti-pattern at scale).
+# ---------------------------------------------------------------------------
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+      FROM events GROUP BY 1
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN u USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > u.t_view
+      GROUP BY 1
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY 1
+    )
+    SELECT u.user_id, u.t_view, c.t_click, p.t_purchase,
+           CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3
+                     WHEN c.t_click IS NOT NULL THEN 2
+                     WHEN u.t_view IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS stage
+    FROM u LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    t = F.col("ts")
+    typ = F.col("event_type")
+    step1 = ev.withColumn("t_view", F.min(F.when(typ == "view", t)).over(w))
+    step2 = step1.withColumn(
+        "t_click", F.min(F.when((typ == "click") & (t > F.col("t_view")), t)).over(w)
+    )
+    step3 = step2.withColumn(
+        "t_purchase", F.min(F.when((typ == "purchase") & (t > F.col("t_click")), t)).over(w)
+    )
+    return step3.groupBy("user_id").agg(
+        F.first("t_view").alias("t_view"),
+        F.first("t_click").alias("t_click"),
+        F.first("t_purchase").alias("t_purchase"),
+        F.when(F.first("t_purchase").isNotNull(), 3)
+        .when(F.first("t_click").isNotNull(), 2)
+        .when(F.first("t_view").isNotNull(), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("stage"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: users grouped by first-activity day, counted at
+# each day-offset they return. One user-keyed window for the cohort
+# day, a distinct over (user, offset), one count agg — the event log
+# is never self-joined.
+# ---------------------------------------------------------------------------
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day
+      FROM events GROUP BY 1
+    ), d AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             date_diff('day', f.cohort_day, date_trunc('day', e.ts)) AS day_offset
+      FROM events e JOIN f USING (user_id)
+    )
+    SELECT cohort_day, CAST(day_offset AS INT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM d GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id")
+    cohort = F.date_trunc("DAY", F.min("ts").over(w))
+    return (
+        ev.withColumn("cohort_day", cohort)
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.date_trunc("DAY", F.col("ts")), F.col("cohort_day"))
+            .cast("int")
+            .alias("day_offset"),
+        )
+        .distinct()
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
