@@ -59,6 +59,7 @@ _ROTATE_FIRST = (
     "bm25_topk",                 # new in round 3 — never driver-checked
     "funnel_conversion",         # new in round 3 — never driver-checked
     "cohort_retention",          # new in round 3 — never driver-checked
+    "lang_id_confusion",         # new in round 3 — never driver-checked
     "text_lang_id",          # err in r02 (oracle generator bug, fixed
                              # this round) — surface the driver re-check
 )

@@ -975,3 +975,29 @@ _BM25_TERMS = "'hash', 'join', 'filter', 'scan'"
 def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return X.bm25_topk(docs, ["hash", "join", "filter", "scan"], k=10)
+
+
+# ---------------------------------------------------------------------------
+# Lang-ID confusion matrix vs the corpus's ground-truth `lang` column:
+# (truth, prediction, count) — quantifies the stopword heuristic
+# (e.g. zh has no stopword list → predicted 'und'). Profile and truth
+# co-key on doc_id; the oracle nests the generated lang-ID SQL as a
+# subquery so both stages replay end-to-end.
+# ---------------------------------------------------------------------------
+@query(
+    "lang_id_confusion",
+    oracle=f"""
+    SELECT d.lang, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents d JOIN ({_langid_oracle()}) p USING (doc_id)
+    GROUP BY 1, 2
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pred = X.lang_id_profile(docs)
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
