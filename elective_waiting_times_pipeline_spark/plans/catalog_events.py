@@ -338,6 +338,7 @@ def events_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "funnel_conversion",
+    headline=True,
     oracle="""
     WITH u AS (
       SELECT user_id,
