@@ -41,3 +41,18 @@ def test_timezone_sensitive_queries_match_oracle_under_default_session(entry_mod
 
     df = entry_mod.queries()[name](fresh, sf_dir)
     assert_matches_oracle(df, entry_mod.oracle_sql()[name], sf_dir)
+
+
+def test_rotation_fits_driver_window(entry_mod):
+    # The driver value-checks the FIRST 50 queries() entries. Every
+    # rotated-in name must be a real query, the rotation must fit the
+    # window, and rotation must never drop or duplicate a query.
+    import __spark_entry__ as m
+
+    qs = list(entry_mod.queries())
+    assert len(m._ROTATE_FIRST) <= 50
+    assert len(set(m._ROTATE_FIRST)) == len(m._ROTATE_FIRST)
+    missing = [n for n in m._ROTATE_FIRST if n not in qs]
+    assert not missing, f"rotated names not in catalog: {missing}"
+    assert qs[: len(m._ROTATE_FIRST)] == list(m._ROTATE_FIRST)
+    assert len(qs) == len(set(qs))
