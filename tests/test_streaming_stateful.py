@@ -78,3 +78,80 @@ def test_normalize_event_time_all_encodings(spark):
         assert out.schema["ts"].dataType == T.TimestampType()
         got.add(out.select(F.unix_micros("ts")).first()[0])
     assert got == {us}
+
+
+def test_streaming_funnel_matches_batch(spark, sf_dir):
+    """applyInPandasWithState funnel == the batch window funnel,
+    exact per-user timestamps and stage, under whatever micro-batch
+    split availableNow produces."""
+    from elective_waiting_times_pipeline_spark.plans.catalog import SPARK_QUERIES
+    from elective_waiting_times_pipeline_spark.streaming.stateful import (
+        run_funnel_available_now,
+    )
+
+    out = run_funnel_available_now(
+        spark, f"{sf_dir}/events.parquet", query_name="t_funnel"
+    ).toPandas()
+    truth = SPARK_QUERIES["funnel_conversion"](spark, sf_dir).toPandas()
+    cols = ["user_id", "t_view", "t_click", "t_purchase", "stage"]
+    out = out[cols].sort_values("user_id").reset_index(drop=True)
+    truth = truth[cols].sort_values("user_id").reset_index(drop=True)
+    assert len(out) == len(truth) > 0
+    assert (out["stage"] == truth["stage"]).all()
+    for c in ("t_view", "t_click", "t_purchase"):
+        a, b = out[c], truth[c]
+        assert (a.isna() == b.isna()).all()
+        assert (a.dropna() == b.dropna()).all()
+
+
+def test_streaming_funnel_exact_across_micro_batches(spark, sf_dir, tmp_path):
+    """Force MULTIPLE micro-batches (3 files, maxFilesPerTrigger=1,
+    files split so each user's events scatter across batches in
+    NON-time order) and require the final state to still equal the
+    batch funnel — the late-arriving-view case the state design is
+    for."""
+    from pyspark.sql import functions as F
+
+    from elective_waiting_times_pipeline_spark.plans.catalog import SPARK_QUERIES
+    from elective_waiting_times_pipeline_spark.streaming.io import normalize_event_time
+    from elective_waiting_times_pipeline_spark.streaming.stateful import streaming_funnel
+
+    ev = normalize_event_time(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    src = str(tmp_path / "ev_split")
+    # split by a hash of event_id: time-interleaved, so batch 1 holds
+    # clicks whose validating view arrives only in batch 2 or 3
+    for i in range(3):
+        (ev.filter(F.pmod(F.xxhash64("event_id"), F.lit(3)) == i)
+           .coalesce(1).write.parquet(f"{src}/part{i}"))
+    schema = spark.read.parquet(f"{src}/part0").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(f"{src}/part*")
+    )
+    out_stream = streaming_funnel(raw.select("user_id", "event_type", "ts"))
+    q = (
+        out_stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_funnel_mb")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql(
+        "SELECT user_id, max_by(t_view, n_seen) AS t_view, "
+        "max_by(t_click, n_seen) AS t_click, "
+        "max_by(t_purchase, n_seen) AS t_purchase, "
+        "max_by(stage, n_seen) AS stage FROM t_funnel_mb GROUP BY user_id"
+    ).toPandas()
+    truth = SPARK_QUERIES["funnel_conversion"](spark, sf_dir).toPandas()
+    cols = ["user_id", "t_view", "t_click", "t_purchase", "stage"]
+    out = out[cols].sort_values("user_id").reset_index(drop=True)
+    truth = truth[cols].sort_values("user_id").reset_index(drop=True)
+    assert len(out) == len(truth) > 0
+    assert (out["stage"] == truth["stage"]).all()
+    for c in ("t_view", "t_click", "t_purchase"):
+        a, b = out[c], truth[c]
+        assert (a.isna() == b.isna()).all()
+        assert (a.dropna() == b.dropna()).all()
