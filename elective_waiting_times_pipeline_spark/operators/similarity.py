@@ -94,23 +94,18 @@ def cosine_near_dup_pairs(
     )
 
 
-def ivf_topk(
+def ivf_fit(
     df: DataFrame,
-    query_df: DataFrame,
-    k: int = 10,
     n_cells: int = 16,
-    n_probe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
-    round_dp: int = 6,
     sample_size: int = 2048,
 ) -> DataFrame:
-    """IVF-style ANN: coarse-quantize the corpus into `n_cells`
-    centroids (KMeans on a driver-side sample — centroid fitting is a
-    tiny model, the ASSIGNMENT is the distributed pass), then search
-    only the `n_probe` cells nearest the query. Returns (id, cosine)
-    top-k like cosine_topk but scanning ~n_probe/n_cells of the corpus.
+    """IVF index BUILD, step 1: fit `n_cells` coarse centroids and
+    return them as a tiny (cell INT, centroid ARRAY<DOUBLE>) DataFrame
+    — persist it next to the corpus (plain parquet) and every later
+    search reuses it instead of re-fitting.
 
     The fitting sample is the `sample_size` rows with the smallest
     `xxhash64(id, seed)` — a deterministic pseudo-random draw that is
@@ -118,13 +113,9 @@ def ivf_topk(
     partitions answer first: on a corpus written sorted/clustered, the
     centroids would mirror one shard and probe recall collapses
     elsewhere). TakeOrdered keeps only `sample_size` rows per
-    partition, so the draw costs one corpus scan, no full sort.
-
-    The probe set is decided on the driver from the centroid table
-    (n_cells rows — not a data-scale collect); cell assignment and
-    scoring are single-pass column expressions over a partition-pruned
-    (cell IN probes) scan when the corpus is written partitioned by
-    cell — the 100 TB layout this operator implies."""
+    partition, so the draw costs one corpus scan, no full sort. KMeans
+    (8 Lloyd iterations) runs driver-side on the sample — the model is
+    tiny; the distributed pass is the ASSIGNMENT (`ivf_assign`)."""
     import numpy as np
 
     sample = np.array(
@@ -141,7 +132,7 @@ def ivf_topk(
         dtype="float64",
     )
     if len(sample) == 0:
-        raise ValueError("ivf_topk: empty corpus — nothing to fit centroids on")
+        raise ValueError("ivf_fit: empty corpus — nothing to fit centroids on")
     rng = np.random.RandomState(seed)
     centroids = sample[rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)]
     for _ in range(8):  # Lloyd iterations, driver-side on the sample
@@ -151,24 +142,46 @@ def ivf_topk(
             m = assign == c
             if m.any():
                 centroids[c] = sample[m].mean(0)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(int(i), [float(v) for v in c]) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    )
 
-    qrow = query_df.select(vec_col).head()
-    if qrow is None:
-        raise ValueError("ivf_topk: empty query DataFrame")
-    qv = np.array(qrow[0], dtype="float64")
-    qd = ((centroids - qv) ** 2).sum(-1)
-    probes = [int(i) for i in qd.argsort()[:n_probe]]
 
-    # Cell assignment as an Arrow-batched Pandas UDF: the expression
-    # form (n_cells × zip_with/aggregate lambdas) runs INTERPRETED per
-    # row per cell — ~7× slower measured at 16 cells × dim 64. One
-    # numpy broadcast per batch computes the same exact squared
-    # distances (same dtype, same argmin tie behavior: numpy argmin
-    # and array_position(min) both take the first minimum). Centroids
-    # travel in the UDF closure — n_cells × dim floats, not data-scale.
+def _centroid_matrix(centroids_df: DataFrame):
+    """Driver-side (cells × dim) matrix from the tiny centroid table,
+    ordered by cell id. n_cells rows — never a data-scale collect."""
+    import numpy as np
+
+    rows = sorted(centroids_df.collect(), key=lambda r: r["cell"])
+    if not rows:
+        raise ValueError("empty centroid table")
+    return np.array([r["centroid"] for r in rows], dtype="float64")
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids_df: DataFrame,
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """IVF index BUILD, step 2: tag every corpus vector with its
+    nearest-centroid cell. Write the result `partitionBy(cell)` and
+    probes become partition-pruned scans (see test_skew_ivf_simhash's
+    pruning assertion) — the 100 TB layout this operator implies.
+
+    Cell assignment is an Arrow-batched Pandas UDF: the expression
+    form (n_cells × zip_with/aggregate lambdas) runs INTERPRETED per
+    row per cell — ~7× slower measured at 16 cells × dim 64. One
+    numpy broadcast per batch computes the same exact squared
+    distances (same dtype, same argmin tie behavior: numpy argmin
+    and array_position(min) both take the first minimum). Centroids
+    travel in the UDF closure — n_cells × dim floats, not data-scale."""
+    import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    C = np.asarray(centroids, dtype="float64")
+    C = _centroid_matrix(centroids_df)
 
     @pandas_udf("int")
     def _cell_of(s: pd.Series) -> pd.Series:
@@ -176,15 +189,79 @@ def ivf_topk(
         d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(-1)
         return pd.Series(d.argmin(1).astype("int32"))
 
+    return df.withColumn(cell_col, _cell_of(F.col(vec_col)))
+
+
+def ivf_probe(
+    indexed_df: DataFrame,
+    centroids_df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "cell",
+    round_dp: int = 6,
+) -> DataFrame:
+    """IVF SEARCH over a built index (`ivf_assign` output, typically
+    reloaded from its cell-partitioned parquet): score only the
+    `n_probe` cells nearest the query. The probe set is decided on the
+    driver from the centroid table (n_cells rows); the `cell IN
+    probes` filter prunes partitions at plan time on a
+    cell-partitioned layout, so the scan touches ~n_probe/n_cells of
+    the corpus."""
+    import numpy as np
+
+    C = _centroid_matrix(centroids_df)
+    qrow = query_df.select(vec_col).head()
+    if qrow is None:
+        raise ValueError("ivf_probe: empty query DataFrame")
+    qv = np.array(qrow[0], dtype="float64")
+    qd = ((C - qv) ** 2).sum(-1)
+    probes = [int(i) for i in qd.argsort()[:n_probe]]
+
     q = F.broadcast(query_df.select(F.col(vec_col).alias("_qvec")))
-    celled = df.withColumn("_cell", _cell_of(F.col(vec_col)))
-    pruned = celled.filter(F.col("_cell").isin(probes))
+    pruned = indexed_df.filter(F.col(cell_col).isin(probes))
     sim = F.round(cosine(F.col(vec_col), F.col("_qvec")), round_dp)
     return (
         pruned.crossJoin(q)
         .select(F.col(id_col), sim.alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    round_dp: int = 6,
+    sample_size: int = 2048,
+) -> DataFrame:
+    """IVF-style ANN in one call: fit + assign + probe (see the three
+    lifecycle operators above — production persists the fit/assign
+    outputs once and calls `ivf_probe` per query). Returns (id,
+    cosine) top-k like cosine_topk but scanning ~n_probe/n_cells of
+    the corpus."""
+    cents = ivf_fit(
+        df, n_cells=n_cells, vec_col=vec_col, id_col=id_col, seed=seed, sample_size=sample_size
+    )
+    indexed = ivf_assign(df, cents, vec_col=vec_col, cell_col="_cell")
+    return ivf_probe(
+        indexed,
+        cents,
+        query_df,
+        k=k,
+        n_probe=n_probe,
+        vec_col=vec_col,
+        id_col=id_col,
+        cell_col="_cell",
+        round_dp=round_dp,
     )
 
 

@@ -142,3 +142,42 @@ def test_near_dup_pairs_quadratic_guard(spark):
         S.cosine_near_dup_pairs(big, max_rows=10)
     # explicit opt-out still works
     assert S.cosine_near_dup_pairs(big, max_rows=None).count() > 0
+
+
+def test_ivf_lifecycle_persisted_index_matches_one_shot(spark, tmp_path):
+    """fit -> assign -> persist (cell-partitioned) -> reload -> probe
+    must equal the one-shot ivf_topk, and the reloaded probe scan must
+    PRUNE partitions (the 100 TB layout claim, checked in the plan)."""
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+
+    direct = S.ivf_topk(emb, q, k=10, n_cells=8, n_probe=3).collect()
+
+    cents = S.ivf_fit(emb, n_cells=8)
+    cpath, ipath = str(tmp_path / "centroids"), str(tmp_path / "index")
+    cents.write.parquet(cpath)
+    S.ivf_assign(emb, cents).write.partitionBy("cell").parquet(ipath)
+
+    cents2 = spark.read.parquet(cpath)
+    indexed2 = spark.read.parquet(ipath)
+    via_index = S.ivf_probe(indexed2, cents2, q, k=10, n_probe=3).collect()
+    assert [(r.vec_id, r.cosine_sim) for r in via_index] == [
+        (r.vec_id, r.cosine_sim) for r in direct
+    ]
+
+    plan = (
+        S.ivf_probe(indexed2, cents2, q, k=10, n_probe=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan  # probe filter reached the scan
+
+
+def test_ivf_fit_centroid_table_shape(spark):
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = S.ivf_fit(emb, n_cells=8).collect()
+    assert sorted(r.cell for r in cents) == list(range(8))
+    dims = {len(r.centroid) for r in cents}
+    assert dims == {64}
