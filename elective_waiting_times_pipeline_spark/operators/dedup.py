@@ -92,6 +92,76 @@ def minhash_signatures(
     )
 
 
+def _banded(
+    sigs: DataFrame, id_col: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(id, band, bucket) rows: one bucket hash per signature band.
+    Shared by the batch and incremental candidate generators so both
+    hash identically."""
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(F.slice("signature", b * rows_per_band + 1, rows_per_band), ",")
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
+def incremental_lsh_candidates(
+    new_sigs: DataFrame,
+    store_sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Candidate pairs INVOLVING AT LEAST ONE NEW DOCUMENT —
+    new × (store ∪ new) — for ingest-time dedup against an existing
+    corpus: the daily increment never re-tokenizes or re-hashes the
+    100 TB store, only its persisted SIGNATURE table (id + num_hashes
+    longs — narrow, banding it is a cheap transform) and the new
+    batch's texts. Store-internal pairs are already known from prior
+    runs and are not re-emitted.
+
+    Same bucket hashing as `minhash_lsh_candidates` (shared `_banded`),
+    so incremental results equal the full run restricted to new-doc
+    pairs (equivalence-tested). The equi-join on (band, bucket)
+    shuffles |new bands| + |store bands| narrow rows; `max_bucket_size`
+    drops over-full buckets by their size in the UNION (matching the
+    batch guard's semantics: a hot bucket is an exact-dup/boilerplate
+    group, exact dedup's job)."""
+    nb = _banded(new_sigs, id_col, bands, rows_per_band)
+    ub = _banded(store_sigs, id_col, bands, rows_per_band).unionByName(nb)
+    if max_bucket_size is not None:
+        ok = (
+            ub.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        nb = nb.join(ok, ["band", "bucket"], "left_semi")
+        ub = ub.join(ok, ["band", "bucket"], "left_semi")
+    n = nb.select("band", "bucket", F.col(id_col).alias("_nid"))
+    u = ub.select("band", "bucket", F.col(id_col).alias("_uid"))
+    return (
+        n.join(u, ["band", "bucket"])
+        .filter(F.col("_nid") != F.col("_uid"))
+        .select(
+            F.least("_nid", "_uid").alias("id_a"),
+            F.greatest("_nid", "_uid").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
 def minhash_lsh_candidates(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -120,21 +190,7 @@ def minhash_lsh_candidates(
     handles at O(group) cost, not a NEAR-dup neighborhood worth
     C(n,2) verification). Default None = emit everything
     (rows-only-checkable, used by the recall tests)."""
-    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
-    banded = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                band_idx,
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.array_join(F.slice("signature", b * rows_per_band + 1, rows_per_band), ",")).alias(
-                        "bucket"
-                    ),
-                ),
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    banded = _banded(sigs, id_col, bands, rows_per_band)
     buckets = (
         banded.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_set(id_col)).alias("_ids"))

@@ -243,3 +243,47 @@ def test_minhash_estimate_jaccard_tracks_exact(spark):
         assert est[p] == 1.0
     errs = [abs(est[p] - exact.get(p, 0.0)) for p in est]
     assert sum(errs) / len(errs) < 0.15, max(errs)
+
+
+# ---------------------------------------------------------------------------
+# Incremental LSH: new batch vs persisted signature store.
+# ---------------------------------------------------------------------------
+def test_incremental_lsh_equals_full_run_restricted_to_new(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs)
+    # persist the "store" signatures (the narrow table an ingest
+    # pipeline keeps), split new/store by doc_id
+    store_sigs = sigs.filter(F.col("doc_id") % 5 != 0)
+    new_sigs = sigs.filter(F.col("doc_id") % 5 == 0)
+    spath = str(tmp_path / "sig_store")
+    store_sigs.write.parquet(spath)
+
+    inc = D.incremental_lsh_candidates(new_sigs, spark.read.parquet(spath))
+    got = {(r.id_a, r.id_b) for r in inc.collect()}
+
+    full = D.minhash_lsh_candidates(sigs)
+    new_ids = {r.doc_id for r in new_sigs.select("doc_id").collect()}
+    want = {
+        (r.id_a, r.id_b)
+        for r in full.collect()
+        if r.id_a in new_ids or r.id_b in new_ids
+    }
+    assert got == want and len(want) > 0
+
+
+def test_incremental_lsh_bucket_guard_matches_batch(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs)
+    store_sigs = sigs.filter(F.col("doc_id") % 5 != 0)
+    new_sigs = sigs.filter(F.col("doc_id") % 5 == 0)
+    cap = 3
+    inc = D.incremental_lsh_candidates(new_sigs, store_sigs, max_bucket_size=cap)
+    got = {(r.id_a, r.id_b) for r in inc.collect()}
+    full = D.minhash_lsh_candidates(sigs, max_bucket_size=cap)
+    new_ids = {r.doc_id for r in new_sigs.select("doc_id").collect()}
+    want = {
+        (r.id_a, r.id_b)
+        for r in full.collect()
+        if r.id_a in new_ids or r.id_b in new_ids
+    }
+    assert got == want
