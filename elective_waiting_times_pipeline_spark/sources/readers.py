@@ -161,3 +161,27 @@ def write_training_shards(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_values: Iterable[str],
+    partition_col: str = "monthyr",
+    target_files: int = 1,
+) -> None:
+    """Rewrite the named partitions of a lake into `target_files`
+    files each — the small-file compaction every streaming/incremental
+    ingest eventually needs (a month landed in 100 micro-batches reads
+    100× slower than one well-sized file; parquet footer and task
+    overhead dominate). Only the listed partitions are read and
+    replaced (dynamic partition overwrite — the rest of the lake is
+    untouched); the rewrite is a coalesce, not a shuffle. Idempotent:
+    re-compacting a compacted partition rewrites the same content."""
+    values = list(partition_values)
+    df = (
+        spark.read.parquet(path)
+        .filter(F.col(partition_col).isin(values))
+        .coalesce(target_files)
+    )
+    overwrite_partitions(df, path, (partition_col,))

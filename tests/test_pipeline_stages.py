@@ -267,3 +267,39 @@ def test_validate_unique_key_and_rowcount(spark):
         validate_unique_key(duped, ["k"])
     with _pytest.raises(ValueError, match="row-count mismatch"):
         validate_rowcount_equals(clean, duped)
+
+
+def test_compact_partitions_merges_files_and_preserves_rows(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from elective_waiting_times_pipeline_spark.sources.readers import (
+        compact_partitions,
+        write_partitioned,
+    )
+
+    lake = str(tmp_path / "lake")
+    df = spark.range(0, 300).select(
+        F.col("id"),
+        F.concat(F.lit("m"), (F.col("id") % 3).cast("string")).alias("monthyr"),
+    )
+    # fragment each partition into many files (simulated micro-batches)
+    df.repartition(10).write.partitionBy("monthyr").parquet(lake)
+    before = spark.read.parquet(lake)
+    n_files_before = before.filter("monthyr = 'm1'").select(
+        F.input_file_name()
+    ).distinct().count()
+    assert n_files_before > 1
+    rows_before = sorted(r.id for r in before.collect())
+
+    compact_partitions(spark, lake, ["m1"], target_files=1)
+
+    after = spark.read.parquet(lake)
+    assert sorted(r.id for r in after.collect()) == rows_before
+    n_files_after = after.filter("monthyr = 'm1'").select(
+        F.input_file_name()
+    ).distinct().count()
+    assert n_files_after == 1
+    # untouched partition keeps its fragmented layout
+    assert after.filter("monthyr = 'm0'").select(
+        F.input_file_name()
+    ).distinct().count() > 1
