@@ -240,3 +240,61 @@ def budget_per_group(
     prefix-sum machinery as `cap_per_group`."""
     pref = hash_order_prefix(df, key, group_cols, salt, weight=weight, out_prefix=out)
     return pref.filter(F.col(out) <= budget)
+
+
+def temperature_mixture(
+    df: DataFrame,
+    key: Column | str,
+    strata_col: str,
+    alpha: float = 0.5,
+    target_rows: int = 1000,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-balanced corpus mixing: sample ~`target_rows` rows
+    with per-stratum probability ∝ n_s^alpha (the multilingual /
+    multi-source balancing rule — alpha<1 up-weights small sources,
+    alpha=1 is proportional). Per-row keep probability
+    p_s = min(1, target·n_s^alpha / (Σ_t n_t^alpha) / n_s),
+    applied as a deterministic hash threshold, so the draw is stable
+    under reruns, row order, and partitioning — unlike `sampleBy`.
+
+    Everything derives INSIDE the plan: a tiny per-stratum size agg,
+    a 1-row normalizer, thresholds as column expressions (hex-grid
+    quantized exactly like `hex_threshold`, floor(p·16^4 + 0.5)
+    capped at the grid max with a p≥1 keep-all branch) broadcast back
+    to the corpus — two tiny aggs + one broadcast join, no driver
+    round-trip, replayable verbatim by a SQL oracle."""
+    c = F.col(key) if isinstance(key, str) else key
+    sizes = df.groupBy(strata_col).agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    z = sizes.agg(F.sum(F.pow("_n", F.lit(alpha))).alias("_z"))
+    th = (
+        sizes.crossJoin(F.broadcast(z))
+        .select(
+            strata_col,
+            F.least(
+                F.lit(1.0),
+                F.lit(float(target_rows)) * F.pow("_n", F.lit(alpha)) / F.col("_z") / F.col("_n"),
+            ).alias("_p"),
+        )
+        .select(
+            strata_col,
+            "_p",
+            F.lower(
+                F.lpad(
+                    F.hex(
+                        F.least(F.floor(F.col("_p") * HEX_SPACE + 0.5), F.lit(HEX_SPACE - 1)).cast(
+                            "long"
+                        )
+                    ),
+                    HEX_BITS,
+                    "0",
+                )
+            ).alias("_t"),
+        )
+    )
+    h = hash_hex_prefix(c, salt)
+    return (
+        df.join(F.broadcast(th), strata_col)
+        .filter((F.col("_p") >= 1.0) | (h < F.col("_t")))
+        .drop("_p", "_t")
+    )

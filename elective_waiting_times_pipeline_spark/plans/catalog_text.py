@@ -1001,3 +1001,34 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-balanced mixture (alpha=0.5, ~200 docs): per-source keep
+# probability ∝ n_s^alpha, the multilingual balancing rule. The whole
+# derivation (sizes → normalizer → quantized thresholds → hash
+# compare) runs inside the plan; the oracle replays it verbatim.
+# ---------------------------------------------------------------------------
+@query(
+    "mixture_temperature",
+    oracle="""
+    WITH sz AS (
+      SELECT source, CAST(COUNT(*) AS DOUBLE) AS n FROM documents GROUP BY 1
+    ), z AS (
+      SELECT SUM(pow(n, 0.5)) AS z FROM sz
+    ), th AS (
+      SELECT source, p,
+             printf('%04x', CAST(least(floor(p * 65536 + 0.5), 65535) AS INT)) AS t
+      FROM (SELECT source, least(1.0, 200.0 * pow(n, 0.5) / z.z / n) AS p FROM sz, z)
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN th USING (source)
+    WHERE th.p >= 1.0
+       OR substr(md5(CAST(d.doc_id AS VARCHAR) || 'temp'), 1, 4) < th.t
+    """,
+)
+def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return S.temperature_mixture(
+        docs, "doc_id", "source", alpha=0.5, target_rows=200, salt="temp"
+    ).select("doc_id", "source")
