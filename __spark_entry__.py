@@ -61,6 +61,7 @@ _ROTATE_FIRST = (
     "cohort_retention",          # new in round 3 — never driver-checked
     "lang_id_confusion",         # new in round 3 — never driver-checked
     "mixture_temperature",       # new in round 3 — never driver-checked
+    "dedup_keep_longest",        # new in round 3 — never driver-checked
     "text_lang_id",          # err in r02 (oracle generator bug, fixed
                              # this round) — surface the driver re-check
 )

@@ -1032,3 +1032,42 @@ def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.temperature_mixture(
         docs, "doc_id", "source", alpha=0.5, target_rows=200, salt="temp"
     ).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# Dedup keep-LONGEST: per near-dup cluster keep the doc with the most
+# characters (tie → min doc_id) — the common alternative to min-id
+# canonical when near-dups are truncations/excerpts of a fuller
+# original. Same transitive closure; one window over (cluster_id).
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_keep_longest",
+    oracle=_CLUSTERS_CTE
+    + """
+    , clus AS (
+      SELECT v AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY v
+    ), scored AS (
+      SELECT c.doc_id, c.cluster_id, d.n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.cluster_id ORDER BY d.n_chars DESC, c.doc_id
+             ) AS rn
+      FROM clus c JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, cluster_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM scored WHERE rn = 1
+    """,
+)
+def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from elective_waiting_times_pipeline_spark.operators.cluster import near_dup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = near_dup_clusters(docs, shingle_n=3, min_jaccard=0.1)
+    scored = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "cluster_id", F.col("n_chars").cast("long"))
+    )
