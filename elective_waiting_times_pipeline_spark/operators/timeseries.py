@@ -1,0 +1,137 @@
+"""Dense time-series operators: gap-filling (LOCF) and rolling
+anomaly detection over bucketed event series.
+
+Both operators follow the same scale discipline: the only pass over
+the raw event log is ONE hash aggregation to (group, time-bucket)
+rows — map-side partial agg, a shuffle of a few long columns. Every
+window after that runs over the bucketed series, whose size is
+|groups| x |buckets| regardless of corpus size (a year of hourly
+buckets is <9k rows per group at 100 TB just as at sf0.001).
+
+Determinism across engines (the DuckDB oracles hash-match): all
+sums are scaled-long integer math (registry.sl2), per-bucket means
+are snapped to integer micros with floor(x + 0.5) before any rolling
+statistic, and rolling sums are therefore exact longs; the final
+mean/variance/z-score arithmetic is a fixed sequence of IEEE-754
+double ops on identical integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from elective_waiting_times_pipeline_spark.plans.registry import sl2
+
+
+def bucket_series(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hourly bucket aggregate: (group, bucket, n_events, sv) where
+    sv is the scaled-long (x100) value sum. The one pass over the raw
+    log; everything downstream is sized by the bucket grid."""
+    return events.groupBy(
+        F.col(group_col).alias("grp"), F.date_trunc("HOUR", F.col(ts_col)).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_events"), F.sum(sl2(value_col)).alias("sv"))
+
+
+def _avg_micros() -> Column:
+    """Per-bucket mean snapped to integer micros: floor(sv*1e4/n + .5)
+    (sv is x100, so x1e4 more is micros). sv*1e4 <= ~1e13 stays exactly
+    representable in double; the floor(+0.5) half-up snap is the same
+    formula the oracle uses, so both engines carry identical longs into
+    the rolling stats."""
+    return F.floor(F.col("sv") * 10000.0 / F.col("n_events") + 0.5).cast("long")
+
+
+def gapfill_locf(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Dense hourly series per group with last-observation-carried-
+    forward fill (the hypertable `time_bucket_gapfill` + `locf`
+    pattern).
+
+    Plan: bucket agg (one shuffle) -> per-group min/max bounds (tiny)
+    -> sequence() explode builds the dense grid -> left join buckets
+    onto the grid -> last(ignorenulls) window carries values across
+    gaps. The grid and both windows are |groups| x |hours| rows — at
+    100 TB the raw log never re-shuffles and the grid stays tiny, so
+    the whole fill costs one aggregation of the fact table.
+    """
+    agg = bucket_series(events, group_col, ts_col, value_col)
+    bounds = agg.groupBy("grp").agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
+    grid = bounds.select(
+        "grp",
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("bucket"),
+    )
+    joined = grid.join(agg, ["grp", "bucket"], "left")
+    w = Window.partitionBy("grp").orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    avg_value = F.when(
+        F.col("n_events").isNotNull(), F.round(F.col("sv") / 100.0 / F.col("n_events"), 6)
+    )
+    return (
+        joined.select(
+            "grp",
+            "bucket",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            avg_value.alias("avg_value"),
+        )
+        .withColumn("filled_value", F.last("avg_value", ignorenulls=True).over(w))
+        .withColumn("is_gap", (F.col("n_events") == 0))
+        .withColumnRenamed("grp", group_col)
+    )
+
+
+def rolling_zscore(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    lookback: int = 24,
+    min_buckets: int = 8,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Bucket-level anomaly detection: each hourly bucket's mean value
+    is z-scored against the trailing `lookback` buckets (current bucket
+    EXCLUDED, so an anomalous hour cannot mask itself), flagged when
+    |z| > threshold.
+
+    The rolling mean/std run over the bucketed series only — exact
+    long sums of the micro-snapped bucket means (sum and sum-of-squares
+    fit comfortably in int64 for a 24-bucket frame), so the window
+    state is two longs + a count no matter the corpus size. Buckets
+    with fewer than `min_buckets` trailing observations or zero
+    trailing variance get a NULL z (cold start / constant series).
+    """
+    agg = bucket_series(events, group_col, ts_col, value_col).withColumn("au", _avg_micros())
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("bucket")
+        .rowsBetween(-lookback, -1)
+    )
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum("au").over(w)
+    ss = F.sum(F.col("au") * F.col("au")).over(w)
+    mean = s / n
+    var = ss / n - mean * mean
+    z = F.when(
+        (n >= min_buckets) & (var > 0),
+        F.round((F.col("au") - mean) / F.sqrt(var), 6),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "bucket",
+        F.round(F.col("au") / 1000000.0, 6).alias("bucket_avg"),
+        z.alias("z_score"),
+    ).withColumn(
+        "is_anomaly",
+        F.when(F.col("z_score").isNotNull(), F.abs(F.col("z_score")) > threshold).otherwise(
+            F.lit(False)
+        ),
+    )

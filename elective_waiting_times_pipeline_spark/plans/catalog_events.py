@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from elective_waiting_times_pipeline_spark.operators import timeseries as TS
 from elective_waiting_times_pipeline_spark.plans.registry import query, sl2
 from elective_waiting_times_pipeline_spark.sources.readers import load_table
 
@@ -427,3 +428,90 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Dense hourly series + LOCF gap fill (the hypertable
+# time_bucket_gapfill + locf pattern). One fact-table aggregation;
+# grid + windows are |types| x |hours| rows at any corpus size.
+# ---------------------------------------------------------------------------
+@query(
+    "events_gapfill_locf",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type AS grp, date_trunc('hour', ts) AS bucket,
+             COUNT(*) AS n_events,
+             SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sv
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT grp, MIN(bucket) AS mn, MAX(bucket) AS mx FROM agg GROUP BY 1
+    ), grid AS (
+      SELECT grp, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket FROM bounds
+    ), j AS (
+      SELECT g.grp, g.bucket,
+             a.n_events,
+             CASE WHEN a.n_events IS NOT NULL
+                  THEN ROUND(CAST(a.sv AS DOUBLE) / 100 / a.n_events, 6) END AS avg_value
+      FROM grid g LEFT JOIN agg a USING (grp, bucket)
+    )
+    SELECT grp AS event_type, bucket,
+           CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+           avg_value,
+           LAST_VALUE(avg_value IGNORE NULLS)
+             OVER (PARTITION BY grp ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+           COALESCE(n_events, 0) = 0 AS is_gap
+    FROM j
+    """,
+)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return TS.gapfill_locf(ev)
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomaly flags on the hourly bucket series: each
+# bucket's mean vs the trailing 24 buckets (current excluded).
+# Rolling state = two exact longs + a count over the bucketed series,
+# never over the raw log.
+# ---------------------------------------------------------------------------
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type AS grp, date_trunc('hour', ts) AS bucket,
+             COUNT(*) AS n_events,
+             SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sv
+      FROM events GROUP BY 1, 2
+    ), au AS (
+      SELECT grp, bucket,
+             CAST(floor(CAST(sv AS DOUBLE) * 10000 / n_events + 0.5) AS BIGINT) AS au
+      FROM agg
+    ), roll AS (
+      SELECT grp, bucket, au,
+             COUNT(*) OVER w AS n,
+             SUM(au) OVER w AS s,
+             SUM(au * au) OVER w AS ss
+      FROM au
+      WINDOW w AS (PARTITION BY grp ORDER BY bucket
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    ), scored AS (
+      SELECT grp, bucket,
+             ROUND(au / 1000000.0, 6) AS bucket_avg,
+             CASE WHEN n >= 8
+                       AND (CAST(ss AS DOUBLE) / n
+                            - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) > 0
+                  THEN ROUND((au - CAST(s AS DOUBLE) / n)
+                             / sqrt(CAST(ss AS DOUBLE) / n
+                                    - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)), 6)
+             END AS z_score
+      FROM roll
+    )
+    SELECT grp AS event_type, bucket, bucket_avg, z_score,
+           COALESCE(abs(z_score) > 3, FALSE) AS is_anomaly
+    FROM scored
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return TS.rolling_zscore(ev)

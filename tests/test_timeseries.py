@@ -1,0 +1,76 @@
+"""Gap-fill (LOCF) and rolling z-score anomaly detection on synthetic
+series with known gaps and a known spike — the sf tables are dense
+enough that the interesting branches (gap rows, anomaly flags, cold
+start) need constructed input."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from elective_waiting_times_pipeline_spark.operators import timeseries as TS
+
+T0 = dt.datetime(2024, 1, 1, 0, 30)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, 1, g, v, "{}") for i, (g, t, v) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+
+
+def test_gapfill_locf_fills_missing_hours(spark):
+    # hours 0, 1, 4 observed -> hours 2 and 3 are gaps carrying hour 1's value
+    rows = [
+        ("a", T0, 10.0),
+        ("a", T0 + dt.timedelta(hours=1), 20.0),
+        ("a", T0 + dt.timedelta(hours=1, minutes=10), 30.0),
+        ("a", T0 + dt.timedelta(hours=4), 40.0),
+    ]
+    out = TS.gapfill_locf(_events(spark, rows)).orderBy("bucket").collect()
+    assert [r.bucket.hour for r in out] == [0, 1, 2, 3, 4]
+    assert [r.is_gap for r in out] == [False, False, True, True, False]
+    assert [r.n_events for r in out] == [1, 2, 0, 0, 1]
+    assert [r.avg_value for r in out] == [10.0, 25.0, None, None, 40.0]
+    assert [r.filled_value for r in out] == [10.0, 25.0, 25.0, 25.0, 40.0]
+
+
+def test_gapfill_groups_fill_independently(spark):
+    rows = [
+        ("a", T0, 1.0),
+        ("a", T0 + dt.timedelta(hours=2), 2.0),
+        ("b", T0 + dt.timedelta(hours=5), 5.0),
+    ]
+    out = TS.gapfill_locf(_events(spark, rows))
+    a = out.filter(F.col("event_type") == "a").orderBy("bucket").collect()
+    b = out.filter(F.col("event_type") == "b").collect()
+    assert [r.filled_value for r in a] == [1.0, 1.0, 2.0]  # gap at hour 1 carries hour 0
+    assert len(b) == 1 and b[0].filled_value == 5.0  # b's grid starts at its own min
+
+
+def test_rolling_zscore_flags_spike_and_cold_start(spark):
+    # 12 calm hours (values 10 +/- 0.5 alternating) then a spike at hour 12.
+    rows = []
+    for h in range(12):
+        rows.append(("a", T0 + dt.timedelta(hours=h), 10.0 + (0.5 if h % 2 else -0.5)))
+    rows.append(("a", T0 + dt.timedelta(hours=12), 100.0))
+    out = (
+        TS.rolling_zscore(_events(spark, rows), lookback=24, min_buckets=8, threshold=3.0)
+        .orderBy("bucket")
+        .collect()
+    )
+    # first 8 buckets: fewer than min_buckets trailing observations -> NULL z
+    assert all(r.z_score is None and r.is_anomaly is False for r in out[:8])
+    # calm buckets after warmup: |z| small
+    assert all(abs(r.z_score) < 3 and not r.is_anomaly for r in out[8:12])
+    spike = out[12]
+    assert spike.bucket_avg == 100.0 and spike.z_score > 3 and spike.is_anomaly
+
+
+def test_rolling_zscore_constant_series_never_flags(spark):
+    rows = [("a", T0 + dt.timedelta(hours=h), 7.0) for h in range(20)]
+    out = TS.rolling_zscore(_events(spark, rows)).collect()
+    # zero trailing variance -> NULL z, never an anomaly
+    assert all(r.z_score is None and r.is_anomaly is False for r in out)
