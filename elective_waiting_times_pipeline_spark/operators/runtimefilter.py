@@ -1,0 +1,58 @@
+"""Runtime-filter (bloom-style) join pre-filtering.
+
+The 100 TB problem this solves: a fact-side shuffle for a semi/inner
+join pays for every fact row, even when the join's dim side is
+selective and most fact rows will be dropped. Engines push a compact
+membership filter (a bloom filter / IN-list runtime filter) down to
+the fact scan so non-matching rows die before the exchange. Spark's
+own InjectRuntimeFilter does this only for its internal
+bloom_filter_agg, which is not exposed to the public function
+registry — so this module builds the same mechanism from public
+primitives:
+
+  1. hash every dim key into one of `m` buckets (xxhash64 % m) and
+     keep the DISTINCT bucket ids — a set of at most `m` longs no
+     matter how many dim rows there are;
+  2. broadcast that bucket set and LEFT SEMI join the fact on
+     bucket(fact_key) — a map-side-only filter, no fact shuffle;
+  3. exact LEFT SEMI join the survivors against the true key set to
+     remove the false positives the lossy bucket filter lets through.
+
+Step 3 makes the result EXACTLY the plain semi-join (the DuckDB
+oracle is the plain semi-join), while steps 1-2 cut the rows that
+reach the exact join's exchange to matches + a |dim|/m false-positive
+fraction. With the default m = 2^20 a dim side of a million keys
+still prefilters at <40% fp; a reference-card dim of thousands of
+keys prefilters at <1%.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def key_bucket_set(dim: DataFrame, dim_key: str, m: int = 1 << 20) -> DataFrame:
+    """The broadcastable filter: distinct xxhash64(key) % m buckets."""
+    return dim.select(
+        F.pmod(F.xxhash64(F.col(dim_key)), F.lit(m)).alias("__rf_bucket")
+    ).distinct()
+
+
+def prefiltered_semi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    m: int = 1 << 20,
+) -> DataFrame:
+    """fact LEFT SEMI dim, with a broadcast hash-bucket prefilter ahead
+    of the exact join. Result is row-identical to the plain semi-join;
+    the prefilter only changes how many fact rows reach the exchange."""
+    buckets = key_bucket_set(dim, dim_key, m)
+    bucket: Column = F.pmod(F.xxhash64(fact[fact_key]), F.lit(m))
+    pre = fact.join(
+        F.broadcast(buckets), bucket == F.col("__rf_bucket"), "left_semi"
+    )
+    keys = dim.select(F.col(dim_key).alias("__rf_key")).distinct()
+    return pre.join(keys, pre[fact_key] == F.col("__rf_key"), "left_semi")

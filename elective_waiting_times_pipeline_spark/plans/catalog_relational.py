@@ -668,3 +668,36 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         (F.sum("_q") / 100.0).alias("sum_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Runtime-filter join prefilter (operators/runtimefilter.py): a
+# broadcast hash-bucket set screens lineitem rows before the exact
+# semi-join against high-value orders — the public-primitive version
+# of a pushed-down bloom runtime filter. The oracle is the PLAIN
+# semi-join: the prefilter must not change a single row.
+# ---------------------------------------------------------------------------
+@query(
+    "runtime_filter_semi_join",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
+             AS sum_extended
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+    GROUP BY l_returnflag
+    """,
+)
+def runtime_filter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elective_waiting_times_pipeline_spark.operators.runtimefilter import (
+        prefiltered_semi_join,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    kept = prefiltered_semi_join(li, big, "l_orderkey", "o_orderkey")
+    return kept.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        sum2("l_extendedprice", "sum_extended"),
+    )

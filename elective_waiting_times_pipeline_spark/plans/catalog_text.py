@@ -1071,3 +1071,45 @@ def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select("doc_id", "cluster_id", F.col("n_chars").cast("long"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: terms holding >= `support` of a source's token mass.
+# The exact counterpart of a Misra-Gries/Space-Saving sketch — and at
+# any scale it is just two map-side-combinable hash aggregations
+# ((source, term) counts, then per-source totals) plus a broadcast of
+# the |sources|-row totals; the raw corpus is tokenized once and never
+# re-shuffled at document granularity.
+# ---------------------------------------------------------------------------
+@query(
+    "heavy_hitter_terms",
+    oracle=r"""
+    WITH tok AS (
+      SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM documents WHERE length(trim(text)) > 0
+    ), counts AS (
+      SELECT source, term, COUNT(*) AS n FROM tok WHERE term <> '' GROUP BY 1, 2
+    ), totals AS (
+      SELECT source, SUM(n) AS total FROM counts GROUP BY 1
+    )
+    SELECT c.source, c.term, CAST(c.n AS BIGINT) AS n,
+           ROUND(CAST(c.n AS DOUBLE) / total, 6) AS share
+    FROM counts c JOIN totals USING (source)
+    WHERE ROUND(CAST(c.n AS DOUBLE) / total, 6) >= 0.03
+    """,
+)
+def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select("source", F.explode(X.tokens("text")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    counts = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("source").agg(F.sum("n").alias("total"))
+    return (
+        counts.join(F.broadcast(totals), "source")
+        .withColumn("share", F.round(F.col("n") / F.col("total"), 6))
+        .filter(F.col("share") >= 0.03)
+        .select("source", "term", F.col("n").cast("long").alias("n"), "share")
+    )

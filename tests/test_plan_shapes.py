@@ -124,3 +124,20 @@ def test_centroids_partial_agg_before_shuffle(spark, sf_dir):
     # posexplode fan-out must be reduced map-side before the exchange
     assert plan.count("HashAggregate") >= 2
     assert "Generate" in plan  # the posexplode
+
+
+def test_runtime_filter_prefilter_is_broadcast_semi(spark, sf_dir):
+    plan = _plan(spark, "runtime_filter_semi_join", sf_dir)
+    # the bucket prefilter: a broadcast LeftSemi ahead of the exact join
+    assert plan.count("LeftSemi") >= 2
+    assert "BroadcastExchange" in plan
+    # the fact table is scanned exactly once (prefilter is not a rescan)
+    assert len(re.findall(r"Location:[^\n]*lineitem", plan)) == 1
+
+
+def test_gapfill_single_fact_aggregation(spark, sf_dir):
+    plan = _plan(spark, "events_gapfill_locf", sf_dir)
+    # grid join + LOCF window never rescan the raw event log more than
+    # the bucket-agg and bounds branches need
+    assert _n_scans(plan) <= 2
+    assert plan.count("HashAggregate") >= 2  # partial+final bucket agg
