@@ -133,3 +133,37 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.centroid_outliers(emb, min_sim=0.0)
+
+
+# ---------------------------------------------------------------------------
+# int8-quantized maximum-inner-product top-k: scoring runs entirely on
+# 4x-compressed int8 vectors (exact integer dot x two scale factors) —
+# the float store is never read at query time. Oracle replays the
+# identical quantization in DuckDB list lambdas; determinism holds
+# because the quantizer involves no float summation (see
+# operators/similarity.py::quantize_int8).
+# ---------------------------------------------------------------------------
+@query(
+    "quantized_ip_topk",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), qz AS (
+      SELECT vec_id,
+             list_max(list_transform(v, x -> abs(x))) AS s,
+             list_transform(v, x -> CAST(floor(127 * x /
+               list_max(list_transform(v, y -> abs(y))) + 0.5) AS BIGINT)) AS q
+      FROM base
+    ), qvec AS (SELECT s AS sq, q AS qq FROM qz WHERE vec_id = 0)
+    SELECT z.vec_id,
+           ROUND(list_sum(list_transform(list_zip(z.q, qvec.qq), p -> p[1] * p[2]))
+                 * z.s * qvec.sq / 16129.0, 6) AS ip_score
+    FROM qz z, qvec
+    ORDER BY ip_score DESC, z.vec_id ASC
+    LIMIT 10
+    """,
+)
+def quantized_ip_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") == 0)
+    return S.quantized_ip_topk(emb, qdf, k=10)

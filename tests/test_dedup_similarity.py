@@ -287,3 +287,30 @@ def test_incremental_lsh_bucket_guard_matches_batch(spark, sf_dir):
         if r.id_a in new_ids or r.id_b in new_ids
     }
     assert got == want
+
+
+def test_quantized_ip_topk_recall_and_bounds(spark):
+    from elective_waiting_times_pipeline_spark.operators import similarity as S
+    from elective_waiting_times_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qdf = emb.filter(F.col("vec_id") == 0)
+
+    # exact float-dot top-10 (ground truth for MIPS)
+    q = F.broadcast(qdf.select(F.col("embedding").alias("_qv")))
+    exact = (
+        emb.crossJoin(q)
+        .select("vec_id", F.round(S.dot(F.col("embedding"), F.col("_qv")), 6).alias("ip"))
+        .orderBy(F.col("ip").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .collect()
+    )
+    quant = S.quantized_ip_topk(emb, qdf, k=10).collect()
+    recall = len({r.vec_id for r in quant} & {r.vec_id for r in exact}) / 10
+    assert recall >= 0.8  # int8 quantization loses <1% of the dot's mass
+
+    # quantized values stay inside int8 and the scale reconstructs magnitude
+    s, qv = S.quantize_int8(F.col("embedding"))
+    row = emb.select(s.alias("s"), qv.alias("q")).first()
+    assert all(-127 <= v <= 127 for v in row.q)
+    assert max(abs(v) for v in row.q) == 127  # max-abs element maps to +/-127
