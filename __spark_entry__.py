@@ -64,6 +64,11 @@ _ROTATE_FIRST = (
     "dedup_keep_longest",        # new in round 3 — never driver-checked
     "text_lang_id",          # err in r02 (oracle generator bug, fixed
                              # this round) — surface the driver re-check
+    "events_gapfill_locf",       # new in round 3 — never driver-checked
+    "events_anomaly_zscore",     # new in round 3 — never driver-checked
+    "heavy_hitter_terms",        # new in round 3 — never driver-checked
+    "runtime_filter_semi_join",  # new in round 3 — never driver-checked
+    "quantized_ip_topk",         # new in round 3 — never driver-checked
 )
 
 
