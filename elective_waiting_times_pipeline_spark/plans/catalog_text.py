@@ -1113,3 +1113,59 @@ def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("share") >= 0.03)
         .select("source", "term", F.col("n").cast("long").alias("n"), "share")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus profile (the dataset "datasheet" report): per (source, lang)
+# doc counts, token mass, length stats + exact length quantiles, and
+# each stratum's share of total corpus tokens. Two hash aggs (the
+# second is |strata| rows) + a broadcast of the 1-row total — the
+# shape of every corpus-report job at 100 TB.
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_profile",
+    oracle=rf"""
+    WITH d AS (
+      SELECT source, lang, n_chars, {_NTOKS} AS n_tokens FROM documents
+    ), g AS (
+      SELECT source, lang,
+             COUNT(*) AS n_docs,
+             SUM(n_tokens) AS total_tokens,
+             SUM(n_chars) AS sc,
+             ROUND(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+             ROUND(quantile_cont(n_chars, 0.9), 4) AS p90_chars
+      FROM d GROUP BY 1, 2
+    ), t AS (SELECT SUM(total_tokens) AS tot FROM g)
+    SELECT source, lang,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           ROUND(CAST(sc AS DOUBLE) / n_docs, 6) AS avg_chars,
+           p50_chars, p90_chars,
+           ROUND(CAST(total_tokens AS DOUBLE) / tot, 6) AS token_share
+    FROM g, t
+    """,
+)
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        docs.withColumn("n_tokens", X.token_count("text"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_chars").alias("sc"),
+            F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("p50_chars"),
+            F.round(F.percentile("n_chars", F.lit(0.9)), 4).alias("p90_chars"),
+        )
+    )
+    tot = g.agg(F.sum("total_tokens").alias("tot"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_tokens",
+        F.round(F.col("sc") / F.col("n_docs"), 6).alias("avg_chars"),
+        "p50_chars",
+        "p90_chars",
+        F.round(F.col("total_tokens") / F.col("tot"), 6).alias("token_share"),
+    )

@@ -167,3 +167,51 @@ def quantized_ip_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qdf = emb.filter(F.col("vec_id") == 0)
     return S.quantized_ip_topk(emb, qdf, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup decision: embedding-cosine near-dup pairs -> connected
+# components -> keep the min-id vector per cluster. The vector-space
+# mirror of the text-side dedup_keep_canonical chain (operators/
+# cluster.py Hash-Min CC); pairs come from the brute-force slice here
+# so the DuckDB recursive-CTE oracle replays the identical closure —
+# lsh_near_dup_pairs is the corpus-scale pair generator to swap in at
+# 100 TB.
+# ---------------------------------------------------------------------------
+@query(
+    "semantic_dedup_decision",
+    oracle="""
+    WITH RECURSIVE e0 AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE a.vec_id < 150 AND b.vec_id < 150
+        AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM e0
+      UNION
+      SELECT id_b AS a, id_a AS b FROM e0
+    ), reach(v, l) AS (
+      SELECT vec_id, vec_id FROM embeddings WHERE vec_id < 150
+      UNION
+      SELECT e.a, r.l FROM edges e JOIN reach r ON e.b = r.v
+    )
+    SELECT v AS vec_id, CAST(MIN(l) AS BIGINT) AS cluster_id, MIN(l) = v AS keep
+    FROM reach GROUP BY v
+    """,
+)
+def semantic_dedup_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elective_waiting_times_pipeline_spark.operators.cluster import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    pairs = S.cosine_near_dup_pairs(emb, threshold=0.35)
+    cc = connected_components(pairs, src="id_a", dst="id_b").withColumnRenamed("v", "vec_id")
+    return (
+        emb.select("vec_id")
+        .join(cc, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("label", "vec_id").cast("long").alias("cluster_id"),
+            (F.coalesce("label", "vec_id") == F.col("vec_id")).alias("keep"),
+        )
+    )
