@@ -437,6 +437,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "events_gapfill_locf",
+    headline=True,
     oracle="""
     WITH agg AS (
       SELECT event_type AS grp, date_trunc('hour', ts) AS bucket,

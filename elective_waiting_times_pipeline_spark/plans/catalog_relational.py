@@ -679,6 +679,7 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "runtime_filter_semi_join",
+    headline=True,
     oracle="""
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n_rows,

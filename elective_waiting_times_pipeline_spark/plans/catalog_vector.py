@@ -145,6 +145,7 @@ def embedding_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "quantized_ip_topk",
+    headline=True,
     oracle="""
     WITH base AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
