@@ -516,3 +516,50 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return TS.rolling_zscore(ev)
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day distinct active users. COUNT(DISTINCT) over a sliding
+# window has no window-function form; the scalable rewrite is the
+# contribution explode: distinct (day, user) pairs each contribute to
+# the 7 target days they keep a user active for, then one
+# count-distinct per target day. Cost is |distinct day-user pairs| x 7
+# — independent of raw event volume after the first distinct — vs the
+# naive per-day self-join that rescans the log per day.
+# ---------------------------------------------------------------------------
+@query(
+    "rolling_active_users",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ), b AS (
+      SELECT MIN(day) AS mn, MAX(day) AS mx FROM pairs
+    ), contrib AS (
+      SELECT unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS d,
+             user_id
+      FROM pairs
+    )
+    SELECT d AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users_7d
+    FROM contrib, b
+    WHERE d <= b.mx
+    GROUP BY d
+    """,
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(F.date_trunc("DAY", "ts").alias("day"), "user_id").distinct()
+    bounds = pairs.agg(F.max("day").alias("mx"))
+    contrib = pairs.select(
+        F.explode(
+            F.sequence(
+                "day", F.col("day") + F.expr("INTERVAL 6 DAYS"), F.expr("INTERVAL 1 DAY")
+            )
+        ).alias("d"),
+        "user_id",
+    )
+    return (
+        contrib.crossJoin(F.broadcast(bounds))
+        .filter(F.col("d") <= F.col("mx"))
+        .groupBy(F.col("d").alias("day"))
+        .agg(F.countDistinct("user_id").alias("active_users_7d"))
+    )

@@ -702,3 +702,41 @@ def runtime_filter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         sum2("l_extendedprice", "sum_extended"),
     )
+
+
+from elective_waiting_times_pipeline_spark.functions.zorder import (
+    zorder_key_sql as _zorder_sql,
+)
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering key (functions/zorder.py): the
+# multi-dimensional lake-layout sort key — bit-interleave two key
+# columns so parquet min/max stats prune on either. Pure integer bit
+# math; the oracle replays the identical interleave.
+# ---------------------------------------------------------------------------
+@query(
+    "zorder_locality",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           CAST({_zorder_sql("l_partkey", "l_suppkey")} AS BIGINT) AS zkey
+    FROM lineitem
+    ORDER BY zkey, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+)
+def zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elective_waiting_times_pipeline_spark.functions.zorder import zorder_key
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            "l_suppkey",
+            zorder_key("l_partkey", "l_suppkey").alias("zkey"),
+        )
+        .orderBy("zkey", "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
