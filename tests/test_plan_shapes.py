@@ -141,3 +141,23 @@ def test_gapfill_single_fact_aggregation(spark, sf_dir):
     # the bucket-agg and bounds branches need
     assert _n_scans(plan) <= 2
     assert plan.count("HashAggregate") >= 2  # partial+final bucket agg
+
+
+def test_runtime_filter_equivalence_under_heavy_collisions(spark):
+    # m=8 buckets over 200 fact keys: the lossy prefilter passes many
+    # false positives — the exact stage must remove every one. Null
+    # keys on both sides never match, exactly like the plain semi join.
+    from elective_waiting_times_pipeline_spark.operators.runtimefilter import (
+        prefiltered_semi_join,
+    )
+
+    fact = spark.createDataFrame(
+        [(i, i % 97) for i in range(200)] + [(1000, None)], "row_id long, k long"
+    )
+    dim = spark.createDataFrame([(3,), (50,), (96,), (None,)], "d long")
+    got = prefiltered_semi_join(fact, dim, "k", "d", m=8)
+    want = fact.join(dim, fact.k == dim.d, "left_semi")
+    assert sorted(r.row_id for r in got.collect()) == sorted(
+        r.row_id for r in want.collect()
+    )
+    assert got.count() > 0
