@@ -135,3 +135,35 @@ def rolling_zscore(
             F.lit(False)
         ),
     )
+
+
+def dyadic_ewma(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    lookback: int = 24,
+) -> DataFrame:
+    """Exponentially weighted moving average (alpha = 1/2 per observed
+    bucket) over the hourly series, EXACTLY deterministic across
+    engines: weights are dyadic (2^i), the bucket means are
+    micro-snapped longs, so numerator (sum of au_i << i) and
+    denominator (2^L - 1) are exact integers — the only float op is
+    one final division. The frame is the trailing `lookback` OBSERVED
+    buckets (a gap does not decay the average; compose with
+    gapfill_locf first for wall-clock decay). Window state is a
+    <=`lookback`-element long array over the bucketed series, never
+    the raw log."""
+    agg = bucket_series(events, group_col, ts_col, value_col).withColumn("au", _avg_micros())
+    w = Window.partitionBy("grp").orderBy("bucket").rowsBetween(-(lookback - 1), 0)
+    # SQL-expression form: shiftleft's Column-API binding takes only a
+    # literal bit count, but the SQL function accepts the lambda index.
+    arr = agg.withColumn("arr", F.collect_list("au").over(w))
+    num = "aggregate(transform(arr, (x, i) -> x * shiftleft(CAST(1 AS BIGINT), i)), CAST(0 AS BIGINT), (a, x) -> a + x)"
+    den = "(shiftleft(CAST(1 AS BIGINT), size(arr)) - 1)"
+    return arr.select(
+        F.col("grp").alias(group_col),
+        "bucket",
+        F.round(F.col("au") / 1000000.0, 6).alias("bucket_avg"),
+        F.round(F.expr(f"CAST({num} AS DOUBLE) / {den}") / 1000000.0, 6).alias("ewma"),
+    )

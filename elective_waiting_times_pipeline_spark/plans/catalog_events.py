@@ -563,3 +563,35 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("d").alias("day"))
         .agg(F.countDistinct("user_id").alias("active_users_7d"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Dyadic EWMA (alpha = 1/2) over the hourly bucket series — exact
+# integer weights (au_i << i, denominator 2^L - 1) make the smoother
+# bit-deterministic across engines; one float division at the end.
+# ---------------------------------------------------------------------------
+@query(
+    "events_ewma",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type AS grp, date_trunc('hour', ts) AS bucket,
+             CAST(floor(CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) * 10000
+                  / COUNT(*) + 0.5) AS BIGINT) AS au
+      FROM events GROUP BY 1, 2
+    ), arrs AS (
+      SELECT grp, bucket, au,
+             list(au) OVER (PARTITION BY grp ORDER BY bucket
+                            ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS arr
+      FROM agg
+    )
+    SELECT grp AS event_type, bucket,
+           ROUND(au / 1000000.0, 6) AS bucket_avg,
+           ROUND(CAST(list_sum(list_transform(list_zip(arr, range(1, len(arr) + 1)),
+                                              p -> p[1] * (CAST(1 AS BIGINT) << (p[2] - 1)))) AS DOUBLE)
+                 / ((CAST(1 AS BIGINT) << len(arr)) - 1) / 1000000.0, 6) AS ewma
+    FROM arrs
+    """,
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return TS.dyadic_ewma(ev)

@@ -74,3 +74,19 @@ def test_rolling_zscore_constant_series_never_flags(spark):
     out = TS.rolling_zscore(_events(spark, rows)).collect()
     # zero trailing variance -> NULL z, never an anomaly
     assert all(r.z_score is None and r.is_anomaly is False for r in out)
+
+
+def test_dyadic_ewma_halving_decay(spark):
+    # constant 10.0 for 5 hours, one 20.0 spike, then 10.0 again:
+    # the spike's excess halves with each following observation.
+    rows = [("a", T0 + dt.timedelta(hours=h), 10.0) for h in range(5)]
+    rows.append(("a", T0 + dt.timedelta(hours=5), 20.0))
+    rows += [("a", T0 + dt.timedelta(hours=5 + 1 + h), 10.0) for h in range(3)]
+    out = TS.dyadic_ewma(_events(spark, rows)).orderBy("bucket").collect()
+    assert out[0].ewma == 10.0  # single observation = itself
+    # weights 2^i / (2^L - 1): newest dominates, spike pulls up then halves away
+    spike, after1, after2 = out[5].ewma, out[6].ewma, out[7].ewma
+    assert 14.9 < spike < 15.2  # ~ (10*31 + 20*32)/63
+    excess1, excess2 = after1 - 10.0, after2 - 10.0
+    assert 0 < excess2 < excess1 < spike - 10.0
+    assert abs(excess1 / excess2 - 2.0) < 0.1  # halves per observation
