@@ -646,3 +646,57 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel latency percentiles: among fully-converted users, the
+# view->click / click->purchase / view->purchase time distributions.
+# Same single-exchange funnel plan as funnel_conversion, then one
+# global agg over integer epoch-microsecond deltas (exact inputs, so
+# both engines interpolate identical order statistics).
+# ---------------------------------------------------------------------------
+@query(
+    "funnel_latency",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+      FROM events GROUP BY 1
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN u USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > u.t_view
+      GROUP BY 1
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY 1
+    ), conv AS (
+      SELECT u.user_id,
+             epoch_us(c.t_click) - epoch_us(u.t_view) AS d_vc,
+             epoch_us(p.t_purchase) - epoch_us(c.t_click) AS d_cp,
+             epoch_us(p.t_purchase) - epoch_us(u.t_view) AS d_vp
+      FROM u JOIN c USING (user_id) JOIN p USING (user_id)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           ROUND(quantile_cont(d_vc, 0.5) / 1000000.0, 4) AS p50_view_click_s,
+           ROUND(quantile_cont(d_cp, 0.5) / 1000000.0, 4) AS p50_click_purchase_s,
+           ROUND(quantile_cont(d_vp, 0.5) / 1000000.0, 4) AS p50_view_purchase_s,
+           ROUND(quantile_cont(d_vp, 0.9) / 1000000.0, 4) AS p90_view_purchase_s
+    FROM conv
+    """,
+)
+def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    conv = funnel_conversion(spark, sf_dir).filter(F.col("stage") == 3)
+    d_vc = F.unix_micros("t_click") - F.unix_micros("t_view")
+    d_cp = F.unix_micros("t_purchase") - F.unix_micros("t_click")
+    d_vp = F.unix_micros("t_purchase") - F.unix_micros("t_view")
+    deltas = conv.select(d_vc.alias("d_vc"), d_cp.alias("d_cp"), d_vp.alias("d_vp"))
+    return deltas.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.percentile("d_vc", F.lit(0.5)) / 1000000.0, 4).alias("p50_view_click_s"),
+        F.round(F.percentile("d_cp", F.lit(0.5)) / 1000000.0, 4).alias("p50_click_purchase_s"),
+        F.round(F.percentile("d_vp", F.lit(0.5)) / 1000000.0, 4).alias("p50_view_purchase_s"),
+        F.round(F.percentile("d_vp", F.lit(0.9)) / 1000000.0, 4).alias("p90_view_purchase_s"),
+    )

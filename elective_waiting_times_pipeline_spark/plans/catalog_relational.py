@@ -740,3 +740,39 @@ def zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("zkey", "l_orderkey", "l_linenumber")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Key-skew diagnostic: the pre-join report you run before shuffling a
+# 100 TB fact on a key — per-key counts reduced map-side, then one
+# tiny summary row (distinct keys, count quantiles, the heaviest
+# key's share). Reading top_share x total rows tells you whether the
+# biggest shuffle partition fits an executor or needs salting/AQE
+# (operators/skew.py is the fix; this is the detector).
+# ---------------------------------------------------------------------------
+@query(
+    "key_skew_report",
+    oracle="""
+    WITH counts AS (
+      SELECT l_partkey AS key, COUNT(*) AS cnt FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+           ROUND(quantile_cont(cnt, 0.5), 4) AS p50_cnt,
+           ROUND(quantile_cont(cnt, 0.99), 4) AS p99_cnt,
+           ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top_share
+    FROM counts
+    """,
+)
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(F.col("l_partkey").alias("key")).agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+        F.round(F.percentile("cnt", F.lit(0.5)), 4).alias("p50_cnt"),
+        F.round(F.percentile("cnt", F.lit(0.99)), 4).alias("p99_cnt"),
+        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_share"),
+    )
