@@ -53,3 +53,41 @@ def stream_to_partitioned_lake(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_refresh_hourly_rollup(
+    source: DataFrame,
+    lake_provider,
+    rollup_path: str,
+    checkpoint_path: str,
+    ts_col: str = "ts",
+    query_name: str = "rollup_refresh",
+) -> StreamingQuery:
+    """Streaming continuous-aggregate maintenance: each micro-batch
+    names the day partitions it touches, and the hourly rollup is
+    recomputed for exactly those days from the BASE lake
+    (operators/rollup.py::refresh_hourly_rollup — the rollup stays a
+    pure function of the lake, never merged deltas). `lake_provider`
+    is a zero-arg callable returning a fresh DataFrame over the base
+    lake so each batch sees newly landed partitions. Because a refresh
+    is an idempotent partition swap, checkpoint replays and duplicate
+    batches are harmless — the same days just get recomputed to the
+    same content."""
+    from elective_waiting_times_pipeline_spark.operators.rollup import (
+        refresh_hourly_rollup,
+        touched_days,
+    )
+
+    def refresh(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        days = touched_days(batch, ts_col)
+        refresh_hourly_rollup(lake_provider(), rollup_path, days)
+
+    return (
+        source.writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", checkpoint_path)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -98,3 +98,39 @@ def test_refresh_picks_up_a_restated_day(spark, tmp_path):
     got = _snapshot(spark.read.parquet(roll))
     want = _snapshot(hourly_rollup(lake2))
     assert got == want
+
+
+def test_streaming_refresh_matches_batch_rollup(spark, tmp_path):
+    """Drive the foreachBatch refresher with forced multi-batch input
+    (maxFilesPerTrigger=1): the rollup must equal a full batch
+    recompute, and a full replay (fresh checkpoint) must be a no-op."""
+    from elective_waiting_times_pipeline_spark.streaming.sinks import (
+        stream_refresh_hourly_rollup,
+    )
+
+    lake_path = str(tmp_path / "events")
+    lake = _lake(spark, lake_path)
+    roll = str(tmp_path / "rollup")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    def run(checkpoint):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(lake_path)
+        )
+        q = stream_refresh_hourly_rollup(
+            stream,
+            lambda: spark.read.parquet(lake_path),
+            roll,
+            str(tmp_path / checkpoint),
+        )
+        q.awaitTermination(120)
+
+    run("ckpt1")
+    got = _snapshot(spark.read.parquet(roll))
+    want = _snapshot(hourly_rollup(lake))
+    assert got == want and len(got) > 0
+
+    run("ckpt2")  # full replay from scratch: idempotent partition swaps
+    assert _snapshot(spark.read.parquet(roll)) == want
