@@ -539,3 +539,41 @@ def bm25_topk(
         .orderBy(F.desc("bm25"), id_col)
         .limit(k)
     )
+
+
+def hashing_tf(
+    df: DataFrame,
+    n_features: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature-hashing term-frequency vectors (the hashing trick /
+    MLlib HashingTF, rebuilt on codegen'd expressions): each token
+    lands in slot xxhash64(token) mod n_features, and the document's
+    vector is the per-slot count. No vocabulary pass, no fitted state
+    — the classic bounded-memory featurizer for 100 TB corpora.
+
+    Plan: one tokenize+explode, one (doc, slot) hash agg (map-side
+    combinable), then n_features conditional sums collapse the slots
+    into a dense ARRAY<INT> — never a per-row interpreted lambda over
+    the vocabulary. The slot hash is the first md5 byte mod n_features
+    (the repo's engine-portable hash convention, sampling.py:10 — a
+    production corpus would swap in xxhash64 for speed at the cost of
+    cross-engine verifiability)."""
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    nib = "(instr('0123456789abcdef', substring(md5(tok), {p}, 1)) - 1)"
+    slot = F.expr(f"pmod({nib.format(p=1)} * 16 + {nib.format(p=2)}, {n_features})")
+    slots = toks.groupBy(id_col, slot.alias("slot")).agg(F.count(F.lit(1)).alias("cnt"))
+    dense = [
+        F.coalesce(F.sum(F.when(F.col("slot") == i, F.col("cnt"))), F.lit(0))
+        .cast("int")
+        .alias(f"_s{i}")
+        for i in range(n_features)
+    ]
+    return (
+        slots.groupBy(id_col)
+        .agg(*dense)
+        .select(F.col(id_col), F.array(*[f"_s{i}" for i in range(n_features)]).alias("tf"))
+    )

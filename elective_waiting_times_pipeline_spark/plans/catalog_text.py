@@ -1169,3 +1169,95 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p90_chars",
         F.round(F.col("total_tokens") / F.col("tot"), 6).alias("token_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashing TF vectors (the hashing trick / MLlib HashingTF
+# shape): no vocabulary pass, bounded width, one explode + one hash
+# agg + a conditional-sum collapse to a dense array.
+# ---------------------------------------------------------------------------
+_TF_NIB = "(instr('0123456789abcdef', substr(md5(tok), {p}, 1)) - 1)"
+_TF_SLOT = f"(({_TF_NIB.format(p=1)} * 16 + {_TF_NIB.format(p=2)}) % 16)"
+
+
+@query(
+    "hashing_tf",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      FROM documents WHERE length(trim(text)) > 0
+    ), slots AS (
+      SELECT doc_id, {_TF_SLOT} AS slot, COUNT(*) AS cnt
+      FROM toks WHERE tok <> '' GROUP BY 1, 2
+    ), dense AS (
+      SELECT doc_id,
+             [{", ".join(f"CAST(COALESCE(SUM(CASE WHEN slot = {i} THEN cnt END), 0) AS INT)" for i in range(16))}] AS tf
+      FROM slots GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(generate_subscripts(tf, 1) - 1 AS INT) AS slot,
+           CAST(unnest(tf) AS INT) AS tf_cnt
+    FROM dense
+    """,
+)
+def hashing_tf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # posexplode the dense vector: the driver comparator needs scalar
+    # columns; the array-valued API is X.hashing_tf itself
+    docs = load_table(spark, sf_dir, "documents")
+    tf = X.hashing_tf(docs, n_features=16)
+    return tf.select("doc_id", F.posexplode("tf").alias("slot", "tf_cnt"))
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication report: exact-fingerprint Jaccard between
+# every pair of sources — "which feeds are shipping the same
+# documents". DISTINCT (source, fingerprint) first, so a document
+# duplicated a million times inside one source still contributes ONE
+# row per source and the fingerprint self-join fan-out is bounded by
+# C(|sources|, 2) per fingerprint, never by copy counts.
+# ---------------------------------------------------------------------------
+@query(
+    "source_overlap",
+    oracle=r"""
+    WITH fp AS (
+      SELECT DISTINCT source,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS f
+      FROM documents
+    ), sizes AS (
+      SELECT source, COUNT(*) AS n FROM fp GROUP BY 1
+    ), inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared
+      FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, CAST(shared AS BIGINT) AS shared,
+           ROUND(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.source = src_a
+    JOIN sizes sb ON sb.source = src_b
+    """,
+)
+def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("source", X.fingerprint_md5("text").alias("f")).distinct()
+    sizes = fp.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = fp.alias("a"), fp.alias("b")
+    inter = (
+        a.join(b, (F.col("a.f") == F.col("b.f")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = F.broadcast(sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na")))
+    sb = F.broadcast(sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb")))
+    return (
+        inter.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("shared").cast("long").alias("shared"),
+            F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6).alias(
+                "jaccard"
+            ),
+        )
+    )

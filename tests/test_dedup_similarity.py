@@ -314,3 +314,36 @@ def test_quantized_ip_topk_recall_and_bounds(spark):
     row = emb.select(s.alias("s"), qv.alias("q")).first()
     assert all(-127 <= v <= 127 for v in row.q)
     assert max(abs(v) for v in row.q) == 127  # max-abs element maps to +/-127
+
+
+def test_source_overlap_jaccard_math(spark):
+    from elective_waiting_times_pipeline_spark.plans.catalog_text import source_overlap
+    import elective_waiting_times_pipeline_spark.sources.readers as R
+
+    docs = spark.createDataFrame(
+        [
+            # srcA: x, y, z (y duplicated inside srcA — must count once)
+            (0, "x", "en", "srcA", 1), (1, "y", "en", "srcA", 1),
+            (2, "y", "en", "srcA", 1), (3, "z", "en", "srcA", 1),
+            # srcB: x, y, w  -> shared {x, y}, union {x, y, z, w}
+            (4, "x", "en", "srcB", 1), (5, "y", "en", "srcB", 1),
+            (6, "w", "en", "srcB", 1),
+            # srcC: nothing shared
+            (7, "q", "en", "srcC", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig = R.load_table
+    try:
+        R.__dict__["load_table"]  # sanity: monkeypatch target exists
+        import elective_waiting_times_pipeline_spark.plans.catalog_text as CT
+
+        CT.load_table = lambda spark, sf_dir, name: docs
+        out = {(r.src_a, r.src_b): r for r in source_overlap(spark, "ignored").collect()}
+    finally:
+        import elective_waiting_times_pipeline_spark.plans.catalog_text as CT
+
+        CT.load_table = orig
+    assert set(out) == {("srcA", "srcB")}
+    r = out[("srcA", "srcB")]
+    assert r.shared == 2 and abs(r.jaccard - 2 / 4) < 1e-9
