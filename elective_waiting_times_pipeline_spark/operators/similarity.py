@@ -459,3 +459,41 @@ def quantized_ip_topk(
         .orderBy(F.col("ip_score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def write_quantized_store(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the int8 store: (id, scale DOUBLE, qvec
+    ARRAY<TINYINT>). This is the table searches read INSTEAD of the
+    float corpus — ~4x less I/O per scan, and quantized_store_topk
+    below runs on it without ever loading a float vector."""
+    s, q = quantize_int8(F.col(vec_col))
+    df.select(F.col(id_col), s.alias("scale"), q.alias("qvec")).write.mode(mode).parquet(path)
+
+
+def quantized_store_topk(
+    store: DataFrame,
+    query_store: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Top-k by inner product over a persisted int8 store; both sides
+    are already quantized (store rows), so the whole search is one
+    scan of tinyint arrays + an exact integer dot. Identical ranking
+    to quantized_ip_topk on the float source (equivalence-tested)."""
+    q = F.broadcast(query_store.select(F.col("scale").alias("_sq"), F.col("qvec").alias("_qq")))
+    score = F.round(
+        int_dot(F.col("qvec"), F.col("_qq")) * F.col("scale") * F.col("_sq") / 16129.0, round_dp
+    )
+    return (
+        store.crossJoin(q)
+        .select(F.col(id_col), score.alias("ip_score"))
+        .orderBy(F.col("ip_score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -347,3 +347,25 @@ def test_source_overlap_jaccard_math(spark):
     assert set(out) == {("srcA", "srcB")}
     r = out[("srcA", "srcB")]
     assert r.shared == 2 and abs(r.jaccard - 2 / 4) < 1e-9
+
+
+def test_quantized_store_roundtrip_and_compression(spark, tmp_path):
+    import os
+
+    from elective_waiting_times_pipeline_spark.operators import similarity as S
+    from elective_waiting_times_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "int8_store")
+    S.write_quantized_store(emb, path)
+    store = spark.read.parquet(path)
+    # the persisted-store search ranks identically to the on-the-fly form
+    got = S.quantized_store_topk(store, store.filter(F.col("vec_id") == 0), k=10).collect()
+    want = S.quantized_ip_topk(emb, emb.filter(F.col("vec_id") == 0), k=10).collect()
+    assert [(r.vec_id, r.ip_score) for r in got] == [(r.vec_id, r.ip_score) for r in want]
+    # and the store is materially smaller than the float32 source
+    store_bytes = sum(
+        os.path.getsize(os.path.join(path, f)) for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    src_bytes = os.path.getsize("/root/testdata/sf0.001/embeddings.parquet")
+    assert store_bytes < 0.6 * src_bytes, (store_bytes, src_bytes)
