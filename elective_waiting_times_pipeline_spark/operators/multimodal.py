@@ -195,3 +195,70 @@ def decode_audio_metadata(df: DataFrame, id_col: str = "id", bin_col: str = "pay
             )
 
     return df.select(id_col, bin_col).mapInPandas(batches, AUDIO_META_SCHEMA)
+
+
+AHASH_SCHEMA = "id long, ahash long"
+
+
+def _grayscale_stub(payload: bytes) -> np.ndarray:
+    """Deterministic fake grayscale decode: the payload bytes tiled
+    into an 8x8 grid. REPLACE with a real decode+resize (PIL
+    ``Image.open(...).convert('L').resize((8, 8))``) in production —
+    hashing and pairing below are unchanged."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if len(arr) == 0:
+        arr = np.zeros(1, dtype=np.uint8)
+    return np.resize(arr, (8, 8))
+
+
+def average_hash_images(
+    df: DataFrame, id_col: str = "id", bin_col: str = "payload", decoder=None
+) -> DataFrame:
+    """Perceptual average-hash (aHash) per image: grayscale 8x8, bit i
+    set iff pixel i is above the image mean — a 64-bit signature where
+    visually-near images differ in few bits. `decoder` maps bytes to a
+    2D grayscale array (defaults to the deterministic stub; inject a
+    real PIL/libvips decode in production). mapInPandas, no shuffle;
+    the downstream pairing reuses the SimHash pigeonhole banding."""
+    dec = decoder or _grayscale_stub
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes = []
+            for p in pdf[bin_col]:
+                grid = np.asarray(dec(bytes(p)), dtype="float64")
+                bits = (grid.flatten() > grid.mean()).astype(np.uint64)
+                h = 0
+                for i, b in enumerate(bits[:64]):
+                    h |= int(b) << i
+                if h >= 1 << 63:  # store as signed 64-bit (Spark LONG)
+                    h -= 1 << 64
+                hashes.append(h)
+            yield pd.DataFrame({"id": pdf[id_col].astype("int64"), "ahash": hashes})
+
+    return df.select(id_col, bin_col).mapInPandas(batches, AHASH_SCHEMA)
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    bin_col: str = "payload",
+    max_hamming: int = 8,
+    decoder=None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Image near-duplicate pairs: aHash signatures fed through the
+    SimHash chunk-banding join (operators/dedup.py — complete recall
+    for Hamming <= max_hamming by pigeonhole, one shuffle, no
+    all-pairs). The 100 TB image-dedup path: binary payloads stream
+    through the hasher once; only 64-bit signatures shuffle."""
+    from elective_waiting_times_pipeline_spark.operators.dedup import simhash_near_dup_pairs
+
+    sims = average_hash_images(df, id_col=id_col, bin_col=bin_col, decoder=decoder)
+    return simhash_near_dup_pairs(
+        sims,
+        id_col="id",
+        sim_col="ahash",
+        max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+    )

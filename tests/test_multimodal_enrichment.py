@@ -102,3 +102,33 @@ def test_decode_audio_metadata_deterministic(spark):
         assert abs(r.duration_s - r.n_samples / r.sample_rate) < 1e-12
     again = {r.id: r for r in decode_audio_metadata(df).collect()}
     assert {i: tuple(r) for i, r in out.items()} == {i: tuple(r) for i, r in again.items()}
+
+
+def test_average_hash_and_image_near_dup_pairs(spark):
+    from elective_waiting_times_pipeline_spark.operators.multimodal import (
+        average_hash_images,
+        image_near_dup_pairs,
+    )
+
+    base = bytes(range(64))
+    tweaked = bytearray(base)
+    tweaked[5] ^= 0xFF  # flip one tile far from the mean -> few bits differ
+    rows = [
+        (1, base),
+        (2, bytes(base)),          # exact copy -> hamming 0
+        (3, bytes(tweaked)),       # near-dup -> small hamming
+        (4, bytes([7] * 64)),      # constant image -> all-zero hash
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    hashes = {r.id: r.ahash for r in average_hash_images(df).collect()}
+    assert hashes[1] == hashes[2]
+    assert hashes[4] == 0  # nothing above the mean of a constant image
+    assert hashes[1] != hashes[3]
+
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in image_near_dup_pairs(df, max_hamming=8).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and 0 < pairs[(1, 3)] <= 8
+    assert all(4 not in p for p in pairs)
