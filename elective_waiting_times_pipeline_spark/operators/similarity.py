@@ -497,3 +497,65 @@ def quantized_store_topk(
         .orderBy(F.col("ip_score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def write_ivf_quantized_store(
+    df: DataFrame,
+    path: str,
+    centroids_df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    mode: str = "overwrite",
+) -> None:
+    """The production ANN layout — IVF cells x int8 payloads: assign
+    every vector to its nearest coarse centroid (ivf_assign, float
+    math at BUILD time only), quantize, and write partitioned by cell.
+    A probe then reads ~n_probe/n_cells of a store that is itself ~4x
+    smaller than the float corpus — the two savings multiply."""
+    assigned = ivf_assign(df, centroids_df, vec_col=vec_col, cell_col="cell")
+    s, q = quantize_int8(F.col(vec_col))
+    (
+        assigned.select(F.col(id_col), F.col("cell"), s.alias("scale"), q.alias("qvec"))
+        .write.mode(mode)
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def ivf_quantized_topk(
+    store: DataFrame,
+    centroids_df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Search the IVF+int8 store: pick the `n_probe` nearest cells on
+    the driver (centroid table is n_cells rows), partition-prune the
+    store scan to those cells, and rank by the exact-integer quantized
+    dot — float vectors are read NOWHERE on the search path (the query
+    vector is quantized once, driver-side logic only touches
+    centroids)."""
+    import numpy as np
+
+    C = _centroid_matrix(centroids_df)
+    qrow = query_df.select(vec_col).head()
+    if qrow is None:
+        raise ValueError("ivf_quantized_topk: empty query DataFrame")
+    qd = ((C - np.array(qrow[0], dtype="float64")) ** 2).sum(-1)
+    probes = [int(i) for i in qd.argsort()[:n_probe]]
+
+    s_q, q_q = quantize_int8(F.col(vec_col))
+    q = F.broadcast(query_df.select(s_q.alias("_sq"), q_q.alias("_qq")))
+    pruned = store.filter(F.col("cell").isin(probes))
+    score = F.round(
+        int_dot(F.col("qvec"), F.col("_qq")) * F.col("scale") * F.col("_sq") / 16129.0, round_dp
+    )
+    return (
+        pruned.crossJoin(q)
+        .select(F.col(id_col), score.alias("ip_score"))
+        .orderBy(F.col("ip_score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

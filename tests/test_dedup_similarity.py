@@ -369,3 +369,25 @@ def test_quantized_store_roundtrip_and_compression(spark, tmp_path):
     )
     src_bytes = os.path.getsize("/root/testdata/sf0.001/embeddings.parquet")
     assert store_bytes < 0.6 * src_bytes, (store_bytes, src_bytes)
+
+
+def test_ivf_quantized_store_probe_recall_and_pruning(spark, tmp_path):
+    from elective_waiting_times_pipeline_spark.operators import similarity as S
+    from elective_waiting_times_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = S.ivf_fit(emb, n_cells=8)
+    path = str(tmp_path / "ivf_int8")
+    S.write_ivf_quantized_store(emb, path, cents)
+    store = spark.read.parquet(path)
+    qdf = emb.filter(F.col("vec_id") == 0)
+
+    got = S.ivf_quantized_topk(store, cents, qdf, k=10, n_probe=4)
+    # partition pruning reaches the scan
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "cell" in plan
+    got_ids = {r.vec_id for r in got.collect()}
+    # recall vs the full quantized MIPS ranking (probing 4/8 cells)
+    full_ids = {r.vec_id for r in S.quantized_ip_topk(emb, qdf, k=10).collect()}
+    assert len(got_ids & full_ids) / 10 >= 0.6
+    assert 0 in got_ids  # the query vector itself lives in a probed cell
