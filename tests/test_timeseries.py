@@ -90,3 +90,66 @@ def test_dyadic_ewma_halving_decay(spark):
     excess1, excess2 = after1 - 10.0, after2 - 10.0
     assert 0 < excess2 < excess1 < spike - 10.0
     assert abs(excess1 / excess2 - 2.0) < 0.1  # halves per observation
+
+
+# ---------------------------------------------------------------------------
+# Property: gapfill against an independent pandas reference on random
+# sparse series — grid density, gap flags, LOCF carry, group isolation.
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+series_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),
+        st.integers(min_value=0, max_value=40),  # hour offset
+        st.floats(min_value=-50, max_value=50, allow_nan=False, width=16),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(obs=series_strategy)
+def test_gapfill_matches_pandas_reference(spark, obs):
+    rows = [(g, T0 + dt.timedelta(hours=h), float(v)) for g, h, v in obs]
+    out = TS.gapfill_locf(_events(spark, rows)).collect()
+
+    # reference: per group, dense hour range with LOCF over rounded means
+    import collections
+
+    by_group = collections.defaultdict(lambda: collections.defaultdict(list))
+    for g, h, v in obs:
+        # replicate the engine's scaled-long mean exactly
+        by_group[g][h].append(int(__import__("math").floor(float(v) * 100 + 0.5)))
+    expect = {}
+    for g, hours in by_group.items():
+        lo, hi = min(hours), max(hours)
+        carry = None
+        for h in range(lo, hi + 1):
+            if h in hours:
+                vals = hours[h]
+                avg = round(sum(vals) / 100.0 / len(vals), 6)
+                carry = avg
+                expect[(g, h)] = (len(vals), avg, carry, False)
+            else:
+                expect[(g, h)] = (0, None, carry, True)
+
+    got = {
+        (r.event_type, r.bucket.hour + 24 * (r.bucket.day - T0.day)): (
+            r.n_events,
+            r.avg_value,
+            r.filled_value,
+            r.is_gap,
+        )
+        for r in out
+    }
+    assert set(got) == set(expect)
+    for k in expect:
+        ge, we = got[k], expect[k]
+        assert ge[0] == we[0] and ge[3] == we[3], (k, ge, we)
+        for gv, wv in ((ge[1], we[1]), (ge[2], we[2])):
+            if wv is None:
+                assert gv is None, (k, ge, we)
+            else:
+                assert abs(gv - wv) < 1e-9, (k, ge, we)
