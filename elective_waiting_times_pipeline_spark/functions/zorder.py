@@ -24,9 +24,13 @@ from pyspark.sql import functions as F
 def zorder_key(x: Column | str, y: Column | str, bits: int = 16) -> Column:
     """Interleave the low `bits` bits of two non-negative integer
     columns: bit i of x lands at position 2i, bit i of y at 2i+1.
-    Values are masked to `bits` bits first (callers bucket or hash
-    wider domains down; 16+16 interleaved bits rank 65k x 65k cells,
-    plenty to drive file-level locality)."""
+    Values are masked to `bits` bits first — SILENTLY: keys above
+    2^bits alias to the same cell and locality degrades, so callers
+    must size `bits` to the key domain (or pre-bucket). bits can go up
+    to 31: the top interleaved bit lands at position 2*bits-1 <= 61,
+    clear of the sign bit for non-negative keys. 16+16 bits rank
+    65k x 65k cells — enough for file-level locality on bucketed
+    domains."""
     xc = (F.col(x) if isinstance(x, str) else x).cast("long")
     yc = (F.col(y) if isinstance(y, str) else y).cast("long")
     parts = []

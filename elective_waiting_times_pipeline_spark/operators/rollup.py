@@ -67,5 +67,21 @@ def refresh_hourly_rollup(
     if not days:
         return
     slice_df = events_lake.filter(F.col(day_col).isin(days))
-    fresh = hourly_rollup(slice_df, **rollup_kwargs)
+    fresh = hourly_rollup(slice_df, **rollup_kwargs).localCheckpoint(eager=False)
     overwrite_partitions(fresh, rollup_path, partition_cols=("day",))
+    # Dynamic overwrite only replaces partitions PRESENT in `fresh`: a
+    # refreshed day whose base-lake rows were all purged (restatement,
+    # GDPR delete) writes nothing, which would leave its STALE rollup
+    # partition serving deleted data. Drop those partitions explicitly
+    # (the day list is micro-batch-sized; the distinct is tiny).
+    present = {str(r.day) for r in fresh.select("day").distinct().collect()}
+    spark = events_lake.sparkSession
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for day in days:
+        if day in present:
+            continue
+        jpath = jvm.org.apache.hadoop.fs.Path(f"{rollup_path}/day={day}")
+        fs = jpath.getFileSystem(hconf)
+        if fs.exists(jpath):
+            fs.delete(jpath, True)

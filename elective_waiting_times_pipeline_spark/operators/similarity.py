@@ -415,8 +415,13 @@ def quantize_int8(vec: Column) -> tuple[Column, Column]:
     float SUMMATION is involved — every step is per-element IEEE math
     on exactly-representable inputs. Returns (scale, quantized)."""
     s = max_abs(vec)
+    # all-zero vectors: 127*0/0 is NULL in non-ANSI Spark — pin them to
+    # q = zeros with scale 0 (their dot with anything is a clean 0.0)
     q = F.transform(
-        vec, lambda x: F.floor(F.lit(127) * x.cast("double") / s + 0.5).cast("tinyint")
+        vec,
+        lambda x: F.when(s == 0, F.lit(0))
+        .otherwise(F.floor(F.lit(127) * x.cast("double") / s + 0.5))
+        .cast("tinyint"),
     )
     return s, q
 
@@ -444,10 +449,14 @@ def quantized_ip_topk(
     the two scale multiplications are the only float ops. Top-k
     membership is the quantized ranking (that is the point — the
     float vectors never need to be read at query time); recall vs the
-    exact float dot is property-tested."""
+    exact float dot is property-tested.
+
+    Single-query contract (like cosine_topk): exactly one query row is
+    scored — extra rows are dropped via limit(1). Batch multi-query
+    retrieval needs a query-id join, not this top-k."""
     s_q, q_q = quantize_int8(F.col(vec_col))
     q = F.broadcast(
-        query_df.select(s_q.alias("_sq"), q_q.alias("_qq"))
+        query_df.limit(1).select(s_q.alias("_sq"), q_q.alias("_qq"))
     )
     s_c, q_c = quantize_int8(F.col(vec_col))
     score = F.round(
@@ -486,8 +495,12 @@ def quantized_store_topk(
     """Top-k by inner product over a persisted int8 store; both sides
     are already quantized (store rows), so the whole search is one
     scan of tinyint arrays + an exact integer dot. Identical ranking
-    to quantized_ip_topk on the float source (equivalence-tested)."""
-    q = F.broadcast(query_store.select(F.col("scale").alias("_sq"), F.col("qvec").alias("_qq")))
+    to quantized_ip_topk on the float source (equivalence-tested).
+    Single-query contract: one query row (limit(1)), as in
+    quantized_ip_topk."""
+    q = F.broadcast(
+        query_store.limit(1).select(F.col("scale").alias("_sq"), F.col("qvec").alias("_qq"))
+    )
     score = F.round(
         int_dot(F.col("qvec"), F.col("_qq")) * F.col("scale") * F.col("_sq") / 16129.0, round_dp
     )
@@ -548,7 +561,7 @@ def ivf_quantized_topk(
     probes = [int(i) for i in qd.argsort()[:n_probe]]
 
     s_q, q_q = quantize_int8(F.col(vec_col))
-    q = F.broadcast(query_df.select(s_q.alias("_sq"), q_q.alias("_qq")))
+    q = F.broadcast(query_df.limit(1).select(s_q.alias("_sq"), q_q.alias("_qq")))
     pruned = store.filter(F.col("cell").isin(probes))
     score = F.round(
         int_dot(F.col("qvec"), F.col("_qq")) * F.col("scale") * F.col("_sq") / 16129.0, round_dp

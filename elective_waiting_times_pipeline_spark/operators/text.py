@@ -559,7 +559,14 @@ def hashing_tf(
     the vocabulary. The slot hash is the first md5 byte mod n_features
     (the repo's engine-portable hash convention, sampling.py:10 — a
     production corpus would swap in xxhash64 for speed at the cost of
-    cross-engine verifiability)."""
+    cross-engine verifiability). The slot space is one byte, so
+    `n_features` must divide 256 — a non-divisor width would bias slot
+    frequencies (and widths over 256 could never be hit)."""
+    if n_features <= 0 or n_features > 256 or 256 % n_features:
+        raise ValueError(
+            f"n_features must be a divisor of 256 (got {n_features}): the md5-byte "
+            "slot space is 256 values, so other widths bias or starve slots"
+        )
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok")).filter(
         F.col("tok") != ""
     )

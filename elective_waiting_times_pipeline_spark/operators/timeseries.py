@@ -38,13 +38,14 @@ def bucket_series(
     ).agg(F.count(F.lit(1)).alias("n_events"), F.sum(sl2(value_col)).alias("sv"))
 
 
-def _avg_micros() -> Column:
-    """Per-bucket mean snapped to integer micros: floor(sv*1e4/n + .5)
-    (sv is x100, so x1e4 more is micros). sv*1e4 <= ~1e13 stays exactly
-    representable in double; the floor(+0.5) half-up snap is the same
-    formula the oracle uses, so both engines carry identical longs into
-    the rolling stats."""
-    return F.floor(F.col("sv") * 10000.0 / F.col("n_events") + 0.5).cast("long")
+def _avg_cents() -> Column:
+    """Per-bucket mean snapped to integer CENTS: floor(sv/n + .5) (sv
+    is already x100). Cents — not micros — keep the rolling
+    sum-of-squares far from int64 overflow: 24 * (100*mean)^2 wraps
+    only past |mean| ~ 6e6 (micros would wrap at |mean| ~ 620).
+    z-scores are scale-invariant, so the coarser snap costs at most
+    ±0.005 of input quantization, identically in both engines."""
+    return F.floor(F.col("sv") / F.col("n_events") + 0.5).cast("long")
 
 
 def gapfill_locf(
@@ -64,7 +65,11 @@ def gapfill_locf(
     100 TB the raw log never re-shuffles and the grid stays tiny, so
     the whole fill costs one aggregation of the fact table.
     """
-    agg = bucket_series(events, group_col, ts_col, value_col)
+    # the bucket agg feeds BOTH the bounds branch and the grid join;
+    # without a checkpoint Spark re-runs the fact-table scan+agg for
+    # each (verified: no ReusedExchange — the branches prune different
+    # columns). localCheckpoint pins the tiny bucketed series once.
+    agg = bucket_series(events, group_col, ts_col, value_col).localCheckpoint(eager=False)
     bounds = agg.groupBy("grp").agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
     grid = bounds.select(
         "grp",
@@ -109,7 +114,7 @@ def rolling_zscore(
     with fewer than `min_buckets` trailing observations or zero
     trailing variance get a NULL z (cold start / constant series).
     """
-    agg = bucket_series(events, group_col, ts_col, value_col).withColumn("au", _avg_micros())
+    agg = bucket_series(events, group_col, ts_col, value_col).withColumn("au", _avg_cents())
     w = (
         Window.partitionBy("grp")
         .orderBy("bucket")
@@ -127,7 +132,7 @@ def rolling_zscore(
     return agg.select(
         F.col("grp").alias(group_col),
         "bucket",
-        F.round(F.col("au") / 1000000.0, 6).alias("bucket_avg"),
+        F.round(F.col("sv") / 100.0 / F.col("n_events"), 6).alias("bucket_avg"),
         z.alias("z_score"),
     ).withColumn(
         "is_anomaly",
@@ -147,14 +152,15 @@ def dyadic_ewma(
     """Exponentially weighted moving average (alpha = 1/2 per observed
     bucket) over the hourly series, EXACTLY deterministic across
     engines: weights are dyadic (2^i), the bucket means are
-    micro-snapped longs, so numerator (sum of au_i << i) and
+    cent-snapped longs (au << 23 stays in int64 for |mean| up to
+    ~5e9), so numerator (sum of au_i << i) and
     denominator (2^L - 1) are exact integers — the only float op is
     one final division. The frame is the trailing `lookback` OBSERVED
     buckets (a gap does not decay the average; compose with
     gapfill_locf first for wall-clock decay). Window state is a
     <=`lookback`-element long array over the bucketed series, never
     the raw log."""
-    agg = bucket_series(events, group_col, ts_col, value_col).withColumn("au", _avg_micros())
+    agg = bucket_series(events, group_col, ts_col, value_col).withColumn("au", _avg_cents())
     w = Window.partitionBy("grp").orderBy("bucket").rowsBetween(-(lookback - 1), 0)
     # SQL-expression form: shiftleft's Column-API binding takes only a
     # literal bit count, but the SQL function accepts the lambda index.
@@ -164,6 +170,6 @@ def dyadic_ewma(
     return arr.select(
         F.col("grp").alias(group_col),
         "bucket",
-        F.round(F.col("au") / 1000000.0, 6).alias("bucket_avg"),
-        F.round(F.expr(f"CAST({num} AS DOUBLE) / {den}") / 1000000.0, 6).alias("ewma"),
+        F.round(F.col("au") / 100.0, 6).alias("bucket_avg"),
+        F.round(F.expr(f"CAST({num} AS DOUBLE) / {den}") / 100.0, 6).alias("ewma"),
     )

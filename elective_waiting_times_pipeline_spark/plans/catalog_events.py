@@ -486,10 +486,11 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1, 2
     ), au AS (
       SELECT grp, bucket,
-             CAST(floor(CAST(sv AS DOUBLE) * 10000 / n_events + 0.5) AS BIGINT) AS au
+             CAST(floor(CAST(sv AS DOUBLE) / n_events + 0.5) AS BIGINT) AS au,
+             ROUND(CAST(sv AS DOUBLE) / 100 / n_events, 6) AS bucket_avg
       FROM agg
     ), roll AS (
-      SELECT grp, bucket, au,
+      SELECT grp, bucket, au, bucket_avg,
              COUNT(*) OVER w AS n,
              SUM(au) OVER w AS s,
              SUM(au * au) OVER w AS ss
@@ -497,8 +498,7 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY grp ORDER BY bucket
                    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
     ), scored AS (
-      SELECT grp, bucket,
-             ROUND(au / 1000000.0, 6) AS bucket_avg,
+      SELECT grp, bucket, bucket_avg,
              CASE WHEN n >= 8
                        AND (CAST(ss AS DOUBLE) / n
                             - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) > 0
@@ -575,7 +575,7 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH agg AS (
       SELECT event_type AS grp, date_trunc('hour', ts) AS bucket,
-             CAST(floor(CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) * 10000
+             CAST(floor(CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
                   / COUNT(*) + 0.5) AS BIGINT) AS au
       FROM events GROUP BY 1, 2
     ), arrs AS (
@@ -585,10 +585,10 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM agg
     )
     SELECT grp AS event_type, bucket,
-           ROUND(au / 1000000.0, 6) AS bucket_avg,
+           ROUND(au / 100.0, 6) AS bucket_avg,
            ROUND(CAST(list_sum(list_transform(list_zip(arr, range(1, len(arr) + 1)),
                                               p -> p[1] * (CAST(1 AS BIGINT) << (p[2] - 1)))) AS DOUBLE)
-                 / ((CAST(1 AS BIGINT) << len(arr)) - 1) / 1000000.0, 6) AS ewma
+                 / ((CAST(1 AS BIGINT) << len(arr)) - 1) / 100.0, 6) AS ewma
     FROM arrs
     """,
 )

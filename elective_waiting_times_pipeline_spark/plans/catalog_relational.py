@@ -719,7 +719,7 @@ from elective_waiting_times_pipeline_spark.functions.zorder import (
     "zorder_locality",
     oracle=f"""
     SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-           CAST({_zorder_sql("l_partkey", "l_suppkey")} AS BIGINT) AS zkey
+           CAST({_zorder_sql("l_partkey", "l_suppkey", bits=25)} AS BIGINT) AS zkey
     FROM lineitem
     ORDER BY zkey, l_orderkey, l_linenumber
     LIMIT 100
@@ -735,7 +735,10 @@ def zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_linenumber",
             "l_partkey",
             "l_suppkey",
-            zorder_key("l_partkey", "l_suppkey").alias("zkey"),
+            # 25 bits/dim: covers part/supp keys to 33M without the
+            # 16-bit default's aliasing (wider domains must widen bits
+            # or pre-bucket — zorder_key masks silently)
+            zorder_key("l_partkey", "l_suppkey", bits=25).alias("zkey"),
         )
         .orderBy("zkey", "l_orderkey", "l_linenumber")
         .limit(100)

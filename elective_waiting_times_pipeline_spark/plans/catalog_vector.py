@@ -152,8 +152,10 @@ def embedding_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), qz AS (
       SELECT vec_id,
              list_max(list_transform(v, x -> abs(x))) AS s,
-             list_transform(v, x -> CAST(floor(127 * x /
-               list_max(list_transform(v, y -> abs(y))) + 0.5) AS BIGINT)) AS q
+             list_transform(v, x -> CASE
+               WHEN list_max(list_transform(v, y -> abs(y))) = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(floor(127 * x /
+                 list_max(list_transform(v, y -> abs(y))) + 0.5) AS BIGINT) END) AS q
       FROM base
     ), qvec AS (SELECT s AS sq, q AS qq FROM qz WHERE vec_id = 0)
     SELECT z.vec_id,

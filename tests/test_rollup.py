@@ -134,3 +134,21 @@ def test_streaming_refresh_matches_batch_rollup(spark, tmp_path):
 
     run("ckpt2")  # full replay from scratch: idempotent partition swaps
     assert _snapshot(spark.read.parquet(roll)) == want
+
+
+def test_refresh_drops_rollup_partition_when_day_is_purged(spark, tmp_path):
+    import shutil
+
+    lake_path = str(tmp_path / "events")
+    lake = _lake(spark, lake_path)
+    roll = str(tmp_path / "rollup")
+    refresh_hourly_rollup(lake, roll, touched_days(lake))
+    assert glob.glob(roll + "/day=2024-03-02/*.parquet")
+    # purge day 2 entirely from the base lake, then refresh that day:
+    # the stale rollup partition must disappear, not keep serving
+    shutil.rmtree(lake_path + "/day=2024-03-02")
+    lake2 = spark.read.parquet(lake_path)
+    refresh_hourly_rollup(lake2, roll, ["2024-03-02"])
+    assert not glob.glob(roll + "/day=2024-03-02/*.parquet")
+    got = _snapshot(spark.read.parquet(roll))
+    assert got == _snapshot(hourly_rollup(lake2))
