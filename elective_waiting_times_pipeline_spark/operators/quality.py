@@ -1,0 +1,71 @@
+"""Declarative data-quality constraint checking (the Deequ pattern):
+describe the contract a table must satisfy, get back one violations
+report computed in a SINGLE pass over the data.
+
+Each row-level constraint compiles to a conditional-sum aggregate and
+a uniqueness constraint to ``count - countDistinct``, so an arbitrary
+constraint suite costs exactly one scan + one map-side-combinable
+aggregation at any table size — never one job per rule. Referential
+checks (which need a second table) compile to a broadcast/shuffled
+anti-join count and run as their own job by nature.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def not_null(col: str) -> tuple[str, Column]:
+    return f"not_null_{col}", F.col(col).isNull()
+
+
+def in_range(col: str, lo, hi) -> tuple[str, Column]:
+    c = F.col(col)
+    return f"range_{col}", c.isNull() | (c < lo) | (c > hi)
+
+
+def matches(col: str, pattern: str) -> tuple[str, Column]:
+    c = F.col(col)
+    return f"matches_{col}", c.isNull() | ~c.rlike(pattern)
+
+
+def satisfies(name: str, violated: Column) -> tuple[str, Column]:
+    """Escape hatch: any boolean expression that is TRUE when the row
+    VIOLATES the contract."""
+    return name, violated
+
+
+def dq_report(
+    df: DataFrame,
+    constraints: Iterable[tuple[str, Column]],
+    unique_key: Sequence[str] | None = None,
+) -> DataFrame:
+    """One-row violations report: `n_rows`, one `<name>` violation
+    count per constraint, and `dup_<keys>` (rows minus distinct keys)
+    when `unique_key` is given. One scan, one aggregation."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, violated in constraints:
+        aggs.append(
+            F.coalesce(F.sum(F.when(violated, 1)), F.lit(0)).cast("long").alias(name)
+        )
+    if unique_key:
+        dup = F.count(F.lit(1)) - F.count_distinct(F.struct(*[F.col(k) for k in unique_key]))
+        aggs.append(dup.cast("long").alias("dup_" + "_".join(unique_key)))
+    return df.agg(*aggs)
+
+
+def referential_violations(
+    child: DataFrame, parent: DataFrame, child_key: str, parent_key: str
+) -> DataFrame:
+    """Orphan count: child rows whose non-null key has no parent row
+    (an anti-join count — broadcast when the parent's distinct key set
+    is dim-sized, shuffled otherwise; Catalyst/AQE picks)."""
+    orphans = child.filter(F.col(child_key).isNotNull()).join(
+        parent.select(F.col(parent_key).alias(child_key)).distinct(),
+        child_key,
+        "left_anti",
+    )
+    return orphans.agg(F.count(F.lit(1)).alias("orphans"))

@@ -779,3 +779,49 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("cnt", F.lit(0.99)), 4).alias("p99_cnt"),
         F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-quality report (operators/quality.py, the Deequ
+# pattern): the whole constraint suite — null checks, ranges, a date
+# ordering rule, PK uniqueness — prices as ONE scan + one aggregation
+# regardless of how many rules run. The deliberately-tight quantity
+# cap yields a non-zero violation count so the report is exercised,
+# not vacuously green.
+# ---------------------------------------------------------------------------
+@query(
+    "dq_report",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COALESCE(SUM(CASE WHEN l_orderkey IS NULL THEN 1 END), 0) AS BIGINT)
+             AS not_null_l_orderkey,
+           CAST(COALESCE(SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+                                   OR l_quantity > 30 THEN 1 END), 0) AS BIGINT)
+             AS range_l_quantity,
+           CAST(COALESCE(SUM(CASE WHEN l_extendedprice IS NULL OR l_extendedprice <= 0
+                                   OR l_discount IS NULL OR l_discount > 0.5 THEN 1 END), 0) AS BIGINT)
+             AS price_discount_sane,
+           CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+             AS dup_l_orderkey_l_linenumber
+    FROM lineitem
+    """,
+)
+def dq_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elective_waiting_times_pipeline_spark.operators import quality as Q
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return Q.dq_report(
+        li,
+        [
+            Q.not_null("l_orderkey"),
+            Q.in_range("l_quantity", 1, 30),
+            Q.satisfies(
+                "price_discount_sane",
+                F.col("l_extendedprice").isNull()
+                | (F.col("l_extendedprice") <= 0)
+                | F.col("l_discount").isNull()
+                | (F.col("l_discount") > 0.5),
+            ),
+        ],
+        unique_key=("l_orderkey", "l_linenumber"),
+    )

@@ -1,0 +1,66 @@
+"""Deequ-style constraint suite: violation counts on constructed data,
+the referential orphan check, and the one-scan plan guarantee."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from elective_waiting_times_pipeline_spark.operators import quality as Q
+
+
+def _df(spark):
+    rows = [
+        (1, 10.0, "a@b.co"),
+        (2, -5.0, "bad"),      # range violation
+        (None, 20.0, "c@d.eu"),  # null violation
+        (4, 999.0, None),      # range + matches violations
+        (4, 30.0, "e@f.io"),   # duplicate key
+    ]
+    return spark.createDataFrame(rows, "k int, v double, email string")
+
+
+def test_dq_report_counts(spark):
+    out = Q.dq_report(
+        _df(spark),
+        [
+            Q.not_null("k"),
+            Q.in_range("v", 0, 100),
+            Q.matches("email", r"^[^@]+@[^@]+$"),
+        ],
+        unique_key=("k",),
+    ).collect()[0]
+    assert out.n_rows == 5
+    assert out.not_null_k == 1
+    assert out.range_v == 2      # -5 and 999
+    assert out.matches_email == 2  # "bad" and NULL
+    assert out.dup_k == 1        # two k=4 rows (NULL key counts as distinct)
+
+
+def test_dq_report_is_single_aggregation(spark):
+    df = Q.dq_report(
+        _df(spark), [Q.not_null("k"), Q.in_range("v", 0, 100)], unique_key=("k",)
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # one scan; partial+final aggregation pairs, no per-rule jobs
+    assert plan.count("Scan ExistingRDD") + plan.count("Scan parquet") <= 2
+    assert "HashAggregate" in plan or "SortAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_referential_violations(spark):
+    child = spark.createDataFrame([(1,), (2,), (7,), (None,)], "fk int")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+    out = Q.referential_violations(child, parent, "fk", "pk").collect()[0]
+    assert out.orphans == 1  # only 7; NULL keys are not orphans
+
+
+def test_clean_table_reports_zero(spark):
+    clean = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k int, v double")
+    out = Q.dq_report(clean, [Q.not_null("k"), Q.in_range("v", 0, 10)], unique_key=("k",))
+    r = out.collect()[0]
+    assert (r.not_null_k, r.range_v, r.dup_k) == (0, 0, 0)
