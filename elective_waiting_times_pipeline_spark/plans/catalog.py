@@ -524,3 +524,58 @@ from elective_waiting_times_pipeline_spark.plans import catalog_relational  # no
 from elective_waiting_times_pipeline_spark.plans import catalog_text  # noqa: E402,F401
 from elective_waiting_times_pipeline_spark.plans import catalog_vector  # noqa: E402,F401
 from elective_waiting_times_pipeline_spark.plans import catalog_events  # noqa: E402,F401
+
+
+# ---------------------------------------------------------------------------
+# Six-table join (TPC-H Q5 shape): revenue by nation for one region
+# and one order-date year, where the supplier and customer must sit in
+# the SAME nation. The optimizer's join-ordering workout: two tiny
+# dims (region, nation) broadcast, the customer/orders/lineitem/
+# supplier chain shuffles on its keys, and the region + date filters
+# push into the scans.
+# ---------------------------------------------------------------------------
+@query(
+    "local_supplier_volume",
+    headline=True,
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000
+             AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            (F.sum(sl2("l_extendedprice") * (100 - sl2("l_discount"))) / 10000.0).alias("revenue")
+        )
+    )

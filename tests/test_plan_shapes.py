@@ -161,3 +161,12 @@ def test_runtime_filter_equivalence_under_heavy_collisions(spark):
         r.row_id for r in want.collect()
     )
     assert got.count() > 0
+
+
+def test_q5_shape_pushdown_and_broadcasts(spark, sf_dir):
+    plan = _plan(spark, "local_supplier_volume", sf_dir)
+    # region + date filters reach the scans; tiny dims broadcast
+    assert "EqualTo(r_name,ASIA)" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final revenue agg
