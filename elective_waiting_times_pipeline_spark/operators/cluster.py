@@ -149,18 +149,26 @@ def near_dup_clusters(
         F.size(toks).alias("_nt"),
     )
     eligible = keyed.filter(F.col("_nt") >= shingle_n)
-    reps = eligible.groupBy("_k").agg(F.min(id_col).alias("_rep"))
-    # Materialize the representative set once: it feeds BOTH sides of
-    # the pair join plus the set-size agg plus the symmetrized edge
-    # union — six re-evaluations of the scan+tokenize+dedup subtree
-    # without a checkpoint (measured ~2× the whole query at sf0.1).
-    # O(distinct texts) rows, spillable storage (MEMORY_AND_DISK).
-    rep_docs = (
-        eligible.join(reps, "_k")
-        .filter(F.col(id_col) == F.col("_rep"))
-        .select(id_col, text_col)
+    # ONE aggregation yields both the rep id (min) and the rep's text
+    # (min_by) per distinct token sequence — map-side combinable, so a
+    # pathologically hot fingerprint still reduces to one row per
+    # mapper before the exchange (a window/row_number rewrite would
+    # funnel every copy's text into one task). Replaces the previous
+    # agg + join-back, which shuffled the full text relation twice.
+    # Materialize once: the result feeds BOTH sides of the pair join
+    # plus the set-size agg plus the symmetrized edge union — six
+    # re-evaluations of the scan+tokenize+dedup subtree without a
+    # checkpoint (measured ~2× the whole query at sf0.1).
+    rep_full = (
+        eligible.groupBy("_k")
+        .agg(
+            F.min(id_col).alias("_rep"),
+            F.min_by(text_col, F.col(id_col)).alias(text_col),
+        )
         .localCheckpoint(eager=False)
     )
+    reps = rep_full.select("_k", "_rep")
+    rep_docs = rep_full.select(F.col("_rep").alias(id_col), text_col)
     pairs = ngram_jaccard_pairs(
         rep_docs, text_col, id_col, shingle_n=shingle_n, min_jaccard=min_jaccard
     )
