@@ -127,3 +127,25 @@ def test_write_training_shards_contiguous_runs(spark, tmp_path):
         assert lo == nxt and hi - lo + 1 == n
         nxt = hi + 1
     assert nxt == 1001
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from elective_waiting_times_pipeline_spark.sources.readers import (
+        load_table,
+        read_orc,
+        write_orc,
+    )
+
+    nation = load_table(spark, "/root/testdata/sf0.001", "nation")
+    path = str(tmp_path / "nation_orc")
+    write_orc(nation, path)
+    back = read_orc(spark, path)
+    assert back.count() == nation.count()
+    assert set(back.columns) == set(nation.columns)
+    # predicate pushdown reaches the ORC scan
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.filter(F.col("n_regionkey") == 1).explain("formatted")
+    assert "PushedFilters: [" in buf.getvalue()
