@@ -579,3 +579,64 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(sl2("l_extendedprice") * (100 - sl2("l_discount"))) / 10000.0).alias("revenue")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlated EXISTS / NOT EXISTS (TPC-H Q21 shape): suppliers who were
+# the ONLY slow supplier on a multi-supplier order ("slow" = shipped
+# >90 days after the order date). The subquery pair rewrites to one
+# semi-join (another supplier took part) and one anti-join (no OTHER
+# supplier was slow) against the same slow-lines relation — the
+# distinct relational shape the catalog's plain semi/anti queries
+# don't exercise: both filters correlate on the order AND exclude the
+# probe row's own supplier.
+# ---------------------------------------------------------------------------
+@query(
+    "sole_slow_supplier",
+    oracle="""
+    WITH slow AS (
+      SELECT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+    )
+    SELECT s.l_suppkey AS suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM slow) s
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = s.l_orderkey AND l2.l_suppkey <> s.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM slow s2
+        WHERE s2.l_orderkey = s.l_orderkey AND s2.l_suppkey <> s.l_suppkey
+      )
+    GROUP BY 1
+    """,
+)
+def sole_slow_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    slow = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds the probe AND the anti side
+    )
+    others = li.select("l_orderkey", "l_suppkey").distinct()
+    # EXISTS: some other supplier participated in the order
+    probe = slow.alias("s").join(
+        others.alias("x"),
+        (F.col("s.l_orderkey") == F.col("x.l_orderkey"))
+        & (F.col("s.l_suppkey") != F.col("x.l_suppkey")),
+        "left_semi",
+    )
+    # NOT EXISTS: no other supplier was slow on that order
+    sole = probe.alias("p").join(
+        slow.alias("t"),
+        (F.col("p.l_orderkey") == F.col("t.l_orderkey"))
+        & (F.col("p.l_suppkey") != F.col("t.l_suppkey")),
+        "left_anti",
+    )
+    return sole.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.count(F.lit(1)).alias("numwait")
+    )

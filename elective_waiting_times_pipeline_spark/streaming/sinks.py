@@ -91,3 +91,51 @@ def stream_refresh_hourly_rollup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_append_quantized_store(
+    source: DataFrame,
+    centroids_df,
+    store_path: str,
+    checkpoint_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_name: str = "vector_ingest",
+) -> StreamingQuery:
+    """Streaming ingest into the IVF + int8 vector store: each
+    micro-batch of float embeddings is cell-assigned against the
+    PERSISTED centroid table (similarity.py::ivf_fit output — fit
+    once, reused forever), quantized, and written under
+    ``cell=<c>/batch=<id>`` partitions. Cells interleave across
+    batches by nature, so plain dynamic overwrite can't make replays
+    safe — the batch id in the partition path does: a replayed batch
+    rewrites exactly its own (cell, batch) leaves and nothing else
+    (the same exactly-once trick as the month lake, one level deeper).
+    Probes read the whole store with the usual ``cell IN (...)``
+    partition pruning; the extra batch level only adds leaf dirs."""
+    from elective_waiting_times_pipeline_spark.operators.similarity import (
+        ivf_assign,
+        quantize_int8,
+    )
+
+    def land(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        assigned = ivf_assign(batch, centroids_df, vec_col=vec_col, cell_col="cell")
+        s, q = quantize_int8(F.col(vec_col))
+        out = assigned.select(
+            F.col(id_col),
+            F.col("cell"),
+            s.alias("scale"),
+            q.alias("qvec"),
+            F.lit(batch_id).alias("batch"),
+        )
+        overwrite_partitions(out, store_path, partition_cols=("cell", "batch"))
+
+    return (
+        source.writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint_path)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

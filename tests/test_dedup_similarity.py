@@ -391,3 +391,46 @@ def test_ivf_quantized_store_probe_recall_and_pruning(spark, tmp_path):
     full_ids = {r.vec_id for r in S.quantized_ip_topk(emb, qdf, k=10).collect()}
     assert len(got_ids & full_ids) / 10 >= 0.6
     assert 0 in got_ids  # the query vector itself lives in a probed cell
+
+
+def test_streaming_vector_store_ingest_matches_batch(spark, tmp_path):
+    """Multi-batch streaming ingest into the IVF+int8 store must rank
+    identically to the batch-built store, and a full checkpoint replay
+    must be a no-op (exactly-once via (cell, batch) partition swaps)."""
+    from elective_waiting_times_pipeline_spark.operators import similarity as S
+    from elective_waiting_times_pipeline_spark.sources.readers import load_table
+    from elective_waiting_times_pipeline_spark.streaming.sinks import (
+        stream_append_quantized_store,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = S.ivf_fit(emb, n_cells=8)
+    src = str(tmp_path / "src")
+    emb.repartition(3).write.mode("overwrite").parquet(src)  # 3 files -> 3 batches
+    store_path = str(tmp_path / "vstore")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<float>, label int")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_append_quantized_store(
+            stream, cents, store_path, str(tmp_path / ckpt)
+        )
+        q.awaitTermination(120)
+
+    run("ck1")
+    store = spark.read.parquet(store_path)
+    assert store.count() == emb.count()
+    qdf = emb.filter(F.col("vec_id") == 0)
+    got = S.ivf_quantized_topk(store, cents, qdf, k=10).collect()
+
+    batch_path = str(tmp_path / "batch_store")
+    S.write_ivf_quantized_store(emb, batch_path, cents)
+    want = S.ivf_quantized_topk(spark.read.parquet(batch_path), cents, qdf, k=10).collect()
+    assert [(r.vec_id, r.ip_score) for r in got] == [(r.vec_id, r.ip_score) for r in want]
+
+    run("ck2")  # full replay: rewrites its own (cell, batch) leaves only
+    store2 = spark.read.parquet(store_path)
+    assert store2.count() == emb.count()
