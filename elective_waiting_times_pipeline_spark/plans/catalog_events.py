@@ -700,3 +700,39 @@ def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("d_vp", F.lit(0.5)) / 1000000.0, 4).alias("p50_view_purchase_s"),
         F.round(F.percentile("d_vp", F.lit(0.9)) / 1000000.0, 4).alias("p90_view_purchase_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Planar radius join via the 3x3 neighbor-grid stencil (operators/
+# geo.py::radius_join) — the 2-D spatial-join scale pattern. Points
+# derive deterministically from customer keys (pure integer/decimal
+# arithmetic), so the quadratic DuckDB oracle replays exactly.
+# ---------------------------------------------------------------------------
+@query(
+    "spatial_radius_join",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey AS pid,
+             CAST(c_custkey % 97 AS DOUBLE) + CAST(c_custkey % 13 AS DOUBLE) / 16
+               AS x,
+             CAST(c_custkey % 89 AS DOUBLE) + CAST(c_custkey % 11 AS DOUBLE) / 16
+               AS y
+      FROM customer WHERE c_custkey < 600
+    )
+    SELECT a.pid AS id_a, b.pid AS id_b,
+           ROUND(sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)), 6)
+             AS dist
+    FROM pts a JOIN pts b ON a.pid < b.pid
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 2.25
+    """,
+)
+def spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elective_waiting_times_pipeline_spark.operators.geo import radius_join
+
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 600)
+    pts = c.select(
+        F.col("c_custkey").alias("pid"),
+        ((F.col("c_custkey") % 97).cast("double") + (F.col("c_custkey") % 13).cast("double") / 16).alias("x"),
+        ((F.col("c_custkey") % 89).cast("double") + (F.col("c_custkey") % 11).cast("double") / 16).alias("y"),
+    )
+    return radius_join(pts, radius=1.5)

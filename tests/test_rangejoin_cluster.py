@@ -194,3 +194,26 @@ def test_near_dup_clusters_matches_uncollapsed(spark):
     assert got == want
     assert got[1] == got[2] == got[3] == got[7] == 1
     assert got[5] == 5 and got[6] == 6 and got[8] == 8
+
+
+def test_radius_join_stencil_equals_bruteforce(spark):
+    import random
+
+    from elective_waiting_times_pipeline_spark.operators.geo import radius_join
+
+    rng = random.Random(7)
+    pts = [(i, rng.uniform(0, 20), rng.uniform(0, 20)) for i in range(200)]
+    df = spark.createDataFrame(pts, "pid long, x double, y double")
+    got = {(r.id_a, r.id_b) for r in radius_join(df, radius=1.5).collect()}
+    brute = {
+        (a[0], b[0])
+        for i, a in enumerate(pts)
+        for b in pts[i + 1 :]
+        if (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2 <= 1.5**2
+    }
+    # the 3x3 stencil is complete: within-radius pairs always share a
+    # (cell, neighbor) match — no false negatives, verify kills the rest
+    assert got == brute and len(brute) > 0
+
+    plan = radius_join(df, radius=1.5)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
