@@ -1261,3 +1261,83 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source KL divergence vs the corpus unigram distribution — the
+# drift detector for "which feed stopped looking like the rest of the
+# training mix". Smoothed (add-1/2) over the shared vocabulary; the
+# sources x vocab grid is two tiny aggregates cross-joined, so cost is
+# vocabulary-bounded after ONE corpus tokenize. Determinism: with
+# alpha = 1/2, sum_t (cnt_s+1/2)*lr_t rewrites to an exact long sum of
+# (2*cnt_s+1)*lr_micros (each term's single ln snapped to integer
+# micros, the unigram_logprob trick), divided once at the end.
+# ---------------------------------------------------------------------------
+@query(
+    "source_divergence",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT source, unnest({_TOKS}) AS tok FROM documents WHERE {_NTOKS} >= 1
+    ), sc AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cnt_s FROM toks GROUP BY 1, 2
+    ), cc AS (
+      SELECT tok, CAST(SUM(cnt_s) AS BIGINT) AS cnt FROM sc GROUP BY 1
+    ), stot AS (
+      SELECT source, CAST(SUM(cnt_s) AS BIGINT) AS n_s FROM sc GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(cnt) AS DOUBLE) AS n_total, CAST(COUNT(*) AS DOUBLE) AS vocab
+      FROM cc
+    ), grid AS (
+      SELECT st.source, st.n_s, c.tok, c.cnt, COALESCE(s.cnt_s, 0) AS cnt_s,
+             tot.n_total, tot.vocab
+      FROM stot st CROSS JOIN cc c
+      LEFT JOIN sc s ON s.source = st.source AND s.tok = c.tok, tot
+    ), terms AS (
+      SELECT source, n_s, n_total, vocab,
+             (2 * cnt_s + 1)
+               * CAST(floor(ln(((cnt_s + 0.5) * (n_total + 0.5 * vocab))
+                              / ((cnt + 0.5) * (n_s + 0.5 * vocab))) * 1000000 + 0.5)
+                      AS BIGINT) AS term
+      FROM grid
+    )
+    SELECT source, CAST(n_s AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(term) AS DOUBLE) / 2 / (n_s + 0.5 * vocab) / 1000000, 6)
+             AS kl_divergence
+    FROM terms GROUP BY source, n_s, vocab
+    """,
+)
+def source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.filter(X.token_count("text") >= 1).select(
+        "source", F.explode(X.tokens("text")).alias("tok")
+    )
+    sc = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("cnt_s"))
+    cc = sc.groupBy("tok").agg(F.sum("cnt_s").alias("cnt"))
+    stot = sc.groupBy("source").agg(F.sum("cnt_s").alias("n_s"))
+    tot = cc.agg(
+        F.sum("cnt").cast("double").alias("n_total"),
+        F.count(F.lit(1)).cast("double").alias("vocab"),
+    )
+    grid = (
+        stot.crossJoin(cc)
+        .join(sc, ["source", "tok"], "left")
+        .withColumn("cnt_s", F.coalesce("cnt_s", F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    lr = F.log(
+        ((F.col("cnt_s") + 0.5) * (F.col("n_total") + 0.5 * F.col("vocab")))
+        / ((F.col("cnt") + 0.5) * (F.col("n_s") + 0.5 * F.col("vocab")))
+    )
+    lrm = F.floor(lr * F.lit(1e6) + F.lit(0.5)).cast("long")
+    term = (2 * F.col("cnt_s") + 1) * lrm
+    return (
+        grid.withColumn("term", term)
+        .groupBy("source", "n_s", "vocab")
+        .agg(
+            F.round(
+                F.sum("term").cast("double") / 2 / (F.col("n_s") + 0.5 * F.col("vocab")) / 1e6,
+                6,
+            ).alias("kl_divergence")
+        )
+        .select(F.col("source"), F.col("n_s").cast("long").alias("n_tokens"), "kl_divergence")
+    )
