@@ -736,3 +736,44 @@ def spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("c_custkey") % 89).cast("double") + (F.col("c_custkey") % 11).cast("double") / 16).alias("y"),
     )
     return radius_join(pts, radius=1.5)
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix (first-order Markov view of user
+# behavior): consecutive event pairs per user via one lag window,
+# counted globally with transition probabilities per source state.
+# ---------------------------------------------------------------------------
+@query(
+    "event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ), pairs AS (
+      SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n,
+           ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type), 6)
+             AS p_transition
+    FROM pairs
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wt), 6).alias("p_transition"),
+    )

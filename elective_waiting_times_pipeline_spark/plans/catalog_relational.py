@@ -825,3 +825,61 @@ def dq_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         unique_key=("l_orderkey", "l_linenumber"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type 2 history build (warehouse dimension versioning): treat
+# each customer's orders as attribute observations (o_orderpriority
+# effective from o_orderdate), collapse consecutive repeats, and emit
+# validity intervals — valid_from / valid_to (next change) /
+# is_current. One key-partitioned window pass; ties on a day pinned
+# by o_orderkey.
+# ---------------------------------------------------------------------------
+@query(
+    "scd2_history",
+    oracle="""
+    WITH obs AS (
+      SELECT o_custkey AS custkey, o_orderpriority AS attr,
+             o_orderdate AS eff, o_orderkey AS tie
+      FROM orders
+    ), runs AS (
+      SELECT custkey, attr, eff, tie,
+             CASE WHEN LAG(attr) OVER w IS DISTINCT FROM attr THEN 1 ELSE 0 END AS chg
+      FROM obs WINDOW w AS (PARTITION BY custkey ORDER BY eff, tie)
+    ), grp AS (
+      SELECT custkey, attr, eff, tie,
+             SUM(chg) OVER (PARTITION BY custkey ORDER BY eff, tie
+                            ROWS UNBOUNDED PRECEDING) AS ver
+      FROM runs
+    ), spans AS (
+      SELECT custkey, attr, ver, MIN(eff) AS valid_from
+      FROM grp GROUP BY 1, 2, 3
+    )
+    SELECT custkey, attr, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY custkey ORDER BY ver) AS valid_to,
+           LEAD(valid_from) OVER (PARTITION BY custkey ORDER BY ver) IS NULL
+             AS is_current
+    FROM spans
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("attr"),
+        F.col("o_orderdate").alias("eff"),
+        F.col("o_orderkey").alias("tie"),
+    )
+    w = Window.partitionBy("custkey").orderBy("eff", "tie")
+    chg = F.when(~F.lag("attr").over(w).eqNullSafe(F.col("attr")), 1).otherwise(0)
+    grp = o.withColumn("chg", chg).withColumn(
+        "ver", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    spans = grp.groupBy("custkey", "attr", "ver").agg(F.min("eff").alias("valid_from"))
+    wv = Window.partitionBy("custkey").orderBy("ver")
+    return spans.select(
+        "custkey",
+        "attr",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        F.lead("valid_from").over(wv).isNull().alias("is_current"),
+    )
