@@ -777,3 +777,44 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(wt), 6).alias("p_transition"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average over the irregular per-user series (the
+# hypertable time_weight('LOCF') aggregate): each observation holds
+# its value until the next one, so it weighs by that duration.
+# Weights in whole seconds and values in scaled cents keep the
+# accumulating products exact longs; one lead window + one agg.
+# ---------------------------------------------------------------------------
+@query(
+    "time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
+             (epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+              - epoch_us(ts)) // 1000000 AS dur_s
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(dur_s) AS BIGINT) AS observed_s,
+           ROUND(CAST(SUM(vc * dur_s) AS DOUBLE) / SUM(dur_s) / 100, 6) AS twa
+    FROM seq WHERE dur_s IS NOT NULL AND dur_s > 0
+    GROUP BY user_id
+    """,
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dur_s = (
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")) / 1_000_000
+    ).cast("long")
+    seq = ev.select(
+        "user_id", sl2("value").alias("vc"), dur_s.alias("dur_s")
+    ).filter(F.col("dur_s").isNotNull() & (F.col("dur_s") > 0))
+    return seq.groupBy("user_id").agg(
+        F.sum("dur_s").cast("long").alias("observed_s"),
+        F.round(F.sum(F.col("vc") * F.col("dur_s")).cast("double") / F.sum("dur_s") / 100, 6).alias(
+            "twa"
+        ),
+    )

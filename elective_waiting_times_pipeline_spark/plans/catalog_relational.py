@@ -883,3 +883,81 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(wv).alias("valid_to"),
         F.lead("valid_from").over(wv).isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test between two event populations (§2.10 stats family,
+# the A/B-comparison form): group moments from exact scaled-long sums
+# (two conditional aggs in ONE pass), then the t statistic and
+# Welch–Satterthwaite df as a fixed sequence of double ops both
+# engines replay verbatim.
+# ---------------------------------------------------------------------------
+@query(
+    "ab_test_welch",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS na,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'click'
+                    THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0) AS BIGINT) AS sa,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'click'
+                    THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                         * CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0) AS BIGINT) AS ssa,
+             CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS nb,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0) AS BIGINT) AS sb,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                         * CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0) AS BIGINT) AS ssb
+      FROM events
+    ), stats AS (
+      SELECT na, nb,
+             CAST(sa AS DOUBLE) / 100 / na AS ma,
+             CAST(sb AS DOUBLE) / 100 / nb AS mb,
+             (CAST(ssa AS DOUBLE) / 10000 - (CAST(sa AS DOUBLE) / 100) * (CAST(sa AS DOUBLE) / 100) / na) / (na - 1) AS va,
+             (CAST(ssb AS DOUBLE) / 10000 - (CAST(sb AS DOUBLE) / 100) * (CAST(sb AS DOUBLE) / 100) / nb) / (nb - 1) AS vb
+      FROM m
+    )
+    SELECT na, nb, ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+           ROUND((ma - mb) / sqrt(va / na + vb / nb), 6) AS t_stat,
+           ROUND((va / na + vb / nb) * (va / na + vb / nb)
+                 / ((va / na) * (va / na) / (na - 1)
+                    + (vb / nb) * (vb / nb) / (nb - 1)), 4) AS welch_df
+    FROM stats
+    """,
+)
+def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    vc = sl2("value")
+    is_a = F.col("event_type") == "click"
+    is_b = F.col("event_type") == "purchase"
+    m = ev.agg(
+        F.count(F.when(is_a, 1)).alias("na"),
+        F.coalesce(F.sum(F.when(is_a, vc)), F.lit(0)).cast("long").alias("sa"),
+        F.coalesce(F.sum(F.when(is_a, vc * vc)), F.lit(0)).cast("long").alias("ssa"),
+        F.count(F.when(is_b, 1)).alias("nb"),
+        F.coalesce(F.sum(F.when(is_b, vc)), F.lit(0)).cast("long").alias("sb"),
+        F.coalesce(F.sum(F.when(is_b, vc * vc)), F.lit(0)).cast("long").alias("ssb"),
+    )
+    ma = F.col("sa").cast("double") / 100 / F.col("na")
+    mb = F.col("sb").cast("double") / 100 / F.col("nb")
+    va = (
+        F.col("ssa").cast("double") / 10000
+        - (F.col("sa").cast("double") / 100) * (F.col("sa").cast("double") / 100) / F.col("na")
+    ) / (F.col("na") - 1)
+    vb = (
+        F.col("ssb").cast("double") / 10000
+        - (F.col("sb").cast("double") / 100) * (F.col("sb").cast("double") / 100) / F.col("nb")
+    ) / (F.col("nb") - 1)
+    se2a, se2b = va / F.col("na"), vb / F.col("nb")
+    return m.select(
+        "na",
+        "nb",
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round((ma - mb) / F.sqrt(se2a + se2b), 6).alias("t_stat"),
+        F.round(
+            (se2a + se2b) * (se2a + se2b)
+            / (se2a * se2a / (F.col("na") - 1) + se2b * se2b / (F.col("nb") - 1)),
+            4,
+        ).alias("welch_df"),
+    )
