@@ -818,3 +818,67 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "twa"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrency (sweep line in SQL): sessions from the native
+# session_window explode into +1/-1 boundary events; a running sum
+# ordered by (time, delta) — ends processed before starts at a tie,
+# since session end (last event + gap) is exclusive — yields the
+# concurrency curve, maxed per event type. The window partitions by
+# event type over a 2x|sessions| boundary relation; at extreme scale
+# the same running sum distributes via the day-bucket + broadcast-
+# offset prefix-sum machinery used by training_order.
+# ---------------------------------------------------------------------------
+@query(
+    "peak_concurrency",
+    oracle="""
+    WITH flagged AS (
+      SELECT event_type, user_id, ts,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                       OVER (PARTITION BY event_type, user_id ORDER BY ts, event_id)
+                       > 1800000000 THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT event_type, user_id, ts,
+             SUM(new_session) OVER (PARTITION BY event_type, user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess
+      FROM flagged
+    ), sessions AS (
+      SELECT event_type, MIN(ts) AS s_start, MAX(ts) + INTERVAL 30 MINUTE AS s_end
+      FROM numbered GROUP BY event_type, user_id, sess
+    ), bounds AS (
+      SELECT event_type, s_start AS t, 1 AS delta FROM sessions
+      UNION ALL
+      SELECT event_type, s_end AS t, -1 AS delta FROM sessions
+    ), curve AS (
+      SELECT event_type,
+             SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                              ROWS UNBOUNDED PRECEDING) AS concurrent
+      FROM bounds
+    )
+    SELECT event_type, CAST(MAX(concurrent) AS BIGINT) AS peak_concurrent
+    FROM curve GROUP BY event_type
+    """,
+)
+def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sessions = (
+        ev.groupBy("event_type", "user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.lit(1).alias("_one"))
+        .select("event_type", F.col("w.start").alias("s_start"), F.col("w.end").alias("s_end"))
+    )
+    bounds = sessions.select(
+        "event_type", F.col("s_start").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        sessions.select("event_type", F.col("s_end").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    curve = bounds.withColumn("concurrent", F.sum("delta").over(w))
+    return curve.groupBy("event_type").agg(
+        F.max("concurrent").cast("long").alias("peak_concurrent")
+    )

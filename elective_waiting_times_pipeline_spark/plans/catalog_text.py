@@ -3,7 +3,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from elective_waiting_times_pipeline_spark.operators import dedup as D
@@ -1340,4 +1340,66 @@ def source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kl_divergence")
         )
         .select(F.col("source"), F.col("n_s").cast("long").alias("n_tokens"), "kl_divergence")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit: slope of ln(freq) ~ ln(rank) over the corpus term
+# distribution — the one-number sanity check that a text corpus is
+# natural-language-shaped (slope near -1) rather than templated or
+# vocab-collapsed. Ranks from one vocabulary-sized window; both axes
+# snapped to integer MILLIS so the closed-form regression runs on
+# exact integer sums (products stay far inside int64 at any vocab).
+# ---------------------------------------------------------------------------
+@query(
+    "zipf_fit",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT unnest({_TOKS}) AS tok FROM documents WHERE length(trim(text)) > 0
+    ), cnt AS (
+      SELECT tok, COUNT(*) AS n FROM toks WHERE tok <> '' GROUP BY 1
+    ), ranked AS (
+      SELECT CAST(floor(ln(ROW_NUMBER() OVER (ORDER BY n DESC, tok)) * 1000 + 0.5) AS BIGINT) AS lx,
+             CAST(floor(ln(n) * 1000 + 0.5) AS BIGINT) AS ly
+      FROM cnt
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(lx) AS sx, SUM(ly) AS sy, SUM(lx * ly) AS sxy, SUM(lx * lx) AS sxx
+      FROM ranked
+    )
+    SELECT k AS n_terms,
+           ROUND(CAST(k * sxy - sx * sy AS DOUBLE)
+                 / CAST(k * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope
+    FROM s
+    """,
+)
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select(F.explode(X.tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), "tok")  # vocab-sized relation
+    ranked = cnt.select(
+        F.floor(F.log(F.row_number().over(w).cast("double")) * 1000 + 0.5)
+        .cast("long")
+        .alias("lx"),
+        F.floor(F.log(F.col("n").cast("double")) * 1000 + 0.5).cast("long").alias("ly"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+    )
+    return s.select(
+        F.col("k").cast("long").alias("n_terms"),
+        F.round(
+            (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+            6,
+        ).alias("zipf_slope"),
     )
