@@ -44,15 +44,25 @@ def test_timezone_sensitive_queries_match_oracle_under_default_session(entry_mod
 
 
 def test_rotation_fits_driver_window(entry_mod):
-    # The driver value-checks the FIRST 50 queries() entries. Every
-    # rotated-in name must be a real query, the rotation must fit the
-    # window, and rotation must never drop or duplicate a query.
+    # The driver value-checks the FIRST 50 queries() entries. Rotation
+    # is derived from past CORRECTNESS files: every never-green query
+    # sorts ahead of every previously-green one, nothing is dropped or
+    # duplicated, and queries()/oracle_sql() stay key-consistent.
     import __spark_entry__ as m
 
     qs = list(entry_mod.queries())
-    assert len(m._ROTATE_FIRST) <= 50
-    assert len(set(m._ROTATE_FIRST)) == len(m._ROTATE_FIRST)
-    missing = [n for n in m._ROTATE_FIRST if n not in qs]
-    assert not missing, f"rotated names not in catalog: {missing}"
-    assert qs[: len(m._ROTATE_FIRST)] == list(m._ROTATE_FIRST)
     assert len(qs) == len(set(qs))
+    assert set(qs) == set(m.catalog.SPARK_QUERIES)
+    green = m._previously_green()
+    assert green, "driver CORRECTNESS files should yield green keys"
+    never = [q for q in qs if q not in green]
+    # every window slot goes to a never-green query while any remain
+    window = qs[:50]
+    if len(never) >= 50:
+        assert all(q not in green for q in window)
+    else:
+        assert window[: len(never)] == never
+    # oracle_sql is a key-subset in compatible order
+    osql = list(entry_mod.oracle_sql())
+    assert set(osql) <= set(qs)
+    assert [q for q in qs if q in set(osql)] == osql
