@@ -55,8 +55,12 @@ def _previously_green() -> set[str]:
 
 
 def _rotated(d: dict) -> dict:
+    # never-green first; within that, oracle-backed before rows-only
+    # (a hash-verified slot is worth more than a row-count slot)
     green = _previously_green()
-    head = {k: v for k, v in d.items() if k not in green}
+    oracled = set(catalog.ORACLE_SQL)
+    head = {k: v for k, v in d.items() if k not in green and k in oracled}
+    head |= {k: v for k, v in d.items() if k not in green and k not in head}
     return head | {k: v for k, v in d.items() if k not in head}
 
 
