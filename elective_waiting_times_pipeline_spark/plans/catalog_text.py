@@ -1403,3 +1403,62 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("zipf_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering: train easy-to-hard by quality bucket, shuffled
+# WITHIN each bucket. Decile of the unigram-LM quality score (higher
+# logprob = more typical = earlier) is the major key; the
+# deterministic hash rank is the minor key — so curricula stay
+# reproducible and a bucket's internal order is still an unbiased
+# shuffle. Composes two existing kernels (unigram_logprob +
+# hash-order) in one plan. The catalog form uses global ntile /
+# row_number windows as the semantic reference; the at-scale plan
+# swaps them for approx-quantile bucket thresholds + the 256-bucket
+# distributed rank (sampling.hash_order_prefix), same ordering key.
+# ---------------------------------------------------------------------------
+@query(
+    "curriculum_order",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents WHERE {_NTOKS} >= 1
+    ), tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+    ), cnt AS (
+      SELECT tok, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(cnt) AS DOUBLE) AS n_total, CAST(COUNT(*) AS DOUBLE) AS vocab
+      FROM cnt
+    ), lp AS (
+      SELECT t.doc_id, t.tf,
+             CAST(floor(ln((c.cnt + 0.5) / (tot.n_total + 0.5 * tot.vocab)) * 1000000 + 0.5) AS BIGINT) AS lpm
+      FROM tf t JOIN cnt c USING (tok), tot
+    ), scored AS (
+      SELECT doc_id,
+             ROUND(SUM(tf * lpm) / CAST(SUM(tf) AS DOUBLE) / 1000000, 6) AS mean_logprob
+      FROM lp GROUP BY doc_id
+    ), bucketed AS (
+      SELECT doc_id, mean_logprob,
+             CAST(NTILE(10) OVER (ORDER BY mean_logprob DESC, doc_id) AS INT) AS bucket
+      FROM scored
+    )
+    SELECT doc_id, mean_logprob, bucket,
+           CAST(ROW_NUMBER() OVER (
+                  ORDER BY bucket,
+                           substr(md5(CAST(doc_id AS VARCHAR) || 'curriculum'), 1, 4),
+                           doc_id) AS BIGINT) AS position
+    FROM bucketed
+    """,
+)
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = X.unigram_logprob(docs).select("doc_id", "mean_logprob")
+    wb = Window.orderBy(F.col("mean_logprob").desc(), "doc_id")
+    bucketed = scored.withColumn("bucket", F.ntile(10).over(wb).cast("int"))
+    h = F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("curriculum"))), 1, 4)
+    return bucketed.select(
+        "doc_id",
+        "mean_logprob",
+        "bucket",
+        F.row_number().over(Window.orderBy("bucket", h, F.col("doc_id"))).cast("long").alias("position"),
+    )

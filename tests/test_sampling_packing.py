@@ -311,3 +311,18 @@ def test_sliding_chunks_invariants_across_shapes(spark, window, stride):
             for c in chunks:
                 covered.update(range(c.start_tok, c.start_tok + c.n_chunk_tokens))
             assert covered == set(range(n))
+
+
+def test_epoch_salt_reshuffles_but_preserves_set(spark):
+    from elective_waiting_times_pipeline_spark.operators.sampling import hash_order_position
+    from elective_waiting_times_pipeline_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select("doc_id")
+    e0 = {r.doc_id: r.position for r in hash_order_position(docs, F.col("doc_id").cast("string"), salt="epoch0").collect()}
+    e1 = {r.doc_id: r.position for r in hash_order_position(docs, F.col("doc_id").cast("string"), salt="epoch1").collect()}
+    assert set(e0) == set(e1)  # same corpus either epoch
+    assert sorted(e0.values()) == list(range(1, len(e0) + 1))
+    # different salts give a genuinely different order
+    moved = sum(1 for k in e0 if e0[k] != e1[k])
+    assert moved > len(e0) * 0.9
