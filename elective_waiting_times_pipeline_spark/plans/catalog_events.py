@@ -882,3 +882,45 @@ def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curve.groupBy("event_type").agg(
         F.max("concurrent").cast("long").alias("peak_concurrent")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable distinct-count sketches (operators/sketches.py): per-day
+# HLL sketches merged into a range estimate — the never-rescan
+# incremental form of COUNT(DISTINCT). Rows-only driver check (the
+# sketch estimate is engine-specific); the local test bounds the
+# estimate against the exact distinct and proves the persisted-sketch
+# path equals the one-shot merge.
+# ---------------------------------------------------------------------------
+@query("hll_incremental_users")
+def hll_incremental_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elective_waiting_times_pipeline_spark.operators.sketches import (
+        daily_user_sketches,
+        merged_distinct_estimate,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return merged_distinct_estimate(daily_user_sketches(ev))
+
+
+# ---------------------------------------------------------------------------
+# VARIANT ingestion (Spark 4's semi-structured type): parse the JSON
+# props column once into variant, extract typed fields with
+# variant_get — the schema-on-read path that replaces per-query
+# get_json_object re-parsing. Same result as events_json_extract, so
+# the oracle is the plain DuckDB JSON extraction.
+# ---------------------------------------------------------------------------
+@query(
+    "events_variant_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k_value
+    FROM events
+    """,
+)
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k_value"),
+    )

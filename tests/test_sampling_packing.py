@@ -326,3 +326,34 @@ def test_epoch_salt_reshuffles_but_preserves_set(spark):
     # different salts give a genuinely different order
     moved = sum(1 for k in e0 if e0[k] != e1[k])
     assert moved > len(e0) * 0.9
+
+
+def test_hll_sketches_merge_and_persist(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from elective_waiting_times_pipeline_spark.operators.sketches import (
+        daily_user_sketches,
+        merged_distinct_estimate,
+    )
+    from elective_waiting_times_pipeline_spark.sources.readers import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    sketches = daily_user_sketches(ev)
+    est = merged_distinct_estimate(sketches).collect()[0]
+    exact = ev.select("user_id").distinct().count()
+    assert abs(est.distinct_estimate - exact) / exact < 0.05  # HLL error bound
+
+    # persistence roundtrip: reload binary sketches, merge a day range
+    path = str(tmp_path / "sketches")
+    sketches.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    days = sorted(r.day for r in back.select("day").distinct().collect())[:2]
+    got = merged_distinct_estimate(back, days).collect()[0]
+    exact_range = (
+        ev.filter(F.date_format(F.date_trunc("DAY", "ts"), "yyyy-MM-dd").isin(days))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert got.n_sketches == 2
+    assert abs(got.distinct_estimate - exact_range) / max(exact_range, 1) < 0.05
