@@ -961,3 +961,49 @@ def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("welch_df"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram profile (the width_bucket pattern): 20 equal
+# bins over [min, max] of o_totalprice — the profiling complement to
+# the equi-depth percentile_exact. Bounds come from one tiny agg
+# broadcast back; bin edges and assignment use the same arithmetic in
+# both engines (top value clamped into the last bin).
+# ---------------------------------------------------------------------------
+@query(
+    "histogram_equiwidth",
+    oracle="""
+    WITH b AS (
+      SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+    ), binned AS (
+      SELECT LEAST(CAST(floor((o_totalprice - lo) / ((hi - lo) / 20) ) AS INT), 19) AS bin,
+             lo, hi
+      FROM orders, b
+    )
+    SELECT bin,
+           ROUND(lo + bin * ((hi - lo) / 20), 4) AS bin_lo,
+           ROUND(lo + (bin + 1) * ((hi - lo) / 20), 4) AS bin_hi,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM binned
+    GROUP BY bin, lo, hi
+    """,
+)
+def histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    b = o.agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+    w = (F.col("hi") - F.col("lo")) / 20
+    binned = o.crossJoin(F.broadcast(b)).select(
+        F.least(F.floor((F.col("o_totalprice") - F.col("lo")) / w).cast("int"), F.lit(19)).alias(
+            "bin"
+        ),
+        "lo",
+        "hi",
+    )
+    return binned.groupBy("bin", "lo", "hi").agg(F.count(F.lit(1)).alias("n")).select(
+        "bin",
+        F.round(F.col("lo") + F.col("bin") * ((F.col("hi") - F.col("lo")) / 20), 4).alias("bin_lo"),
+        F.round(F.col("lo") + (F.col("bin") + 1) * ((F.col("hi") - F.col("lo")) / 20), 4).alias(
+            "bin_hi"
+        ),
+        "n",
+    )
