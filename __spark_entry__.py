@@ -40,7 +40,13 @@ import os as _os
 
 
 def _previously_green() -> set[str]:
-    seen: set[str] = set()
+    """Queries whose LATEST driver check succeeded at full strength:
+    hash-verified for oracle-backed queries, rows-only completion for
+    no-oracle queries (rows-only IS their maximum achievable check, so
+    they must not squat window slots forever). A later round's status
+    replaces an earlier one — a green-then-regressed query (e.g.
+    text_lang_id, green r1 / err r2) re-enters the window."""
+    status: dict[str, bool] = {}
     here = _os.path.dirname(_os.path.abspath(__file__))
     for path in sorted(_glob.glob(_os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
@@ -49,9 +55,17 @@ def _previously_green() -> set[str]:
         except (OSError, ValueError):
             continue
         for name, row in data.items():
-            if isinstance(row, dict) and row.get("err") is None and row.get("rows_match"):
-                seen.add(name)
-    return seen
+            if not isinstance(row, dict):
+                continue
+            err = row.get("err")
+            if err is None:
+                ok = bool(row.get("hash_match"))
+            elif err == "no_oracle":
+                ok = row.get("spark_rows") is not None
+            else:
+                ok = False
+            status[name] = ok  # file order = round order: latest wins
+    return {n for n, ok in status.items() if ok}
 
 
 def _rotated(d: dict) -> dict:

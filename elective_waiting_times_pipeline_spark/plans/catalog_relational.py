@@ -887,8 +887,10 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Welch's t-test between two event populations (§2.10 stats family,
-# the A/B-comparison form): group moments from exact scaled-long sums
-# (two conditional aggs in ONE pass), then the t statistic and
+# the A/B-comparison form): group moments from exact scaled integer
+# sums, accumulated as DECIMAL(38,0)/HUGEINT (the sum of squares
+# leaves int64 around 1e9 rows; two conditional aggs in ONE pass),
+# then the t statistic and
 # Welch–Satterthwaite df as a fixed sequence of double ops both
 # engines replay verbatim.
 # ---------------------------------------------------------------------------
@@ -899,15 +901,15 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS na,
              CAST(COALESCE(SUM(CASE WHEN event_type = 'click'
                     THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0) AS BIGINT) AS sa,
-             CAST(COALESCE(SUM(CASE WHEN event_type = 'click'
+             COALESCE(SUM(CAST(CASE WHEN event_type = 'click'
                     THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
-                         * CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0) AS BIGINT) AS ssa,
+                         * CAST(floor(value * 100 + 0.5) AS BIGINT) END AS HUGEINT)), 0) AS ssa,
              CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS nb,
              CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
                     THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0) AS BIGINT) AS sb,
-             CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+             COALESCE(SUM(CAST(CASE WHEN event_type = 'purchase'
                     THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
-                         * CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0) AS BIGINT) AS ssb
+                         * CAST(floor(value * 100 + 0.5) AS BIGINT) END AS HUGEINT)), 0) AS ssb
       FROM events
     ), stats AS (
       SELECT na, nb,
@@ -933,10 +935,14 @@ def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = ev.agg(
         F.count(F.when(is_a, 1)).alias("na"),
         F.coalesce(F.sum(F.when(is_a, vc)), F.lit(0)).cast("long").alias("sa"),
-        F.coalesce(F.sum(F.when(is_a, vc * vc)), F.lit(0)).cast("long").alias("ssa"),
+        F.coalesce(F.sum(F.when(is_a, (vc * vc).cast("decimal(38,0)"))), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("ssa"),
         F.count(F.when(is_b, 1)).alias("nb"),
         F.coalesce(F.sum(F.when(is_b, vc)), F.lit(0)).cast("long").alias("sb"),
-        F.coalesce(F.sum(F.when(is_b, vc * vc)), F.lit(0)).cast("long").alias("ssb"),
+        F.coalesce(F.sum(F.when(is_b, (vc * vc).cast("decimal(38,0)"))), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("ssb"),
     )
     ma = F.col("sa").cast("double") / 100 / F.col("na")
     mb = F.col("sb").cast("double") / 100 / F.col("nb")

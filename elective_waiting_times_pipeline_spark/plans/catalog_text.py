@@ -1269,9 +1269,11 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # training mix". Smoothed (add-1/2) over the shared vocabulary; the
 # sources x vocab grid is two tiny aggregates cross-joined, so cost is
 # vocabulary-bounded after ONE corpus tokenize. Determinism: with
-# alpha = 1/2, sum_t (cnt_s+1/2)*lr_t rewrites to an exact long sum of
-# (2*cnt_s+1)*lr_micros (each term's single ln snapped to integer
-# micros, the unigram_logprob trick), divided once at the end.
+# alpha = 1/2, sum_t (cnt_s+1/2)*lr_t rewrites to an exact integer sum
+# of (2*cnt_s+1)*lr_micros (each term's single ln snapped to integer
+# micros, the unigram_logprob trick), accumulated as DECIMAL(38,0)/
+# HUGEINT so petascale token counts can't overflow, divided once at
+# the end.
 # ---------------------------------------------------------------------------
 @query(
     "source_divergence",
@@ -1294,7 +1296,7 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
       LEFT JOIN sc s ON s.source = st.source AND s.tok = c.tok, tot
     ), terms AS (
       SELECT source, n_s, n_total, vocab,
-             (2 * cnt_s + 1)
+             CAST(2 * cnt_s + 1 AS HUGEINT)
                * CAST(floor(ln(((cnt_s + 0.5) * (n_total + 0.5 * vocab))
                               / ((cnt + 0.5) * (n_s + 0.5 * vocab))) * 1000000 + 0.5)
                       AS BIGINT) AS term
@@ -1329,7 +1331,7 @@ def source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         / ((F.col("cnt") + 0.5) * (F.col("n_s") + 0.5 * F.col("vocab")))
     )
     lrm = F.floor(lr * F.lit(1e6) + F.lit(0.5)).cast("long")
-    term = (2 * F.col("cnt_s") + 1) * lrm
+    term = (2 * F.col("cnt_s") + 1).cast("decimal(38,0)") * lrm
     return (
         grid.withColumn("term", term)
         .groupBy("source", "n_s", "vocab")
@@ -1348,8 +1350,9 @@ def source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distribution — the one-number sanity check that a text corpus is
 # natural-language-shaped (slope near -1) rather than templated or
 # vocab-collapsed. Ranks from one vocabulary-sized window; both axes
-# snapped to integer MILLIS so the closed-form regression runs on
-# exact integer sums (products stay far inside int64 at any vocab).
+# snapped to integer MILLIS; sums accumulate as DECIMAL(38,0) /
+# HUGEINT so the closed-form regression stays exact at ANY vocabulary
+# (k*sxx ~ V^2 ln^2 V * 1e6 leaves int64 around V ~ 250k).
 # ---------------------------------------------------------------------------
 @query(
     "zipf_fit",
@@ -1363,11 +1366,12 @@ def source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(floor(ln(n) * 1000 + 0.5) AS BIGINT) AS ly
       FROM cnt
     ), s AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS k,
-             SUM(lx) AS sx, SUM(ly) AS sy, SUM(lx * ly) AS sxy, SUM(lx * lx) AS sxx
+      SELECT CAST(COUNT(*) AS HUGEINT) AS k,
+             CAST(SUM(lx) AS HUGEINT) AS sx, CAST(SUM(ly) AS HUGEINT) AS sy,
+             CAST(SUM(lx * ly) AS HUGEINT) AS sxy, CAST(SUM(lx * lx) AS HUGEINT) AS sxx
       FROM ranked
     )
-    SELECT k AS n_terms,
+    SELECT CAST(k AS BIGINT) AS n_terms,
            ROUND(CAST(k * sxy - sx * sy AS DOUBLE)
                  / CAST(k * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope
     FROM s
@@ -1388,12 +1392,13 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lx"),
         F.floor(F.log(F.col("n").cast("double")) * 1000 + 0.5).cast("long").alias("ly"),
     )
+    dec = "decimal(38,0)"
     s = ranked.agg(
-        F.count(F.lit(1)).alias("k"),
-        F.sum("lx").alias("sx"),
-        F.sum("ly").alias("sy"),
-        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
-        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.count(F.lit(1)).cast(dec).alias("k"),
+        F.sum("lx").cast(dec).alias("sx"),
+        F.sum("ly").cast(dec).alias("sy"),
+        F.sum((F.col("lx") * F.col("ly")).cast(dec)).alias("sxy"),
+        F.sum((F.col("lx") * F.col("lx")).cast(dec)).alias("sxx"),
     )
     return s.select(
         F.col("k").cast("long").alias("n_terms"),
