@@ -1013,3 +1013,78 @@ def histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n",
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence interval (the distributed bootstrap:
+# multinomial resampling is unshardable, but Poisson(1) weights are
+# independent per row, so each replica is one weighted aggregation —
+# the standard web-scale resampling trick). Weights derive from the
+# md5 hex grid (deterministic, replayable) through the Poisson(1)
+# inverse CDF; per-replica means are exact scaled-long ratios; the CI
+# is an exact percentile over the B-row replica relation. One corpus
+# scan fans out x B with map-side partial aggregation.
+# ---------------------------------------------------------------------------
+_POIS_HEX = ("5e2e", "bc5b", "eb72", "fb24", "ff11", "ffda", "fffb")  # ceil(F(k)*65536) as hex, Poisson(1) CDF k=0..6
+
+
+def _pois_case(u: str) -> str:
+    w = f"(CASE WHEN {u} < '{_POIS_HEX[0]}' THEN 0 "
+    for k in range(1, len(_POIS_HEX)):
+        w += f"WHEN {u} < '{_POIS_HEX[k]}' THEN {k} "
+    return w + "ELSE 7 END)"
+
+
+@query(
+    "bootstrap_mean_ci",
+    oracle=f"""
+    WITH reps AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS vc,
+             unnest(range(1, 65)) AS rep
+      FROM orders
+    ), weighted AS (
+      SELECT rep, vc,
+             {_pois_case("substr(md5(CAST(o_orderkey AS VARCHAR) || '#' || CAST(rep AS VARCHAR)), 1, 4)")} AS w
+      FROM reps
+    ), means AS (
+      SELECT rep, CAST(SUM(w * vc) AS DOUBLE) / SUM(w) / 100 AS m
+      FROM weighted GROUP BY rep HAVING SUM(w) > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_replicas,
+           ROUND(quantile_cont(m, 0.025), 4) AS ci_lo,
+           ROUND(quantile_cont(m, 0.5), 4) AS ci_mid,
+           ROUND(quantile_cont(m, 0.975), 4) AS ci_hi
+    FROM means
+    """,
+)
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    reps = o.select(
+        "o_orderkey",
+        sl2("o_totalprice").alias("vc"),
+        F.explode(F.sequence(F.lit(1), F.lit(64))).alias("rep"),
+    )
+    u = F.substring(
+        F.md5(
+            F.concat(F.col("o_orderkey").cast("string"), F.lit("#"), F.col("rep").cast("string"))
+        ),
+        1,
+        4,
+    )
+    cond = F.when(u < _POIS_HEX[0], 0)
+    for k in range(1, len(_POIS_HEX)):
+        cond = cond.when(u < _POIS_HEX[k], k)
+    w = cond.otherwise(7)
+    means = (
+        reps.withColumn("w", w)
+        .groupBy("rep")
+        .agg((F.sum(F.col("w") * F.col("vc")).cast("double") / F.sum("w") / 100).alias("m"))
+        .filter(F.col("m").isNotNull())
+    )
+    return means.agg(
+        F.count(F.lit(1)).alias("n_replicas"),
+        F.round(F.percentile("m", F.lit(0.025)), 4).alias("ci_lo"),
+        F.round(F.percentile("m", F.lit(0.5)), 4).alias("ci_mid"),
+        F.round(F.percentile("m", F.lit(0.975)), 4).alias("ci_hi"),
+    )
