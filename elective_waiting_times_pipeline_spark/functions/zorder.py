@@ -49,6 +49,24 @@ def zorder_key_sql(x: str, y: str, bits: int = 16) -> str:
     return " | ".join(parts)
 
 
+def zorder_key_n(cols: "list[Column | str]", bits: int = 16) -> Column:
+    """N-column Morton interleave: bit i of column j lands at position
+    i*n + j. Total bits n*bits must stay <= 62 (clear of the sign
+    bit) — 3 columns x 16 bits or 4 x 12 are typical lake layouts.
+    Same masking caveat as zorder_key."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder_key_n needs >= 2 columns")
+    if n * bits > 62:
+        raise ValueError(f"{n} cols x {bits} bits = {n * bits} > 62 interleaved bits")
+    cs = [(F.col(c) if isinstance(c, str) else c).cast("long") for c in cols]
+    parts = []
+    for i in range(bits):
+        for j, c in enumerate(cs):
+            parts.append(F.shiftleft(F.shiftrightunsigned(c, i).bitwiseAND(F.lit(1)), i * n + j))
+    return reduce(lambda a, b: a.bitwiseOR(b), parts)
+
+
 def write_zordered(
     df: DataFrame,
     path: str,

@@ -49,3 +49,27 @@ def test_zorder_write_layout_is_rectangular(spark, tmp_path):
         area = (max(xs) - min(xs) + 1) * (max(ys) - min(ys) + 1)
         # each file's bounding rectangle covers well under half the grid
         assert area <= full_area / 2, (f, area)
+
+
+def test_zorder_n_matches_reference_and_validates(spark):
+    import pytest
+
+    from elective_waiting_times_pipeline_spark.functions.zorder import zorder_key_n
+
+    def morton3(x, y, z, bits):
+        out = 0
+        for i in range(bits):
+            out |= ((x >> i) & 1) << (3 * i)
+            out |= ((y >> i) & 1) << (3 * i + 1)
+            out |= ((z >> i) & 1) << (3 * i + 2)
+        return out
+
+    pts = [(1, 2, 3), (7, 0, 5), (31, 31, 31), (0, 0, 0)]
+    df = spark.createDataFrame(pts, "x long, y long, z long")
+    rows = df.select("x", "y", "z", zorder_key_n(["x", "y", "z"], bits=5).alias("m")).collect()
+    for r in rows:
+        assert r.m == morton3(r.x, r.y, r.z, 5)
+    with pytest.raises(ValueError):
+        zorder_key_n(["x"], bits=5)
+    with pytest.raises(ValueError):
+        zorder_key_n(["x", "y", "z"], bits=21)  # 63 bits hits the sign bit
