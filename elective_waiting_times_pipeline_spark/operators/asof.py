@@ -53,3 +53,40 @@ def asof_join_backward(
     for c in value_cols:
         out = out.withColumn(c, F.col(f"_carry.{c}"))
     return out.drop("_carry")
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Forward variant: for each left row, the NEXT right-side
+    value_cols at or after its timestamp within the same `by` key
+    ("what happened next" joins). Same union + running-carry plan as
+    the backward form, with the window ordered DESC so the carry runs
+    from the future toward each left row; right rows still outrank
+    left rows at equal timestamps (inclusive ts_right >= ts_left)."""
+    l_tag = left.withColumn("_side", F.lit(1)).withColumn("_vals", F.lit(None).cast(
+        "struct<" + ", ".join(f"{c}: double" for c in value_cols) + ">"
+    ))
+    r_tag = right.select(
+        by,
+        ts,
+        F.lit(0).alias("_side"),
+        F.struct(*[F.col(c).cast("double").alias(c) for c in value_cols]).alias("_vals"),
+    )
+    unioned = l_tag.select(
+        by, ts, "_side", "_vals", *[c for c in left.columns if c not in (by, ts)]
+    ).unionByName(r_tag, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(ts).desc(), F.col("_side").asc(), F.col("_vals").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.withColumn("_carry", F.last("_vals", ignorenulls=True).over(w))
+    out = carried.filter(F.col("_side") == 1).drop("_side", "_vals")
+    for c in value_cols:
+        out = out.withColumn(c, F.col(f"_carry.{c}"))
+    return out.drop("_carry")

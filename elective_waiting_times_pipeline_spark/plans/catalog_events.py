@@ -924,3 +924,30 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of FORWARD join ("what happened next"): each click attached to
+# the next purchase at-or-after it per user — the symmetric form of
+# asof_join_backward, same one-window plan with the carry running
+# backward from the future. Oracle: DuckDB ASOF with <=.
+# ---------------------------------------------------------------------------
+@query(
+    "asof_join_forward",
+    oracle="""
+    SELECT l.event_id, l.user_id, r.value AS next_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts <= r.ts
+    """,
+)
+def asof_join_forward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elective_waiting_times_pipeline_spark.operators.asof import asof_join_forward
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value")
+    )
+    out = asof_join_forward(clicks, purchases, by="user_id", ts="ts", value_cols=["value"])
+    return out.select("event_id", "user_id", F.col("value").alias("next_purchase_value"))
