@@ -951,3 +951,40 @@ def asof_join_forward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = asof_join_forward(clicks, purchases, by="user_id", ts="ts", value_cols=["value"])
     return out.select("event_id", "user_id", F.col("value").alias("next_purchase_value"))
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival time distribution per event type (the ops-metrics
+# view: is traffic bursty or steady): consecutive gaps per (type,
+# user) from one lag window, exact integer second deltas, percentile
+# interpolation over identical order statistics in both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "interarrival_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             (epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY event_type, user_id
+                                                    ORDER BY ts, event_id))) // 1000000 AS gap_s
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+           ROUND(quantile_cont(gap_s, 0.5), 4) AS p50_gap_s,
+           ROUND(quantile_cont(gap_s, 0.9), 4) AS p90_gap_s,
+           ROUND(quantile_cont(gap_s, 0.99), 4) AS p99_gap_s
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    gap = ((F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))) / 1_000_000).cast("long")
+    gaps = ev.select("event_type", gap.alias("gap_s")).filter(F.col("gap_s").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_s").alias("n_gaps"),
+        F.round(F.percentile("gap_s", F.lit(0.5)), 4).alias("p50_gap_s"),
+        F.round(F.percentile("gap_s", F.lit(0.9)), 4).alias("p90_gap_s"),
+        F.round(F.percentile("gap_s", F.lit(0.99)), 4).alias("p99_gap_s"),
+    )
