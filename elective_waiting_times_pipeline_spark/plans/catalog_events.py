@@ -988,3 +988,43 @@ def interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("gap_s", F.lit(0.9)), 4).alias("p90_gap_s"),
         F.round(F.percentile("gap_s", F.lit(0.99)), 4).alias("p99_gap_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Retention-rate curve: cohort_retention's counts normalized into the
+# day-N retention percentage every growth dashboard plots — returning
+# users at each offset over the cohort's day-0 size.
+# ---------------------------------------------------------------------------
+@query(
+    "retention_curve",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day
+      FROM events GROUP BY 1
+    ), d AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             date_diff('day', f.cohort_day, date_trunc('day', e.ts)) AS day_offset
+      FROM events e JOIN f USING (user_id)
+    ), counts AS (
+      SELECT cohort_day, CAST(day_offset AS INT) AS day_offset,
+             CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM d GROUP BY 1, 2
+    ), base AS (
+      SELECT cohort_day, n_users AS day0 FROM counts WHERE day_offset = 0
+    )
+    SELECT c.cohort_day, c.day_offset, c.n_users,
+           ROUND(CAST(c.n_users AS DOUBLE) / b.day0, 6) AS retention_rate
+    FROM counts c JOIN base b USING (cohort_day)
+    """,
+)
+def retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = cohort_retention(spark, sf_dir)
+    base = counts.filter(F.col("day_offset") == 0).select(
+        "cohort_day", F.col("n_users").alias("day0")
+    )
+    return counts.join(F.broadcast(base), "cohort_day").select(
+        "cohort_day",
+        "day_offset",
+        "n_users",
+        F.round(F.col("n_users") / F.col("day0"), 6).alias("retention_rate"),
+    )

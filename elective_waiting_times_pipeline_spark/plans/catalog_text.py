@@ -1467,3 +1467,36 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.row_number().over(Window.orderBy("bucket", h, F.col("doc_id"))).cast("long").alias("position"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source duplication report (dedup observability): how much of
+# each feed is exact-duplicate bulk — distinct fingerprints vs docs,
+# and the share of rows a min-id dedup would drop. Two aggs over the
+# fingerprint projection.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_rate_by_source",
+    oracle=r"""
+    WITH fp AS (
+      SELECT source, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS f
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT f) AS BIGINT) AS n_distinct,
+           ROUND(CAST(COUNT(*) - COUNT(DISTINCT f) AS DOUBLE) / COUNT(*), 6)
+             AS dup_rate
+    FROM fp GROUP BY source
+    """,
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("source", X.fingerprint_md5("text").alias("f"))
+    return fp.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("f").alias("n_distinct"),
+        F.round(
+            (F.count(F.lit(1)) - F.count_distinct("f")) / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+    )
