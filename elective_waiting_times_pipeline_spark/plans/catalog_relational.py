@@ -1088,3 +1088,50 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("m", F.lit(0.5)), 4).alias("ci_mid"),
         F.round(F.percentile("m", F.lit(0.975)), 4).alias("ci_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Record linkage: fuzzy self-join on entity names within edit
+# distance <= 2. The scale shape is BLOCKING before distance: only
+# pairs sharing (length, 12-char prefix) reach the Levenshtein
+# verify, so the join is a hash equi-join on the block key — never an
+# all-pairs distance matrix. Both engines ship the same classic
+# Levenshtein.
+# ---------------------------------------------------------------------------
+@query(
+    "fuzzy_name_pairs",
+    oracle="""
+    WITH s AS (
+      SELECT s_suppkey, s_name, length(s_name) AS ln, substr(s_name, 1, 12) AS blk
+      FROM supplier
+    )
+    SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+           CAST(levenshtein(a.s_name, b.s_name) AS INT) AS edit_dist
+    FROM s a JOIN s b
+      ON a.ln = b.ln AND a.blk = b.blk AND a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= 2
+    """,
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        F.length("s_name").alias("ln"),
+        F.substring("s_name", 1, 12).alias("blk"),
+    )
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.ln") == F.col("b.ln"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
+        )
+        .withColumn("edit_dist", F.levenshtein(F.col("a.s_name"), F.col("b.s_name")).cast("int"))
+        .filter(F.col("edit_dist") <= 2)
+        .select(
+            F.col("a.s_suppkey").alias("id_a"),
+            F.col("b.s_suppkey").alias("id_b"),
+            "edit_dist",
+        )
+    )

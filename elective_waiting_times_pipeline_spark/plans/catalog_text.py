@@ -1500,3 +1500,52 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) - F.count_distinct("f")) / F.count(F.lit(1)), 6
         ).alias("dup_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence (lang x source contingency): are
+# languages distributed independently of feeds? Observed counts are
+# exact; each cell's (O-E)^2/E contribution is snapped to integer
+# micros (the ln-snap trick applied to chi-square terms), so the
+# statistic is an exact integer sum over the |lang| x |source| cell
+# relation — order-free and engine-identical.
+# ---------------------------------------------------------------------------
+@query(
+    "chi_square_independence",
+    oracle="""
+    WITH obs AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o FROM documents GROUP BY 1, 2
+    ), rows_ AS (SELECT lang, SUM(o) AS rn FROM obs GROUP BY 1),
+    cols_ AS (SELECT source, SUM(o) AS cn FROM obs GROUP BY 1),
+    tot AS (SELECT SUM(o) AS n FROM obs),
+    cells AS (
+      SELECT o.lang, o.source,
+             CAST(floor(
+               (o.o - CAST(r.rn AS DOUBLE) * c.cn / t.n)
+               * (o.o - CAST(r.rn AS DOUBLE) * c.cn / t.n)
+               / (CAST(r.rn AS DOUBLE) * c.cn / t.n) * 1000000 + 0.5) AS BIGINT) AS chi_u
+      FROM obs o JOIN rows_ r USING (lang) JOIN cols_ c USING (source), tot t
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           ROUND(CAST(SUM(chi_u) AS DOUBLE) / 1000000, 4) AS chi_square
+    FROM cells
+    """,
+)
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rows_ = obs.groupBy("lang").agg(F.sum("o").alias("rn"))
+    cols_ = obs.groupBy("source").agg(F.sum("o").alias("cn"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    e = F.col("rn").cast("double") * F.col("cn") / F.col("n")
+    chi_u = F.floor((F.col("o") - e) * (F.col("o") - e) / e * 1000000 + 0.5).cast("long")
+    cells = (
+        obs.join(F.broadcast(rows_), "lang")
+        .join(F.broadcast(cols_), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(chi_u.alias("chi_u"))
+    )
+    return cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.sum("chi_u").cast("double") / 1000000, 4).alias("chi_square"),
+    )
