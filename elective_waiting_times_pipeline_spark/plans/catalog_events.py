@@ -1028,3 +1028,111 @@ def retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         F.round(F.col("n_users") / F.col("day0"), 6).alias("retention_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival curve for time-to-first-purchase (survival
+# analysis with right censoring — the correct way to report
+# conversion latency when many users haven't converted YET; a naive
+# mean over converters only is biased). Per user: entry = first view,
+# event = first later purchase (delay in whole hours), censor = last
+# observed activity otherwise. The curve computes over the DISTINCT
+# delay axis (tiny): risk sets from a cumulative window, each
+# factor's ln(1 - d/n) micro-snapped so the product accumulates as an
+# exact integer sum (censored-at-t users remain at risk at t, the
+# standard deaths-before-censoring convention).
+# ---------------------------------------------------------------------------
+@query(
+    "survival_conversion",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+             MAX(ts) AS t_last
+      FROM events GROUP BY 1
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN u USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > u.t0
+      GROUP BY 1
+    ), pop AS (
+      SELECT u.user_id,
+             CASE WHEN p.t_purchase IS NOT NULL
+                  THEN (epoch_us(p.t_purchase) - epoch_us(u.t0)) // 3600000000
+                  ELSE (epoch_us(u.t_last) - epoch_us(u.t0)) // 3600000000 END AS t_h,
+             CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM u LEFT JOIN p USING (user_id)
+      WHERE u.t0 IS NOT NULL
+    ), marks AS (
+      SELECT t_h, CAST(SUM(ev) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS leaving
+      FROM pop GROUP BY t_h
+    ), risk AS (
+      SELECT t_h, d,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM pop) 
+               - COALESCE(SUM(leaving) OVER (ORDER BY t_h
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+      FROM marks
+    ), terms AS (
+      SELECT t_h, d, n_risk,
+             CAST(floor(ln(1 - CAST(d AS DOUBLE) / n_risk) * 1000000 + 0.5) AS BIGINT) AS lnm
+      FROM risk WHERE d > 0 AND d < n_risk
+    )
+    SELECT t_h AS delay_hours, n_risk, d AS d_events,
+           ROUND(exp(CAST(SUM(lnm) OVER (ORDER BY t_h
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                     / 1000000), 6) AS survival
+    FROM terms
+    """,
+)
+def survival_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t0"),
+        F.max("ts").alias("t_last"),
+    )
+    p = (
+        ev.join(u, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t0")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    pop = (
+        u.join(p, "user_id", "left")
+        .filter(F.col("t0").isNotNull())
+        .select(
+            F.when(
+                F.col("t_purchase").isNotNull(),
+                ((F.unix_micros("t_purchase") - F.unix_micros("t0")) / 3_600_000_000).cast("long"),
+            )
+            .otherwise(
+                ((F.unix_micros("t_last") - F.unix_micros("t0")) / 3_600_000_000).cast("long")
+            )
+            .alias("t_h"),
+            F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+        .localCheckpoint(eager=False)  # feeds marks AND the population count
+    )
+    marks = pop.groupBy("t_h").agg(
+        F.sum("ev").cast("long").alias("d"), F.count(F.lit(1)).cast("long").alias("leaving")
+    )
+    total = pop.agg(F.count(F.lit(1)).alias("n_total"))
+    wcum = Window.orderBy("t_h").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (
+        marks.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk", F.col("n_total") - F.coalesce(F.sum("leaving").over(wcum), F.lit(0))
+        )
+    )
+    terms = risk.filter((F.col("d") > 0) & (F.col("d") < F.col("n_risk"))).withColumn(
+        "lnm",
+        F.floor(F.log(1 - F.col("d").cast("double") / F.col("n_risk")) * 1000000 + 0.5).cast(
+            "long"
+        ),
+    )
+    wS = Window.orderBy("t_h").rowsBetween(Window.unboundedPreceding, 0)
+    return terms.select(
+        F.col("t_h").alias("delay_hours"),
+        "n_risk",
+        F.col("d").alias("d_events"),
+        F.round(F.exp(F.sum("lnm").over(wS).cast("double") / 1000000), 6).alias("survival"),
+    )

@@ -1135,3 +1135,71 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "edit_dist",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Geometric mean per group (the multiplicative average — price
+# indices, growth rates): exp of the mean of micro-snapped logs, so
+# the accumulation is an exact integer sum (the ln-snap trick).
+# ---------------------------------------------------------------------------
+@query(
+    "geometric_mean",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderpriority,
+             CAST(floor(ln(o_totalprice) * 1000000 + 0.5) AS BIGINT) AS lu
+      FROM orders WHERE o_totalprice > 0
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(exp(CAST(SUM(lu) AS DOUBLE) / COUNT(*) / 1000000), 4) AS geo_mean
+    FROM t GROUP BY o_orderpriority
+    """,
+)
+def geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    lu = F.floor(F.log("o_totalprice") * 1000000 + 0.5).cast("long")
+    return o.select("o_orderpriority", lu.alias("lu")).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.exp(F.sum("lu").cast("double") / F.count(F.lit(1)) / 1000000), 4).alias(
+            "geo_mean"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mode per group: most frequent value, ties broken by
+# the smaller value (SQL's MODE() leaves tie-breaking to the engine —
+# this pins it, SURVEY §7.5 determinism rule). Count agg + one
+# max_by over a (group, value)-sized relation.
+# ---------------------------------------------------------------------------
+@query(
+    "mode_per_group",
+    oracle="""
+    WITH counts AS (
+      SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+      FROM customer GROUP BY 1, 2
+    ), ranked AS (
+      SELECT c_mktsegment, c_nationkey, n,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY n DESC, c_nationkey ASC) AS rk
+      FROM counts
+    )
+    SELECT c_mktsegment, CAST(c_nationkey AS BIGINT) AS mode_nation,
+           CAST(n AS BIGINT) AS mode_count
+    FROM ranked WHERE rk = 1
+    """,
+)
+def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    counts = c.groupBy("c_mktsegment", "c_nationkey").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("n").desc(), F.col("c_nationkey").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("c_nationkey").cast("long").alias("mode_nation"),
+            F.col("n").cast("long").alias("mode_count"),
+        )
+    )
