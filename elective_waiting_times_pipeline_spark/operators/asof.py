@@ -90,3 +90,48 @@ def asof_join_forward(
     for c in value_cols:
         out = out.withColumn(c, F.col(f"_carry.{c}"))
     return out.drop("_carry")
+
+
+def asof_join_backward_tolerance(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts: str,
+    value_cols: list[str],
+    tolerance_s: int,
+) -> DataFrame:
+    """Backward as-of with a max-staleness bound (pandas
+    merge_asof(tolerance=...)): the carried right-side values are
+    NULLed when the matched row is older than `tolerance_s` seconds —
+    "use the last quote unless it's stale". Same single-window plan;
+    the right-side timestamp rides inside the carry struct so the age
+    check is a per-row projection afterwards."""
+    payload_t = (
+        "struct<_rts: bigint, " + ", ".join(f"{c}: double" for c in value_cols) + ">"
+    )
+    l_tag = left.withColumn("_side", F.lit(1)).withColumn(
+        "_vals", F.lit(None).cast(payload_t)
+    )
+    r_tag = right.select(
+        by,
+        ts,
+        F.lit(0).alias("_side"),
+        F.struct(
+            F.unix_micros(F.col(ts)).alias("_rts"),
+            *[F.col(c).cast("double").alias(c) for c in value_cols],
+        ).alias("_vals"),
+    )
+    unioned = l_tag.select(
+        by, ts, "_side", "_vals", *[c for c in left.columns if c not in (by, ts)]
+    ).unionByName(r_tag, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(ts).asc(), F.col("_side").asc(), F.col("_vals").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.withColumn("_carry", F.last("_vals", ignorenulls=True).over(w))
+    fresh = (F.unix_micros(F.col(ts)) - F.col("_carry._rts")) <= tolerance_s * 1_000_000
+    out = carried.filter(F.col("_side") == 1).drop("_side", "_vals")
+    for c in value_cols:
+        out = out.withColumn(c, F.when(fresh, F.col(f"_carry.{c}")))
+    return out.drop("_carry")

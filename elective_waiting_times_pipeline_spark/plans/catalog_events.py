@@ -1136,3 +1136,36 @@ def survival_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("d_events"),
         F.round(F.exp(F.sum("lnm").over(wS).cast("double") / 1000000), 6).alias("survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join with staleness tolerance (pandas merge_asof(tolerance)):
+# last purchase value per click, but only if it happened within the
+# past hour — stale matches become NULL rather than silently ancient.
+# Oracle: DuckDB ASOF + an age CASE on the matched row.
+# ---------------------------------------------------------------------------
+@query(
+    "asof_join_tolerance",
+    oracle="""
+    SELECT l.event_id, l.user_id,
+           CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= 3600000000
+                THEN r.value END AS recent_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_join_tolerance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elective_waiting_times_pipeline_spark.operators.asof import (
+        asof_join_backward_tolerance,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value")
+    )
+    out = asof_join_backward_tolerance(
+        clicks, purchases, by="user_id", ts="ts", value_cols=["value"], tolerance_s=3600
+    )
+    return out.select("event_id", "user_id", F.col("value").alias("recent_purchase_value"))
