@@ -173,3 +173,63 @@ def dyadic_ewma(
         F.round(F.col("au") / 100.0, 6).alias("bucket_avg"),
         F.round(F.expr(f"CAST({num} AS DOUBLE) / {den}") / 100.0, 6).alias("ewma"),
     )
+
+
+def gapfill_interpolate(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Dense hourly series with LINEAR interpolation across gaps (the
+    hypertable `interpolate()` companion to gapfill_locf): a gap
+    bucket gets prev + (next - prev) * (t - t_prev)/(t_next - t_prev)
+    from its nearest observed neighbors. Same one-fact-aggregation
+    plan as gapfill_locf plus a mirrored forward-looking window; the
+    interpolation weights are exact integer hour offsets, so the
+    arithmetic replays identically in the oracle."""
+    agg = bucket_series(events, group_col, ts_col, value_col).localCheckpoint(eager=False)
+    bounds = agg.groupBy("grp").agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
+    grid = bounds.select(
+        "grp", F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("bucket")
+    )
+    joined = grid.join(agg, ["grp", "bucket"], "left")
+    avg_value = F.when(
+        F.col("n_events").isNotNull(), F.round(F.col("sv") / 100.0 / F.col("n_events"), 6)
+    )
+    hours = (F.unix_micros("bucket") / 3_600_000_000).cast("long")
+    base = joined.select(
+        "grp",
+        "bucket",
+        hours.alias("h"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        avg_value.alias("avg_value"),
+        F.when(F.col("n_events").isNotNull(), hours).alias("h_obs"),
+    )
+    wb = Window.partitionBy("grp").orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    wf = Window.partitionBy("grp").orderBy("bucket").rowsBetween(0, Window.unboundedFollowing)
+    prev_v = F.last("avg_value", ignorenulls=True).over(wb)
+    prev_h = F.last("h_obs", ignorenulls=True).over(wb)
+    next_v = F.first("avg_value", ignorenulls=True).over(wf)
+    next_h = F.first("h_obs", ignorenulls=True).over(wf)
+    interp = F.when(F.col("avg_value").isNotNull(), F.col("avg_value")).otherwise(
+        F.round(
+            prev_v
+            + (next_v - prev_v)
+            * (F.col("h") - prev_h).cast("double")
+            / (next_h - prev_h).cast("double"),
+            6,
+        )
+    )
+    return (
+        base.withColumn("filled_value", interp)
+        .withColumn("is_gap", F.col("n_events") == 0)
+        .select(
+            F.col("grp").alias(group_col),
+            "bucket",
+            "n_events",
+            "avg_value",
+            "filled_value",
+            "is_gap",
+        )
+    )

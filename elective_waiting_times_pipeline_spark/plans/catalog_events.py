@@ -1169,3 +1169,56 @@ def asof_join_tolerance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks, purchases, by="user_id", ts="ts", value_cols=["value"], tolerance_s=3600
     )
     return out.select("event_id", "user_id", F.col("value").alias("recent_purchase_value"))
+
+
+# ---------------------------------------------------------------------------
+# Linear-interpolation gap fill — the interpolate() companion to
+# events_gapfill_locf: gap buckets get the straight line between
+# their nearest observed neighbors (integer hour offsets keep the
+# weights exact in both engines).
+# ---------------------------------------------------------------------------
+@query(
+    "events_gapfill_interp",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type AS grp, date_trunc('hour', ts) AS bucket,
+             COUNT(*) AS n_events,
+             SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sv
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT grp, MIN(bucket) AS mn, MAX(bucket) AS mx FROM agg GROUP BY 1
+    ), grid AS (
+      SELECT grp, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket FROM bounds
+    ), base AS (
+      SELECT g.grp, g.bucket,
+             epoch_us(g.bucket) // 3600000000 AS h,
+             COALESCE(a.n_events, 0) AS n_events,
+             CASE WHEN a.n_events IS NOT NULL
+                  THEN ROUND(CAST(a.sv AS DOUBLE) / 100 / a.n_events, 6) END AS avg_value,
+             CASE WHEN a.n_events IS NOT NULL
+                  THEN epoch_us(g.bucket) // 3600000000 END AS h_obs
+      FROM grid g LEFT JOIN agg a USING (grp, bucket)
+    ), nbr AS (
+      SELECT grp, bucket, h, n_events, avg_value,
+             LAST_VALUE(avg_value IGNORE NULLS) OVER wb AS prev_v,
+             LAST_VALUE(h_obs IGNORE NULLS) OVER wb AS prev_h,
+             FIRST_VALUE(avg_value IGNORE NULLS) OVER wf AS next_v,
+             FIRST_VALUE(h_obs IGNORE NULLS) OVER wf AS next_h
+      FROM base
+      WINDOW wb AS (PARTITION BY grp ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY grp ORDER BY bucket
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT grp AS event_type, bucket, CAST(n_events AS BIGINT) AS n_events, avg_value,
+           CASE WHEN avg_value IS NOT NULL THEN avg_value
+                ELSE ROUND(prev_v + (next_v - prev_v)
+                           * CAST(h - prev_h AS DOUBLE) / CAST(next_h - prev_h AS DOUBLE), 6)
+           END AS filled_value,
+           n_events = 0 AS is_gap
+    FROM nbr
+    """,
+)
+def events_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return TS.gapfill_interpolate(ev)

@@ -1549,3 +1549,45 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_cells"),
         F.round(F.sum("chi_u").cast("double") / 1000000, 4).alias("chi_square"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+# keep the k docs with the largest ln(u)/w, u a deterministic md5
+# hex-grid uniform in (0,1] and w = n_chars — one scan + TakeOrdered,
+# reproducible under reruns and repartitioning like every sampler in
+# this engine. ln(u) is micro-snapped so the ranking key is the same
+# exact double in both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "weighted_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             CAST(floor(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'wsamp'), 1, 4))::INTEGER + 1)
+                           / 65536.0) * 1000000 + 0.5) AS BIGINT) AS lnu
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           ROUND(CAST(lnu AS DOUBLE) / n_chars / 1000000, 6) AS es_key
+    FROM keyed
+    ORDER BY es_key DESC, doc_id
+    LIMIT 100
+    """,
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("wsamp"))), 1, 4), 16, 10).cast("long")
+        + 1
+    ) / 65536.0
+    lnu = F.floor(F.log(u) * 1000000 + 0.5).cast("long")
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.round(lnu.cast("double") / F.col("n_chars") / 1000000, 6).alias("es_key"),
+        )
+        .orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(100)
+    )

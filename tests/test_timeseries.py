@@ -153,3 +153,11 @@ def test_gapfill_matches_pandas_reference(spark, obs):
                 assert gv is None, (k, ge, we)
             else:
                 assert abs(gv - wv) < 1e-9, (k, ge, we)
+
+
+def test_gapfill_interpolation_straight_line(spark):
+    # observed 10.0 at hour 0 and 40.0 at hour 3: gaps at 1, 2 get 20, 30
+    rows = [("a", T0, 10.0), ("a", T0 + dt.timedelta(hours=3), 40.0)]
+    out = TS.gapfill_interpolate(_events(spark, rows)).orderBy("bucket").collect()
+    assert [r.filled_value for r in out] == [10.0, 20.0, 30.0, 40.0]
+    assert [r.is_gap for r in out] == [False, True, True, False]
