@@ -1222,3 +1222,67 @@ def asof_join_tolerance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return TS.gapfill_interpolate(ev)
+
+
+# ---------------------------------------------------------------------------
+# Co-occurrence lift (association mining over user baskets): for each
+# event-type pair, P(a,b) / (P(a) P(b)) over users — lift > 1 means
+# the behaviors attract. Distinct (user, type) first, so the pair
+# self-join is bounded by |types|^2 per user, never raw event volume.
+# ---------------------------------------------------------------------------
+@query(
+    "cooccurrence_lift",
+    oracle="""
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ), n AS (
+      SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM ut
+    ), singles AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ut GROUP BY 1
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_both,
+           ROUND(CAST(p.n_both AS DOUBLE) * n.n_users / (sa.n * sb.n), 6) AS lift
+    FROM pairs p
+    JOIN singles sa ON sa.event_type = p.type_a
+    JOIN singles sb ON sb.event_type = p.type_b, n
+    """,
+)
+def cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n = ut.agg(F.count_distinct("user_id").alias("n_users"))
+    singles = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a, b = ut.alias("a"), ut.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"), F.col("b.event_type").alias("type_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = F.broadcast(singles.select(F.col("event_type").alias("type_a"), F.col("n").alias("na")))
+    sb = F.broadcast(singles.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb")))
+    return (
+        pairs.join(sa, "type_a")
+        .join(sb, "type_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double") * F.col("n_users") / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -218,3 +218,56 @@ def semantic_dedup_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("label", "vec_id") == F.col("vec_id")).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Class-separation matrix: cosine similarity between every pair of
+# label centroids — the embedding-space health check (labels whose
+# centroids nearly coincide are confusable). Runs over the 6-dp
+# ROUNDED centroid relation (|labels| x dim), so both engines fold
+# identical doubles; the corpus itself is touched only by the one
+# centroid aggregation.
+# ---------------------------------------------------------------------------
+@query(
+    "label_separation",
+    oracle="""
+    WITH ex AS (
+      SELECT label,
+             unnest(list_transform(embedding, (x, i) -> struct_pack(pos := i, val := CAST(x AS DOUBLE)))) AS s
+      FROM embeddings
+    ), cent AS (
+      SELECT label, CAST(s.pos AS INT) AS pos, ROUND(AVG(s.val), 6) AS v
+      FROM ex GROUP BY label, s.pos
+    ), dots AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             SUM(a.v * b.v) AS ab, SUM(a.v * a.v) AS aa, SUM(b.v * b.v) AS bb
+      FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+      GROUP BY 1, 2
+    )
+    SELECT CAST(label_a AS INT) AS label_a, CAST(label_b AS INT) AS label_b,
+           ROUND(ab / sqrt(aa) / sqrt(bb), 6) AS centroid_cosine
+    FROM dots
+    """,
+)
+def label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elective_waiting_times_pipeline_spark.operators.similarity import group_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = group_centroids(emb, group_col="label", vec_col="embedding").select(
+        "label", "pos", F.col("centroid_val").alias("v")
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    dots = (
+        a.join(b, (F.col("a.pos") == F.col("b.pos")) & (F.col("a.label") < F.col("b.label")))
+        .groupBy(F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b"))
+        .agg(
+            F.sum(F.col("a.v") * F.col("b.v")).alias("ab"),
+            F.sum(F.col("a.v") * F.col("a.v")).alias("aa"),
+            F.sum(F.col("b.v") * F.col("b.v")).alias("bb"),
+        )
+    )
+    return dots.select(
+        F.col("label_a").cast("int"),
+        F.col("label_b").cast("int"),
+        F.round(F.col("ab") / F.sqrt("aa") / F.sqrt("bb"), 6).alias("centroid_cosine"),
+    )
