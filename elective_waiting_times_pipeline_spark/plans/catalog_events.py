@@ -1286,3 +1286,122 @@ def cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test per event type: the nonparametric is-this-
+# metric-trending check over the DAILY value series. S = sum of
+# sgn(x_j - x_i) over ordered day pairs — exact integers; the pair
+# join runs over the bucketed series only (|days|^2 per type, tiny),
+# never the raw log. Continuity-corrected z from the exact S.
+# ---------------------------------------------------------------------------
+@query(
+    "trend_mann_kendall",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS grp, date_trunc('day', ts) AS d,
+             SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sv
+      FROM events GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.grp,
+             CAST(SUM(CASE WHEN b.sv > a.sv THEN 1 WHEN b.sv < a.sv THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM daily a JOIN daily b ON a.grp = b.grp AND a.d < b.d
+      GROUP BY a.grp
+    ), sized AS (
+      SELECT grp, s, n_pairs,
+             CAST((1 + sqrt(1.0 + 8 * n_pairs)) / 2 AS DOUBLE) AS n
+      FROM pairs
+    )
+    SELECT grp AS event_type, s AS mk_s, CAST(n AS BIGINT) AS n_days,
+           ROUND((s - CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1 ELSE 0 END)
+                 / sqrt(n * (n - 1) * (2 * n + 5) / 18), 6) AS mk_z
+    FROM sized
+    """,
+)
+def trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("grp"), F.date_trunc("DAY", "ts").alias("d")
+    ).agg(F.sum(sl2("value")).alias("sv"))
+    a, b = daily.alias("a"), daily.alias("b")
+    sgn = (
+        F.when(F.col("b.sv") > F.col("a.sv"), 1)
+        .when(F.col("b.sv") < F.col("a.sv"), -1)
+        .otherwise(0)
+    )
+    pairs = (
+        a.join(b, (F.col("a.grp") == F.col("b.grp")) & (F.col("a.d") < F.col("b.d")))
+        .groupBy(F.col("a.grp").alias("grp"))
+        .agg(F.sum(sgn).cast("long").alias("s"), F.count(F.lit(1)).alias("n_pairs"))
+    )
+    n = (1 + F.sqrt(1.0 + 8 * F.col("n_pairs"))) / 2
+    corr = F.when(F.col("s") > 0, 1).when(F.col("s") < 0, -1).otherwise(0)
+    return pairs.select(
+        F.col("grp").alias("event_type"),
+        F.col("s").alias("mk_s"),
+        n.cast("long").alias("n_days"),
+        F.round((F.col("s") - corr) / F.sqrt(n * (n - 1) * (2 * n + 5) / 18), 6).alias("mk_z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top session paths: the most common within-session event-type
+# sequences (ts-then-event_id order pins ties). Path strings build
+# per session — a bounded-cardinality string per session row — and
+# one count agg ranks them; top-k membership pinned by (count desc,
+# path).
+# ---------------------------------------------------------------------------
+@query(
+    "top_session_paths",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000 THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sess
+      FROM flagged
+    ), paths AS (
+      SELECT user_id, sess,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM numbered GROUP BY user_id, sess
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 10
+    """,
+)
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_session", F.when(gap > 1_800_000_000, 1).otherwise(0)
+    ).withColumn("sess", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    paths = (
+        flagged.groupBy("user_id", "sess")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(10)
+    )
