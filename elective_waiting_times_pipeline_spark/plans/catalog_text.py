@@ -1591,3 +1591,38 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("es_key").desc(), "doc_id")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration of token mass per source: does one document
+# dominate the feed? Exact rank form G = 2*sum(i*x_i)/(n*sum(x)) -
+# (n+1)/n over length-sorted docs (ties pinned by doc_id). The rank
+# window partitions per source; at extreme per-source cardinality the
+# same ranks come from the 256-bucket distributed-rank machinery.
+# ---------------------------------------------------------------------------
+@query(
+    "source_gini",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS i
+      FROM documents
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(2.0 * SUM(i * n_chars) / (COUNT(*) * SUM(n_chars))
+                 - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+    FROM ranked GROUP BY source
+    """,
+)
+def source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select("source", "n_chars", F.row_number().over(w).alias("i"))
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("n_chars")) / (F.count(F.lit(1)) * F.sum("n_chars"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )

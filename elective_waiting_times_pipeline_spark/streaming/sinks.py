@@ -139,3 +139,41 @@ def stream_append_quantized_store(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_to_lake_with_dq(
+    source: DataFrame,
+    lake_path: str,
+    quarantine_path: str,
+    checkpoint_path: str,
+    constraints,
+    partition_cols: tuple[str, ...] = ("monthyr",),
+    unique_key=None,
+    query_name: str = "dq_gated_ingest",
+) -> StreamingQuery:
+    """Data-quality-gated ingest (the circuit breaker): each
+    micro-batch runs the single-pass constraint suite
+    (operators/quality.py::dq_report); a batch with ANY violation is
+    diverted whole to `quarantine_path/batch=<id>` for triage instead
+    of polluting the lake, a clean batch lands via dynamic partition
+    overwrite as usual. Both paths are replay-idempotent: the lake by
+    partition swap, the quarantine by batch-id subdir overwrite."""
+    from elective_waiting_times_pipeline_spark.operators.quality import dq_report
+
+    def land(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        report = dq_report(batch, constraints, unique_key=unique_key).collect()[0]
+        violations = sum(v for k, v in report.asDict().items() if k != "n_rows")
+        if violations:
+            batch.write.mode("overwrite").parquet(f"{quarantine_path}/batch={batch_id}")
+        else:
+            overwrite_partitions(batch, lake_path, partition_cols)
+
+    return (
+        source.writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint_path)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -64,3 +64,37 @@ def test_clean_table_reports_zero(spark):
     out = Q.dq_report(clean, [Q.not_null("k"), Q.in_range("v", 0, 10)], unique_key=("k",))
     r = out.collect()[0]
     assert (r.not_null_k, r.range_v, r.dup_k) == (0, 0, 0)
+
+
+def test_dq_gated_streaming_ingest(spark, tmp_path):
+    """A violating micro-batch diverts whole to quarantine; clean
+    batches land in the lake; totals reconcile."""
+    from pyspark.sql import functions as F
+
+    from elective_waiting_times_pipeline_spark.streaming.sinks import stream_to_lake_with_dq
+
+    src = str(tmp_path / "src")
+    good = spark.createDataFrame([("m1", 1, 5.0), ("m1", 2, 7.0)], "monthyr string, k int, v double")
+    bad = spark.createDataFrame([("m2", 3, -1.0), ("m2", None, 2.0)], "monthyr string, k int, v double")
+    good.coalesce(1).write.mode("overwrite").parquet(src)
+    bad.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("monthyr string, k int, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    lake, quar = str(tmp_path / "lake"), str(tmp_path / "quarantine")
+    q = stream_to_lake_with_dq(
+        stream,
+        lake,
+        quar,
+        str(tmp_path / "ckpt"),
+        [Q.not_null("k"), Q.in_range("v", 0, 100)],
+    )
+    q.awaitTermination(120)
+
+    landed = spark.read.parquet(lake)
+    held = spark.read.parquet(quar)
+    assert sorted(r.k for r in landed.collect()) == [1, 2]
+    assert held.count() == 2 and held.filter(F.col("v") < 0).count() == 1
