@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -571,4 +571,37 @@ def ivf_quantized_topk(
         .select(F.col(id_col), score.alias("ip_score"))
         .orderBy(F.col("ip_score").desc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def batch_cosine_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    round_dp: int = 6,
+) -> Column:
+    """Multi-query retrieval: top-k per QUERY over one corpus scan.
+    The query set broadcasts (a batch of user queries, not a corpus);
+    each corpus row scores against every query via the exploded
+    broadcast, and a per-query window rank keeps k. Cost: one scan x
+    |queries| score evaluations + one (query, score) shuffle — the
+    batch complement of the single-query cosine_topk (which this
+    matches row-for-row per query, equivalence-tested)."""
+    q = F.broadcast(
+        query_df.select(F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec"))
+    )
+    sim = F.round(cosine(F.col(vec_col), F.col("_qvec")), round_dp)
+    scored = df.crossJoin(q).select(
+        F.col("_qid").alias(query_id_col), F.col(id_col), sim.alias("cosine_sim")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
     )

@@ -271,3 +271,36 @@ def label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label_b").cast("int"),
         F.round(F.col("ab") / F.sqrt("aa") / F.sqrt("bb"), 6).alias("centroid_cosine"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch retrieval: top-10 per query for a 3-query batch in ONE corpus
+# scan (exploded broadcast queries + per-query window rank) — the
+# multi-query complement of ann_cosine_topk's single-query contract.
+# ---------------------------------------------------------------------------
+@query(
+    "batch_cosine_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id IN (0, 1, 2)
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+               AS cosine_sim
+      FROM embeddings e CROSS JOIN q
+    ), ranked AS (
+      SELECT query_id, vec_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, vec_id ASC) AS rk
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine_sim FROM ranked WHERE rk <= 10
+    """,
+)
+def batch_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id").isin([0, 1, 2])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.batch_cosine_topk(emb, qdf, k=10)
