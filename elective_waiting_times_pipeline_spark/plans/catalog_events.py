@@ -1405,3 +1405,41 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# New vs returning users per day — the growth dashboard's daily split:
+# a user is "new" on their first activity day, "returning" on every
+# later active day. One user-keyed min + a distinct day relation.
+# ---------------------------------------------------------------------------
+@query(
+    "new_vs_returning",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, date_trunc('day', MIN(ts)) AS first_day FROM events GROUP BY 1
+    ), d AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    )
+    SELECT d.day,
+           CAST(SUM(CASE WHEN d.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+           CAST(SUM(CASE WHEN d.day > f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS returning_users
+    FROM d JOIN f USING (user_id)
+    GROUP BY d.day
+    """,
+)
+def new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(F.date_trunc("DAY", F.min("ts")).alias("first_day"))
+    d = ev.select("user_id", F.date_trunc("DAY", "ts").alias("day")).distinct()
+    return (
+        d.join(f, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))
+            .cast("long")
+            .alias("new_users"),
+            F.sum(F.when(F.col("day") > F.col("first_day"), 1).otherwise(0))
+            .cast("long")
+            .alias("returning_users"),
+        )
+    )

@@ -132,3 +132,26 @@ def read_jsonl(
     lines are captured in `_corrupt_record` when the schema declares
     it (Spark PERMISSIVE default) instead of failing the scan."""
     return spark.read.schema(schema).json(path, **options)
+
+
+def read_csv_tolerant(
+    spark,
+    path: str,
+    schema: str,
+    corrupt_col: str = "_corrupt_record",
+    **options,
+):
+    """CSV scan that never fails on malformed rows: PERMISSIVE mode
+    with the raw offending line captured in `corrupt_col` for triage
+    (the CSV sibling of read_jsonl's corrupt-record contract — at
+    100 TB a single mangled row must not kill the job). Explicit
+    schema required; the corrupt column is appended to it."""
+    from pyspark.sql import functions as F  # local: edges keeps pandas-only imports gated
+
+    full = schema.rstrip() + f", {corrupt_col} string"
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .csv(path, header=True, **options)
+    )

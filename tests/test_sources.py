@@ -149,3 +149,15 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     with contextlib.redirect_stdout(buf):
         back.filter(F.col("n_regionkey") == 1).explain("formatted")
     assert "PushedFilters: [" in buf.getvalue()
+
+
+def test_csv_tolerant_captures_malformed_rows(spark, tmp_path):
+    from elective_waiting_times_pipeline_spark.sources.edges import read_csv_tolerant
+
+    p = tmp_path / "rows.csv"
+    p.write_text("k,v\n1,2.5\nnot_an_int,oops_extra,3\n2,4.0\n")
+    df = read_csv_tolerant(spark, str(p), "k int, v double").cache()
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert sorted((r.k, r.v) for r in good.collect()) == [(1, 2.5), (2, 4.0)]
+    assert bad.count() == 1 and "oops_extra" in bad.collect()[0]._corrupt_record
