@@ -1203,3 +1203,32 @@ def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("long").alias("mode_count"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank-family completion: percent_rank and cume_dist of each order's
+# price within its priority class (ties share ranks in both engines
+# by definition — no pinning needed; row identity pinned by orderkey
+# in the output). The remaining SQL window functions alongside
+# ntile/row_number/rank/lag/lead elsewhere in the catalog.
+# ---------------------------------------------------------------------------
+@query(
+    "price_rank_profile",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume_dist
+    FROM orders
+    WHERE o_orderkey < 2000
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+    """,
+)
+def price_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+    )
