@@ -640,3 +640,40 @@ def sole_slow_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sole.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
         F.count(F.lit(1)).alias("numwait")
     )
+
+
+# ---------------------------------------------------------------------------
+# Forecasting revenue change (TPC-H Q6 shape): the canonical
+# filter-everything-then-one-sum scan — all three selective predicates
+# push to the parquet scan and the whole query is one codegen'd
+# partial+final aggregation with no shuffle wider than one row.
+# ---------------------------------------------------------------------------
+@query(
+    "forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 10000
+             AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(sl2("l_extendedprice") * sl2("l_discount")) / 10000.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

@@ -1443,3 +1443,29 @@ def new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("returning_users"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonality heatmap: the (day-of-week x hour-of-day) activity grid
+# every traffic dashboard plots — one hash agg to at most 168 cells.
+# ---------------------------------------------------------------------------
+@query(
+    "seasonality_heatmap",
+    oracle="""
+    SELECT CAST(dayofweek(ts) AS INT) AS dow,
+           CAST(hour(ts) AS INT) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
+             AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def seasonality_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(sl2("value")) / 100.0).alias("total_value"),
+    )

@@ -1626,3 +1626,44 @@ def source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity per source: hapax ratio (share of the source's
+# vocabulary seen exactly once) and type-token ratio — low values
+# flag templated/boilerplate feeds; complements zipf_fit globally.
+# ---------------------------------------------------------------------------
+@query(
+    "lexical_diversity",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT source, unnest({_TOKS}) AS tok
+      FROM documents WHERE length(trim(text)) > 0
+    ), cnt AS (
+      SELECT source, tok, COUNT(*) AS n FROM toks WHERE tok <> '' GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+             AS hapax_ratio,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(n), 6) AS type_token_ratio
+    FROM cnt GROUP BY source
+    """,
+)
+def lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select("source", F.explode(X.tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    cnt = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("n"))
+    return cnt.groupBy("source").agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.round(
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("double") / F.count(F.lit(1)), 6
+        ).alias("hapax_ratio"),
+        F.round(F.count(F.lit(1)).cast("double") / F.sum("n"), 6).alias("type_token_ratio"),
+    )
