@@ -1469,3 +1469,42 @@ def seasonality_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         (F.sum(sl2("value")) / 100.0).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Daily ARPU: purchase revenue over daily active users — the last of
+# the growth-metric trio (actives, new/returning, revenue-per-user).
+# Two aggregates over one day-keyed pass each.
+# ---------------------------------------------------------------------------
+@query(
+    "arpu_daily",
+    oracle="""
+    WITH rev AS (
+      SELECT date_trunc('day', ts) AS day,
+             SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS rc
+      FROM events GROUP BY 1
+    ), dau AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS actives
+      FROM events GROUP BY 1
+    )
+    SELECT d.day, d.actives,
+           CAST(r.rc AS DOUBLE) / 100 AS revenue,
+           ROUND(CAST(r.rc AS DOUBLE) / 100 / d.actives, 6) AS arpu
+    FROM dau d JOIN rev r USING (day)
+    """,
+)
+def arpu_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("DAY", "ts").alias("day")
+    rev = ev.groupBy(day).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", sl2("value")).otherwise(0)).alias("rc")
+    )
+    dau = ev.groupBy(day).agg(F.count_distinct("user_id").alias("actives"))
+    return dau.join(rev, "day").select(
+        "day",
+        "actives",
+        (F.col("rc").cast("double") / 100).alias("revenue"),
+        F.round(F.col("rc").cast("double") / 100 / F.col("actives"), 6).alias("arpu"),
+    )
