@@ -23,7 +23,7 @@ beyond-reference training-data operator set (SURVEY §7.3 M5).
 
 from __future__ import annotations
 
-from collections.abc import Iterable, Mapping
+from collections.abc import Iterable, Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -200,6 +200,112 @@ def hash_order_position(
     `position` of every row under the order (md5(key || salt), key).
     The ungrouped case of `hash_order_prefix` (see its scale notes)."""
     return hash_order_prefix(df, key, (), salt, out_pos=out)
+
+
+def range_cut_points(
+    df: DataFrame, value: str, n_buckets: int = 64, rel_err: float = 0.001
+) -> list[float]:
+    """Approximate-quantile cut points splitting `value`'s distribution
+    into ~`n_buckets` equal-mass ranges — the bucketing side of the
+    value-order distributed rank (`ordered_prefix`). One bounded
+    driver-side action (Greenwald-Khanna sketch, no full sort); the
+    cut points only steer PARALLELISM, never correctness — any
+    monotone bucketing yields the same exact ranks, a degenerate cut
+    list merely loses fan-out."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.approxQuantile(value, qs, rel_err)
+    return sorted(set(cuts))
+
+
+def range_bucket(value: Column, cuts: Sequence[float], descending: bool = False) -> Column:
+    """Monotone bucket index of `value` along the ascending (or
+    descending) value order: the count of cut points strictly before
+    the value in sort direction. A pure per-row codegen expression —
+    ties of `value` always share a bucket, so any order whose leading
+    key is `value` is respected by construction."""
+    if not cuts:
+        return F.lit(0).cast("long")
+    arr = F.array(*[F.lit(float(c)) for c in cuts])
+    v = value.cast("double")
+    if descending:
+        return F.size(F.filter(arr, lambda c: c > v)).cast("long")
+    return F.size(F.filter(arr, lambda c: c < v)).cast("long")
+
+
+def ordered_prefix(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    bucket: Column,
+    group_cols: Iterable[str] = (),
+    out_pos: str | None = None,
+    weight: Column | str | None = None,
+    out_prefix: str = "cum_weight",
+    out_total: str | None = None,
+    broadcast_offsets: bool = True,
+) -> DataFrame:
+    """Distributed rank / running total under an arbitrary VALUE order
+    — the generalization of `hash_order_prefix` from hash orders to
+    any sort whose leading key admits a monotone `bucket` (use
+    `range_bucket` over `range_cut_points` for value orders, or a hash
+    prefix for hash orders). The caller guarantees `bucket` is a
+    monotone non-decreasing function of `order_cols` within each
+    group; ranks are then EXACT regardless of how balanced the buckets
+    are.
+
+    Same two-shuffle shape as `hash_order_prefix` (see its scale
+    notes): per-(group, bucket) window for the within-bucket
+    row_number / running weight, per-bucket counts -> cumulative
+    offsets via a window over the tiny bucket axis, broadcast back.
+    `out_total` additionally attaches the per-group row count (from
+    the same side relation — no extra pass), which callers like the
+    exact-NTILE curriculum bucketing need. Set
+    `broadcast_offsets=False` when |groups|*|buckets| can exceed the
+    broadcast threshold (e.g. grouping by a high-cardinality key): the
+    offsets join then shuffles on (group, bucket), which the bucket
+    component keeps skew-free."""
+    from pyspark.sql import Window
+
+    gcols = list(group_cols)
+    b = df.withColumn("_bk", bucket.cast("long"))
+    w = Window.partitionBy(*gcols, "_bk").orderBy(*order_cols)
+    ranked = b
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    if out_pos is not None:
+        ranked = ranked.withColumn("_rn", F.row_number().over(w))
+    if weight is not None:
+        wc = F.col(weight) if isinstance(weight, str) else weight
+        ranked = ranked.withColumn(
+            "_cw", F.sum(wc).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        aggs.append(F.sum(wc).alias("_ws"))
+    ow = Window.partitionBy(*gcols).orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = b.groupBy(*gcols, "_bk").agg(*aggs)
+    keep = [*gcols, "_bk"]
+    if out_pos is not None:
+        offsets = offsets.withColumn("_off", F.coalesce(F.sum("_n").over(ow), F.lit(0)))
+        keep.append("_off")
+    if weight is not None:
+        offsets = offsets.withColumn("_woff", F.coalesce(F.sum("_ws").over(ow), F.lit(0)))
+        keep.append("_woff")
+    if out_total is not None:
+        tw = (
+            Window.partitionBy(*gcols)
+            .orderBy("_bk")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        offsets = offsets.withColumn("_tot", F.sum("_n").over(tw))
+        keep.append("_tot")
+    side = offsets.select(*keep)
+    if broadcast_offsets:
+        side = F.broadcast(side)
+    out = ranked.join(side, [*gcols, "_bk"])
+    if out_pos is not None:
+        out = out.withColumn(out_pos, (F.col("_off") + F.col("_rn")).cast("long"))
+    if weight is not None:
+        out = out.withColumn(out_prefix, (F.col("_woff") + F.col("_cw")).cast("long"))
+    if out_total is not None:
+        out = out.withColumn(out_total, F.col("_tot").cast("long"))
+    return out.drop("_bk", "_rn", "_cw", "_off", "_woff", "_tot")
 
 
 def cap_per_group(

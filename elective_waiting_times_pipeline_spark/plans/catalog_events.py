@@ -825,10 +825,12 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # session_window explode into +1/-1 boundary events; a running sum
 # ordered by (time, delta) — ends processed before starts at a tie,
 # since session end (last event + gap) is exclusive — yields the
-# concurrency curve, maxed per event type. The window partitions by
-# event type over a 2x|sessions| boundary relation; at extreme scale
-# the same running sum distributes via the day-bucket + broadcast-
-# offset prefix-sum machinery used by training_order.
+# concurrency curve, maxed per event type. Event types are few and
+# skewed, so the running sum never partitions by type alone: the
+# day-bucketed distributed prefix sum (sampling.ordered_prefix —
+# per-(type, day) windows + broadcast per-day offsets, the
+# training_order machinery) keeps one hot type spread across the
+# whole time axis.
 # ---------------------------------------------------------------------------
 @query(
     "peak_concurrency",
@@ -873,12 +875,17 @@ def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         sessions.select("event_type", F.col("s_end").alias("t"), F.lit(-1).alias("delta"))
     )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("t", "delta")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    from elective_waiting_times_pipeline_spark.operators import sampling as S
+
+    day = F.datediff(F.col("t").cast("date"), F.to_date(F.lit("1970-01-01")))
+    curve = S.ordered_prefix(
+        bounds,
+        [F.col("t"), F.col("delta")],
+        day,
+        group_cols=["event_type"],
+        weight="delta",
+        out_prefix="concurrent",
     )
-    curve = bounds.withColumn("concurrent", F.sum("delta").over(w))
     return curve.groupBy("event_type").agg(
         F.max("concurrent").cast("long").alias("peak_concurrent")
     )

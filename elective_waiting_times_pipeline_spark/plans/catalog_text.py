@@ -1349,7 +1349,8 @@ def source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Zipf fit: slope of ln(freq) ~ ln(rank) over the corpus term
 # distribution — the one-number sanity check that a text corpus is
 # natural-language-shaped (slope near -1) rather than templated or
-# vocab-collapsed. Ranks from one vocabulary-sized window; both axes
+# vocab-collapsed. Ranks from the tie-permutable distributed rank
+# (see the builder — no vocabulary-sized window); both axes
 # snapped to integer MILLIS; sums accumulate as DECIMAL(38,0) /
 # HUGEINT so the closed-form regression stays exact at ANY vocabulary
 # (k*sxx ~ V^2 ln^2 V * 1e6 leaves int64 around V ~ 250k).
@@ -1378,6 +1379,25 @@ def source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Distributed vocabulary rank — no vocab-sized window. The output
+    # consumes only SUMS of f(rank) per count group (ly = ln n is
+    # constant within a group), so ranks may be permuted WITHIN a tie
+    # group of equal n without changing the answer. That licenses the
+    # fully parallel construction:
+    #   1. per-count relation (n, #tokens with that count) — its
+    #      exclusive prefix sum in (n DESC) order is each group's rank
+    #      offset, computed with the range-bucket distributed prefix
+    #      (ordered_prefix) so even the count-distribution relation
+    #      never needs a global window;
+    #   2. within a count group, the 256-way hash-bucketed row_number
+    #      (partition (n, hash byte) — breaks the n=1 mega-tie that
+    #      value-range cuts alone cannot split);
+    #   3. the per-(n, hash-bucket) offsets and the per-n group offsets
+    #      merge on the SMALL side first, so the single vocab-sized
+    #      join keys on (n, bucket) — skew-free by the bucket component
+    #      and AQE-broadcastable when small.
+    from elective_waiting_times_pipeline_spark.operators import sampling as S
+
     docs = load_table(spark, sf_dir, "documents")
     toks = (
         docs.filter(F.length(F.trim("text")) > 0)
@@ -1385,12 +1405,31 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tok") != "")
     )
     cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy(F.col("n").desc(), "tok")  # vocab-sized relation
-    ranked = cnt.select(
-        F.floor(F.log(F.row_number().over(w).cast("double")) * 1000 + 0.5)
-        .cast("long")
-        .alias("lx"),
-        F.floor(F.log(F.col("n").cast("double")) * 1000 + 0.5).cast("long").alias("ly"),
+    b = cnt.withColumn("_hh", F.md5("tok")).withColumn(
+        "_bk", F.conv(F.substring("_hh", 1, 2), 16, 10).cast("long")
+    )
+    wiw = Window.partitionBy("n", "_bk").orderBy("_hh", "tok")
+    within = b.withColumn("_rn", F.row_number().over(wiw))
+    cell = b.groupBy("n", "_bk").agg(F.count(F.lit(1)).alias("_cn"))
+    cw = Window.partitionBy("n").orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
+    cell = cell.withColumn("_boff", F.coalesce(F.sum("_cn").over(cw), F.lit(0)))
+    per_n = cell.groupBy("n").agg(F.sum("_cn").alias("_gn"))
+    cuts = S.range_cut_points(per_n, "n", n_buckets=64)
+    goff = S.ordered_prefix(
+        per_n,
+        [F.col("n").desc()],
+        S.range_bucket(F.col("n"), cuts, descending=True),
+        weight="_gn",
+        out_prefix="_cum",
+    ).select("n", (F.col("_cum") - F.col("_gn")).alias("_goff"))
+    side = cell.join(goff, "n").select("n", "_bk", (F.col("_goff") + F.col("_boff")).alias("_off"))
+    ranked = (
+        within.join(side, ["n", "_bk"])
+        .withColumn("_rank", F.col("_off") + F.col("_rn"))
+        .select(
+            F.floor(F.log(F.col("_rank").cast("double")) * 1000 + 0.5).cast("long").alias("lx"),
+            F.floor(F.log(F.col("n").cast("double")) * 1000 + 0.5).cast("long").alias("ly"),
+        )
     )
     dec = "decimal(38,0)"
     s = ranked.agg(
@@ -1417,10 +1456,11 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministic hash rank is the minor key — so curricula stay
 # reproducible and a bucket's internal order is still an unbiased
 # shuffle. Composes two existing kernels (unigram_logprob +
-# hash-order) in one plan. The catalog form uses global ntile /
-# row_number windows as the semantic reference; the at-scale plan
-# swaps them for approx-quantile bucket thresholds + the 256-bucket
-# distributed rank (sampling.hash_order_prefix), same ordering key.
+# hash-order) in one plan. Both global windows of the naive form are
+# replaced by the range-bucket distributed rank
+# (sampling.ordered_prefix): exact NTILE from (global rank, N), exact
+# position from the (bucket, hash-byte) bucketing — no corpus-sized
+# single-partition window anywhere in the plan.
 # ---------------------------------------------------------------------------
 @query(
     "curriculum_order",
@@ -1456,17 +1496,44 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale-safe form of NTILE(10) + global ROW_NUMBER: neither window
+    # is ever corpus-sized. Stage A computes the EXACT global rank
+    # under (mean_logprob DESC, doc_id) with the range-bucket
+    # distributed rank (approx-quantile cut points steer parallelism
+    # only), then derives the exact NTILE bucket from (rank, N) with
+    # the SQL-standard formula — first N%10 buckets get one extra row.
+    # Stage B computes the final position with the same machinery
+    # under (bucket, hash, doc_id), bucketed by (bucket, first hash
+    # byte) — a monotone prefix of that order.
+    from elective_waiting_times_pipeline_spark.operators import sampling as S
+
     docs = load_table(spark, sf_dir, "documents")
     scored = X.unigram_logprob(docs).select("doc_id", "mean_logprob")
-    wb = Window.orderBy(F.col("mean_logprob").desc(), "doc_id")
-    bucketed = scored.withColumn("bucket", F.ntile(10).over(wb).cast("int"))
-    h = F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("curriculum"))), 1, 4)
-    return bucketed.select(
-        "doc_id",
-        "mean_logprob",
-        "bucket",
-        F.row_number().over(Window.orderBy("bucket", h, F.col("doc_id"))).cast("long").alias("position"),
+    cuts = S.range_cut_points(scored, "mean_logprob", n_buckets=64)
+    ranked = S.ordered_prefix(
+        scored,
+        [F.col("mean_logprob").desc(), F.col("doc_id")],
+        S.range_bucket(F.col("mean_logprob"), cuts, descending=True),
+        out_pos="_r",
+        out_total="_N",
     )
+    q = F.floor(F.col("_N") / 10)
+    rem = F.col("_N") % 10
+    big = rem * (q + 1)
+    ntile10 = F.when(
+        F.col("_r") <= big, F.floor((F.col("_r") - 1) / (q + 1)) + 1
+    ).otherwise(rem + F.floor((F.col("_r") - big - 1) / q) + 1)
+    bucketed = ranked.withColumn("bucket", ntile10.cast("int")).drop("_r", "_N")
+    h = F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("curriculum"))), 1, 4)
+    staged = bucketed.withColumn("_h4", h)
+    cb = F.col("bucket").cast("long") * 256 + F.conv(F.substring("_h4", 1, 2), 16, 10).cast("long")
+    out = S.ordered_prefix(
+        staged,
+        [F.col("bucket"), F.col("_h4"), F.col("doc_id")],
+        cb,
+        out_pos="position",
+    )
+    return out.select("doc_id", "mean_logprob", "bucket", "position")
 
 
 # ---------------------------------------------------------------------------

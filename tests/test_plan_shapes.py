@@ -170,3 +170,53 @@ def test_q5_shape_pushdown_and_broadcasts(spark, sf_dir):
     assert "GreaterThanOrEqual(o_orderdate" in plan
     assert "BroadcastHashJoin" in plan
     assert plan.count("HashAggregate") >= 2  # partial + final revenue agg
+
+
+# ---------------------------------------------------------------------------
+# Catalog-wide single-partition-window lint: an unpartitioned
+# WindowExec funnels its whole input through ONE task — the classic
+# silent 100 TB scale-killer (a global ntile/row_number/running-sum
+# looks fine at sf0.01 and dies on a cluster). Every catalog plan is
+# built and walked; an empty-partition-spec Window is allowed only if
+#   (a) its input is a bucket-offset side relation of the distributed
+#       rank machinery (grouping on `_bk` bounds it at 256 hash
+#       buckets / |cut points| rows by construction), or
+#   (b) the query is whitelisted below with the bounded axis named.
+# Reverting curriculum_order / zipf_fit / peak_concurrency to their
+# naive global-window forms fails this test.
+# ---------------------------------------------------------------------------
+
+# query -> (max RAW unpartitioned windows, bounded axis justifying them)
+_UNPARTITIONED_WINDOW_WHITELIST = {
+    "lag_delta": (1, "calendar-month axis (<= months in the data)"),
+    "survival_conversion": (2, "delay-hour axis (bounded grid of lag hours)"),
+}
+
+
+def _unpartitioned_windows(df):
+    plan = df._jdf.queryExecution().optimizedPlan()
+    stack, raw, bucketed = [plan], 0, 0
+    while stack:
+        n = stack.pop()
+        for i in range(n.children().size()):
+            stack.append(n.children().apply(i))
+        if n.nodeName() == "Window" and n.partitionSpec().size() == 0:
+            if "_bk#" in n.children().apply(0).toString():
+                bucketed += 1
+            else:
+                raw += 1
+    return raw, bucketed
+
+
+@pytest.mark.parametrize("name", sorted(catalog.SPARK_QUERIES))
+def test_no_unpartitioned_corpus_window(spark, sf_dir, name):
+    df = catalog.SPARK_QUERIES[name](spark, sf_dir)
+    raw, _ = _unpartitioned_windows(df)
+    allowed, why = _UNPARTITIONED_WINDOW_WHITELIST.get(name, (0, ""))
+    assert raw <= allowed, (
+        f"{name}: {raw} unpartitioned non-bucket Window node(s) in the optimized plan "
+        f"(allowed {allowed}{' — ' + why if why else ''}). At scale each one funnels "
+        "its whole input through a single task; use the sampling.ordered_prefix / "
+        "hash_order_prefix distributed rank instead, or whitelist a provably "
+        "bounded axis here."
+    )

@@ -357,3 +357,107 @@ def test_hll_sketches_merge_and_persist(spark, tmp_path):
     )
     assert got.n_sketches == 2
     assert abs(got.distinct_estimate - exact_range) / max(exact_range, 1) < 0.05
+
+
+# ---------------------------------------------------------------------------
+# Value-order distributed rank / prefix (range_bucket + ordered_prefix)
+# — the generic machinery behind curriculum_order / zipf_fit /
+# peak_concurrency's scale-safe rewrites.
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def valued(spark):
+    # values with heavy ties (v = id % 37) and a weight
+    return spark.range(0, 1500).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 37).cast("double").alias("v"),
+        (F.col("id") % 5 + 1).cast("int").alias("w"),
+    )
+
+
+def test_ordered_prefix_rank_matches_global_window(spark, valued):
+    from pyspark.sql import Window
+
+    cuts = S.range_cut_points(valued, "v", n_buckets=16)
+    out = S.ordered_prefix(
+        valued,
+        [F.col("v"), F.col("k")],
+        S.range_bucket(F.col("v"), cuts),
+        out_pos="r",
+        out_total="N",
+    )
+    naive = valued.withColumn("r", F.row_number().over(Window.orderBy("v", "k")))
+    assert {(x.k, x.r) for x in out.collect()} == {(x.k, x.r) for x in naive.collect()}
+    assert out.select("N").distinct().collect()[0].N == 1500
+
+
+def test_ordered_prefix_descending_and_weight(spark, valued):
+    from pyspark.sql import Window
+
+    cuts = S.range_cut_points(valued, "v", n_buckets=16)
+    out = S.ordered_prefix(
+        valued,
+        [F.col("v").desc(), F.col("k")],
+        S.range_bucket(F.col("v"), cuts, descending=True),
+        out_pos="r",
+        weight="w",
+        out_prefix="cw",
+    )
+    w = Window.orderBy(F.col("v").desc(), "k")
+    naive = valued.withColumn("r", F.row_number().over(w)).withColumn(
+        "cw", F.sum("w").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    assert {(x.k, x.r, x.cw) for x in out.collect()} == {
+        (x.k, x.r, x.cw) for x in naive.collect()
+    }
+
+
+def test_ordered_prefix_grouped_matches_per_group_window(spark, valued):
+    from pyspark.sql import Window
+
+    g = valued.withColumn("g", (F.col("k") % 3).cast("int"))
+    cuts = S.range_cut_points(g, "v", n_buckets=8)
+    out = S.ordered_prefix(
+        g,
+        [F.col("v"), F.col("k")],
+        S.range_bucket(F.col("v"), cuts),
+        group_cols=["g"],
+        out_pos="r",
+        broadcast_offsets=False,
+    )
+    w = Window.partitionBy("g").orderBy("v", "k")
+    naive = g.withColumn("r", F.row_number().over(w))
+    assert {(x.g, x.k, x.r) for x in out.collect()} == {
+        (x.g, x.k, x.r) for x in naive.collect()
+    }
+
+
+def test_range_bucket_degenerate_cuts_still_exact(spark, valued):
+    # constant column -> empty cut list -> one bucket, ranks still exact
+    from pyspark.sql import Window
+
+    const = valued.withColumn("v", F.lit(7.0))
+    out = S.ordered_prefix(
+        const, [F.col("v"), F.col("k")], S.range_bucket(F.col("v"), []), out_pos="r"
+    )
+    naive = const.withColumn("r", F.row_number().over(Window.orderBy("v", "k")))
+    assert {(x.k, x.r) for x in out.collect()} == {(x.k, x.r) for x in naive.collect()}
+
+
+def test_ordered_prefix_layout_independent(spark, valued):
+    cuts = S.range_cut_points(valued, "v", n_buckets=16)
+    a = sorted(
+        (x.k, x.r)
+        for x in S.ordered_prefix(
+            valued, [F.col("v"), F.col("k")], S.range_bucket(F.col("v"), cuts), out_pos="r"
+        ).collect()
+    )
+    b = sorted(
+        (x.k, x.r)
+        for x in S.ordered_prefix(
+            valued.repartition(11),
+            [F.col("v"), F.col("k")],
+            S.range_bucket(F.col("v"), cuts),
+            out_pos="r",
+        ).collect()
+    )
+    assert a == b
