@@ -79,10 +79,50 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 **({"errors": errors} if errors else {}),
+                **_continuity(timings, sf_val),
                 "sf": sf_val,
             }
         )
     )
+
+
+def _continuity(timings: dict[str, float], sf_val) -> dict:
+    """Regression guard vs the previous recorded round: total over the
+    queries COMMON to the newest BENCH_r*.json at the same sf, and the
+    ratio (this/prev — <1 is faster). Makes a perf regression a number
+    in the artifact rather than an after-the-fact comparison."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            rounds.append((int(m.group(1)), p))
+    for _, path in sorted(rounds, reverse=True):
+        try:
+            with open(path) as f:
+                prev = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if isinstance(prev.get("parsed"), dict):  # driver artifact wrapper
+            prev = prev["parsed"]
+        pq = prev.get("queries") or {}
+        if prev.get("sf") != sf_val or not pq:
+            continue
+        common = sorted(set(pq) & set(timings))
+        if not common:
+            continue
+        prev_total = round(sum(pq[q] for q in common), 3)
+        cur_total = round(sum(timings[q] for q in common), 3)
+        return {
+            "common_queries": len(common),
+            "prev_common_total": prev_total,
+            "common_total": cur_total,
+            "ratio": round(cur_total / prev_total, 3) if prev_total else None,
+        }
+    return {}
 
 
 if __name__ == "__main__":

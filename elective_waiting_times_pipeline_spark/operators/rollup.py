@@ -62,26 +62,40 @@ def refresh_hourly_rollup(
     lake and swap them in with dynamic partition overwrite. When the
     base lake is partitioned by `day_col`, the literal isin filter
     prunes the scan to exactly the touched days; untouched rollup
-    partitions keep their files byte-for-byte."""
+    partitions keep their files byte-for-byte.
+
+    Purged days (a refreshed day whose base-lake rows were ALL deleted
+    — restatement, GDPR) write nothing under dynamic overwrite, so
+    their stale rollup partitions are dropped explicitly via Hadoop FS
+    — a classic-Spark-only dependency (py4j `_jvm` access; unavailable
+    under Spark Connect, where this raises with a clear message rather
+    than silently serving deleted data). The drop runs BEFORE the
+    overwrite: the two partition sets are disjoint, and deleting first
+    means a failure between the steps leaves purged days already gone
+    (correct, just early) instead of serving deleted data until the
+    next refresh. Drop + overwrite is still not one atomic commit —
+    a retry of the same call converges either way."""
     days = sorted(set(days))
     if not days:
         return
     slice_df = events_lake.filter(F.col(day_col).isin(days))
     fresh = hourly_rollup(slice_df, **rollup_kwargs).localCheckpoint(eager=False)
-    overwrite_partitions(fresh, rollup_path, partition_cols=("day",))
-    # Dynamic overwrite only replaces partitions PRESENT in `fresh`: a
-    # refreshed day whose base-lake rows were all purged (restatement,
-    # GDPR delete) writes nothing, which would leave its STALE rollup
-    # partition serving deleted data. Drop those partitions explicitly
-    # (the day list is micro-batch-sized; the distinct is tiny).
     present = {str(r.day) for r in fresh.select("day").distinct().collect()}
-    spark = events_lake.sparkSession
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    for day in days:
-        if day in present:
-            continue
-        jpath = jvm.org.apache.hadoop.fs.Path(f"{rollup_path}/day={day}")
-        fs = jpath.getFileSystem(hconf)
-        if fs.exists(jpath):
-            fs.delete(jpath, True)
+    purged = [d for d in days if d not in present]
+    if purged:
+        spark = events_lake.sparkSession
+        jvm = getattr(spark, "_jvm", None)
+        jsc = getattr(spark, "_jsc", None)
+        if jvm is None or jsc is None:
+            raise RuntimeError(
+                "refresh_hourly_rollup needs classic-Spark Hadoop FS access to drop "
+                f"purged day partitions {purged}; under Spark Connect delete "
+                f"{rollup_path}/day=<day> out-of-band before refreshing"
+            )
+        hconf = jsc.hadoopConfiguration()
+        for day in purged:
+            jpath = jvm.org.apache.hadoop.fs.Path(f"{rollup_path}/day={day}")
+            fs = jpath.getFileSystem(hconf)
+            if fs.exists(jpath):
+                fs.delete(jpath, True)
+    overwrite_partitions(fresh, rollup_path, partition_cols=("day",))

@@ -20,10 +20,12 @@ primitives:
 
 Step 3 makes the result EXACTLY the plain semi-join (the DuckDB
 oracle is the plain semi-join), while steps 1-2 cut the rows that
-reach the exact join's exchange to matches + a |dim|/m false-positive
-fraction. With the default m = 2^20 a dim side of a million keys
-still prefilters at <40% fp; a reference-card dim of thousands of
-keys prefilters at <1%.
+reach the exact join's exchange. The pass-through fraction for a
+non-matching fact key is the occupied-bucket fraction
+1 - e^(-n/m) for n distinct dim keys in m buckets: with the default
+m = 2^20, a million-key dim still passes ~62% of non-matches (the
+prefilter helps little there — raise m), while a reference-card dim
+of thousands of keys prefilters at well under 1%.
 """
 
 from __future__ import annotations

@@ -582,7 +582,7 @@ def batch_cosine_topk(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     round_dp: int = 6,
-) -> Column:
+) -> DataFrame:
     """Multi-query retrieval: top-k per QUERY over one corpus scan.
     The query set broadcasts (a batch of user queries, not a corpus);
     each corpus row scores against every query via the exploded

@@ -561,7 +561,12 @@ def hashing_tf(
     production corpus would swap in xxhash64 for speed at the cost of
     cross-engine verifiability). The slot space is one byte, so
     `n_features` must divide 256 — a non-divisor width would bias slot
-    frequencies (and widths over 256 could never be hit)."""
+    frequencies (and widths over 256 could never be hit).
+
+    Every input row gets an output vector: documents whose text
+    tokenizes to nothing (empty/whitespace-only) come back as the
+    all-zeros vector via a left join on `id_col`, so downstream
+    feature matrices keep one row per document."""
     if n_features <= 0 or n_features > 256 or 256 % n_features:
         raise ValueError(
             f"n_features must be a divisor of 256 (got {n_features}): the md5-byte "
@@ -579,8 +584,14 @@ def hashing_tf(
         .alias(f"_s{i}")
         for i in range(n_features)
     ]
-    return (
+    vecs = (
         slots.groupBy(id_col)
         .agg(*dense)
         .select(F.col(id_col), F.array(*[f"_s{i}" for i in range(n_features)]).alias("tf"))
+    )
+    zeros = F.array(*[F.lit(0).cast("int") for _ in range(n_features)])
+    return (
+        df.select(id_col)
+        .join(vecs, id_col, "left")
+        .withColumn("tf", F.coalesce(F.col("tf"), zeros))
     )

@@ -1190,9 +1190,11 @@ _TF_SLOT = f"(({_TF_NIB.format(p=1)} * 16 + {_TF_NIB.format(p=2)}) % 16)"
       SELECT doc_id, {_TF_SLOT} AS slot, COUNT(*) AS cnt
       FROM toks WHERE tok <> '' GROUP BY 1, 2
     ), dense AS (
-      SELECT doc_id,
-             [{", ".join(f"CAST(COALESCE(SUM(CASE WHEN slot = {i} THEN cnt END), 0) AS INT)" for i in range(16))}] AS tf
-      FROM slots GROUP BY doc_id
+      -- token-less docs keep a row: all-zeros vector (left join)
+      SELECT d.doc_id,
+             [{", ".join(f"CAST(COALESCE(SUM(CASE WHEN s.slot = {i} THEN s.cnt END), 0) AS INT)" for i in range(16))}] AS tf
+      FROM documents d LEFT JOIN slots s ON d.doc_id = s.doc_id
+      GROUP BY d.doc_id
     )
     SELECT doc_id,
            CAST(generate_subscripts(tf, 1) - 1 AS INT) AS slot,

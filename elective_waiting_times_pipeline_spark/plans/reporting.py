@@ -91,6 +91,43 @@ def double_pivot(
     return out
 
 
+def is_share_chart(extract: DataFrame, measure: str = "Inpatient admissions") -> DataFrame:
+    """Independent-sector share chart table (Charts.R:39-102, chart2a/
+    chart2b): from a long national extract (der_activity_month, type,
+    speciality, name, value), keep one measure, pivot provider `type`
+    wide, then stack a "Number of treatments" grid (counts, share NULL)
+    over a share grid (share = IS/(IS+NHS)*100, counts NULL) — the
+    exact two-panel table the reference writes to chart2.csv. Column
+    names keep the reference's display headers. One groupBy+pivot pass
+    per extract; callers stack per-file results like plyr::rbind.fill."""
+    wide = (
+        extract.filter(F.col("name") == measure)
+        .groupBy("speciality", "der_activity_month")
+        .pivot("type", ["Independent Sector", "NHS"])
+        .agg(F.first("value"))
+    )
+    share_col = "Independent sector share of total treatments (%)"
+    part_a = wide.select(
+        "speciality",
+        "der_activity_month",
+        F.lit("Number of treatments").alias("Grid"),
+        F.lit(None).cast("double").alias(share_col),
+        F.col("Independent Sector"),
+        F.col("NHS"),
+    )
+    part_b = wide.select(
+        "speciality",
+        "der_activity_month",
+        F.lit("Independent sector share of total treatments (%)").alias("Grid"),
+        (F.col("Independent Sector") / (F.col("Independent Sector") + F.col("NHS")) * 100).alias(
+            share_col
+        ),
+        F.lit(None).cast("double").alias("Independent Sector"),
+        F.lit(None).cast("double").alias("NHS"),
+    )
+    return part_a.unionByName(part_b)
+
+
 def per_capita(
     df: DataFrame,
     spark: SparkSession,
