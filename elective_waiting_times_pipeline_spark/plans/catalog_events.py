@@ -834,6 +834,7 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "peak_concurrency",
+    headline=True,
     oracle="""
     WITH flagged AS (
       SELECT event_type, user_id, ts,

@@ -1359,6 +1359,7 @@ def source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "zipf_fit",
+    headline=True,
     oracle=rf"""
     WITH toks AS (
       SELECT unnest({_TOKS}) AS tok FROM documents WHERE length(trim(text)) > 0
@@ -1466,6 +1467,7 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "curriculum_order",
+    headline=True,
     oracle=rf"""
     WITH toks AS (
       SELECT doc_id, unnest({_TOKS}) AS tok FROM documents WHERE {_NTOKS} >= 1
@@ -1735,4 +1737,55 @@ def lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("double") / F.count(F.lit(1)), 6
         ).alias("hapax_ratio"),
         F.round(F.count(F.lit(1)).cast("double") / F.sum("n"), 6).alias("type_token_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character-level Shannon entropy per document — the classic
+# gibberish / templated-text / encoding-damage signal (natural text
+# sits ~4-4.5 bits; base64 blobs and repeated boilerplate land far
+# off). One char explode + two hash aggs, both map-side combinable.
+# Engine parity: H = ln(L) - (sum k*ln k)/L with every ln
+# micro-snapped to integer MILLIONTHS before the (exact, long)
+# weighted sum — float summation order can never change the hash.
+# ---------------------------------------------------------------------------
+@query(
+    "char_entropy",
+    oracle=r"""
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(trim(text), '')) AS ch
+      FROM documents WHERE length(trim(text)) > 0
+    ), cnt AS (
+      SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS k
+      FROM chars WHERE ch <> '' GROUP BY 1, 2
+    ), agg AS (
+      SELECT doc_id, CAST(SUM(k) AS BIGINT) AS L,
+             CAST(SUM(k * CAST(floor(ln(k) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s
+      FROM cnt GROUP BY 1
+    )
+    SELECT doc_id, L AS n_chars,
+           ROUND((CAST(floor(ln(L) * 1000000 + 0.5) AS BIGINT) - s / CAST(L AS DOUBLE))
+                 / 1000000, 6) AS char_entropy
+    FROM agg
+    """,
+)
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    chars = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.explode(F.split(F.trim("text"), "")).alias("ch"))
+        .filter(F.col("ch") != "")
+    )
+    lnm = lambda c: F.floor(F.log(c.cast("double")) * 1000000 + 0.5).cast("long")  # noqa: E731
+    cnt = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("k"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("k").cast("long").alias("L"),
+        F.sum(F.col("k") * lnm(F.col("k"))).cast("long").alias("s"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("L").alias("n_chars"),
+        F.round((lnm(F.col("L")) - F.col("s") / F.col("L").cast("double")) / 1000000, 6).alias(
+            "char_entropy"
+        ),
     )

@@ -304,3 +304,101 @@ def batch_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return S.batch_cosine_topk(emb, qdf, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Embedding QA 1: L2-norm distribution per label — the first sanity
+# report on any embedding dump (un-normalized batches, zero vectors,
+# and scale drift between shards all show up here). One scan; the
+# norm is a per-row fold over the array (no explode), micro-snapped
+# to integer MILLIONTHS before grouping so min/max/avg hash
+# identically across engines.
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_norm_stats",
+    oracle="""
+    WITH norms AS (
+      SELECT label,
+             CAST(floor(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                     x -> x * x))) * 1000000 + 0.5)
+                  AS BIGINT) AS nm
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(MIN(nm) / 1000000.0, 6) AS min_norm,
+           ROUND(MAX(nm) / 1000000.0, 6) AS max_norm,
+           ROUND(SUM(nm) / CAST(COUNT(*) AS DOUBLE) / 1000000, 6) AS avg_norm
+    FROM norms GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.col("embedding").cast("array<double>"),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    nm = F.floor(F.sqrt(sq) * 1000000 + 0.5).cast("long")
+    return (
+        emb.select("label", nm.alias("nm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.min("nm") / 1000000.0, 6).alias("min_norm"),
+            F.round(F.max("nm") / 1000000.0, 6).alias("max_norm"),
+            F.round(F.sum("nm") / F.count(F.lit(1)).cast("double") / 1000000, 6).alias("avg_norm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding QA 2: per-dimension mean/variance — finds dead (constant)
+# and exploding dimensions, the projection-layer bug signature. The
+# posexplode fans each vector into 64 (dim, value) rows, reduced
+# map-side; per-element values are micro-snapped to integer
+# MILLIONTHS so the exact long/decimal sums are order-independent,
+# and the closed-form variance (S2 - S1^2/n)/n runs on those exact
+# sums — identical float ops in both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_dim_variance",
+    oracle="""
+    WITH e AS (
+      SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xm
+      FROM embeddings
+    )
+    SELECT CAST(dim AS INT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(xm) AS DOUBLE) / COUNT(*) / 1000000, 6) AS mean_val,
+           ROUND((CAST(SUM(CAST(xm AS HUGEINT) * xm) AS DOUBLE)
+                  - CAST(SUM(xm) AS DOUBLE) * CAST(SUM(xm) AS DOUBLE) / COUNT(*))
+                 / COUNT(*) / 1e12, 6) AS variance
+    FROM e GROUP BY dim
+    """,
+)
+def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"))
+    xm = F.floor(F.col("x") * 1000000 + 0.5).cast("long")
+    dec = "decimal(38,0)"
+    agg = e.select(F.col("dim"), xm.alias("xm")).groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xm").cast("long").alias("s1"),
+        F.sum(F.col("xm").cast(dec) * F.col("xm")).alias("s2"),
+    )
+    return agg.select(
+        F.col("dim").cast("int"),
+        F.col("n").cast("long"),
+        F.round(F.col("s1").cast("double") / F.col("n") / 1000000, 6).alias("mean_val"),
+        F.round(
+            (
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n")
+            )
+            / F.col("n")
+            / F.lit(1e12),
+            6,
+        ).alias("variance"),
+    )
