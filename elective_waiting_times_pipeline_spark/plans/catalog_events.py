@@ -871,11 +871,17 @@ def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.lit(1).alias("_one"))
         .select("event_type", F.col("w.start").alias("s_start"), F.col("w.end").alias("s_end"))
     )
+    # explode, not union: a union's two branches would each re-derive
+    # the session aggregation (two extra event-log scans in the plan)
     bounds = sessions.select(
-        "event_type", F.col("s_start").alias("t"), F.lit(1).alias("delta")
-    ).unionByName(
-        sessions.select("event_type", F.col("s_end").alias("t"), F.lit(-1).alias("delta"))
-    )
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(F.col("s_start").alias("t"), F.lit(1).alias("delta")),
+                F.struct(F.col("s_end").alias("t"), F.lit(-1).alias("delta")),
+            )
+        ).alias("b"),
+    ).select("event_type", "b.t", "b.delta")
     from elective_waiting_times_pipeline_spark.operators import sampling as S
 
     day = F.datediff(F.col("t").cast("date"), F.to_date(F.lit("1970-01-01")))
