@@ -77,6 +77,9 @@ _REGISTERED_AFTER_R3 = {
     "char_entropy",
     "embedding_norm_stats",
     "embedding_dim_variance",
+    "order_priority_count",
+    "promo_revenue_share",
+    "returned_item_revenue",
 }
 
 

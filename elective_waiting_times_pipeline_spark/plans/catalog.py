@@ -677,3 +677,133 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlated EXISTS with date arithmetic on both sides (TPC-H Q4
+# shape): orders placed in one quarter counted per priority when at
+# least one of their lines shipped late (> 60 days after the order
+# date). The EXISTS rewrites to ONE semi-join whose condition is the
+# orderkey equality plus the cross-table date predicate — the order
+# scan prunes on the quarter, and no lineitem column survives the
+# join.
+# ---------------------------------------------------------------------------
+@query(
+    "order_priority_count",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+# ---------------------------------------------------------------------------
+# Promotion revenue share (TPC-H Q14 shape): one month of lineitem
+# joined to part, conditional snapped-cents sums → the promo share of
+# revenue. The date filter pushes to the lineitem scan; part arrives
+# via its key (a data-scale dim — no broadcast assumption; AQE may
+# still choose one when small).
+# ---------------------------------------------------------------------------
+@query(
+    "promo_revenue_share",
+    oracle="""
+    WITH m AS (
+      SELECT p_type,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    )
+    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS DOUBLE) / 10000
+             AS promo_revenue,
+           CAST(SUM(rev) AS DOUBLE) / 10000 AS total_revenue,
+           ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+                 / SUM(rev), 6) AS promo_share_pct
+    FROM m
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = sl2("l_extendedprice") * (100 - sl2("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    m = li.join(p, F.col("l_partkey") == F.col("p_partkey")).select(
+        promo.alias("promo_rev"), rev.alias("rev")
+    )
+    return m.agg(
+        (F.sum("promo_rev").cast("double") / 10000).alias("promo_revenue"),
+        (F.sum("rev").cast("double") / 10000).alias("total_revenue"),
+        F.round(100.0 * F.sum("promo_rev") / F.sum("rev"), 6).alias("promo_share_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Returned-item revenue ranking (TPC-H Q10 shape): customers ranked by
+# the revenue they returned in one quarter, with their nation — the
+# classic 4-table join + top-k. The returnflag and quarter predicates
+# push to the scans; nation broadcasts; the top-20 is a
+# TakeOrderedAndProject (never a global sort), ties pinned by custkey.
+# ---------------------------------------------------------------------------
+@query(
+    "returned_item_revenue",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000
+             AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            (F.sum(sl2("l_extendedprice") * (100 - sl2("l_discount"))) / 10000.0).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )

@@ -220,3 +220,20 @@ def test_no_unpartitioned_corpus_window(spark, sf_dir, name):
         "hash_order_prefix distributed rank instead, or whitelist a provably "
         "bounded axis here."
     )
+
+
+def test_q10_shape_pushdown_broadcast_topk(spark, sf_dir):
+    plan = _plan(spark, "returned_item_revenue", sf_dir)
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "BroadcastHashJoin" in plan  # nation dim
+    assert "TakeOrderedAndProject" in plan  # top-20, never a global sort
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q4_semi_join_no_lineitem_agg(spark, sf_dir):
+    plan = _plan(spark, "order_priority_count", sf_dir)
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    # only the join columns leave the lineitem scan
+    assert "l_extendedprice" not in plan and "l_quantity" not in plan

@@ -461,3 +461,39 @@ def test_ordered_prefix_layout_independent(spark, valued):
         ).collect()
     )
     assert a == b
+
+
+# Property: ordered_prefix's rank and running weight equal the naive
+# global window for ARBITRARY tie-heavy value distributions, cut
+# lists (including duplicated/degenerate cuts), and group layouts.
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vals=st.lists(st.integers(min_value=-5, max_value=5), min_size=1, max_size=60),
+    cuts=st.lists(st.integers(min_value=-6, max_value=6), max_size=7),
+)
+def test_ordered_prefix_property_matches_naive(spark, vals, cuts):
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(i, float(v), (v % 3 + 3) % 3 + 1) for i, v in enumerate(vals)], "k long, v double, w int"
+    )
+    out = S.ordered_prefix(
+        df,
+        [F.col("v"), F.col("k")],
+        S.range_bucket(F.col("v"), sorted({float(c) for c in cuts})),
+        out_pos="r",
+        weight="w",
+        out_prefix="cw",
+        out_total="N",
+    )
+    w = Window.orderBy("v", "k")
+    naive = df.withColumn("r", F.row_number().over(w)).withColumn(
+        "cw", F.sum("w").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    got = {(x.k, x.r, x.cw, x.N) for x in out.collect()}
+    want = {(x.k, x.r, x.cw, len(vals)) for x in naive.collect()}
+    assert got == want
