@@ -80,6 +80,7 @@ _REGISTERED_AFTER_R3 = {
     "order_priority_count",
     "promo_revenue_share",
     "returned_item_revenue",
+    "daily_autocorrelation",
 }
 
 

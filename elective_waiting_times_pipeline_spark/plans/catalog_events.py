@@ -1522,3 +1522,112 @@ def arpu_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rc").cast("double") / 100).alias("revenue"),
         F.round(F.col("rc").cast("double") / 100 / F.col("actives"), 6).alias("arpu"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Daily autocorrelation function (lags 1..7): the weekly-seasonality /
+# trend-persistence diagnostic over the daily event-count series.
+# The corpus collapses to ONE bounded row per day first (map-side
+# combinable count), so the lag window runs on the calendar-day axis
+# — the whitelisted bounded-axis class, like lag_delta's months. All
+# moments are exact integers (counts, their products, their squares)
+# accumulated as DECIMAL(38,0)/HUGEINT; the textbook ACF
+#   r_k = sum((x_t - m)(x_{t-k} - m)) / sum((x_t - m)^2)
+# is cleared of the rational mean m = S/n by multiplying through by
+# n^2, leaving one exact integer ratio per lag:
+#   r_k = (n^2 P_k - n S (A_k + B_k) + (n-k') S^2) / (n (n Q - S^2))
+# where P_k/A_k/B_k sum over the k-overlap window and k' is the
+# overlap shortfall — identical float division in both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "daily_autocorrelation",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ), lagged AS (
+      SELECT x,
+             LAG(x, 1) OVER (ORDER BY day) AS x1, LAG(x, 2) OVER (ORDER BY day) AS x2,
+             LAG(x, 3) OVER (ORDER BY day) AS x3, LAG(x, 4) OVER (ORDER BY day) AS x4,
+             LAG(x, 5) OVER (ORDER BY day) AS x5, LAG(x, 6) OVER (ORDER BY day) AS x6,
+             LAG(x, 7) OVER (ORDER BY day) AS x7
+      FROM daily
+    ), s AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(x) AS HUGEINT) AS S,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS Q,
+             {cols}
+      FROM lagged
+    )
+    SELECT lag,
+           ROUND(CAST(n*n*P - n*S*(A + B) + m*S*S AS DOUBLE)
+                 / CAST(n * (n*Q - S*S) AS DOUBLE), 6) AS acf
+    FROM (
+      {unions}
+    )
+    """.format(
+        cols=", ".join(
+            f"CAST(SUM(CASE WHEN x{k} IS NOT NULL THEN CAST(x AS HUGEINT) * x{k} END) AS HUGEINT) AS P{k}, "
+            f"CAST(SUM(CASE WHEN x{k} IS NOT NULL THEN x END) AS HUGEINT) AS A{k}, "
+            f"CAST(SUM(CASE WHEN x{k} IS NOT NULL THEN x{k} END) AS HUGEINT) AS B{k}, "
+            f"CAST(COUNT(x{k}) AS HUGEINT) AS m{k}"
+            for k in range(1, 8)
+        ),
+        unions=" UNION ALL ".join(
+            f"SELECT {k} AS lag, P{k} AS P, A{k} AS A, B{k} AS B, m{k} AS m, n, S, Q FROM s"
+            for k in range(1, 8)
+        ),
+    ),
+)
+def daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    w = Window.orderBy("day")  # bounded calendar-day axis
+    lagged = daily.select(
+        "x", *[F.lag("x", k).over(w).alias(f"x{k}") for k in range(1, 8)]
+    )
+    dec = "decimal(38,0)"
+    aggs = [
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("S"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).cast(dec).alias("Q"),
+    ]
+    for k in range(1, 8):
+        xk = F.col(f"x{k}")
+        aggs += [
+            F.sum(F.when(xk.isNotNull(), F.col("x").cast(dec) * xk)).cast(dec).alias(f"P{k}"),
+            F.sum(F.when(xk.isNotNull(), F.col("x"))).cast(dec).alias(f"A{k}"),
+            F.sum(xk).cast(dec).alias(f"B{k}"),
+            F.count(xk).cast(dec).alias(f"m{k}"),
+        ]
+    s = lagged.agg(*aggs)
+    per_lag = s.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"),
+                        F.col(f"P{k}").alias("P"),
+                        F.col(f"A{k}").alias("A"),
+                        F.col(f"B{k}").alias("B"),
+                        F.col(f"m{k}").alias("m"),
+                        F.col("n"),
+                        F.col("S"),
+                        F.col("Q"),
+                    )
+                    for k in range(1, 8)
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+    num = (
+        F.col("n") * F.col("n") * F.col("P")
+        - F.col("n") * F.col("S") * (F.col("A") + F.col("B"))
+        + F.col("m") * F.col("S") * F.col("S")
+    )
+    den = F.col("n") * (F.col("n") * F.col("Q") - F.col("S") * F.col("S"))
+    return per_lag.select(
+        F.col("lag").cast("int"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias("acf"),
+    )

@@ -190,6 +190,7 @@ def test_q5_shape_pushdown_and_broadcasts(spark, sf_dir):
 _UNPARTITIONED_WINDOW_WHITELIST = {
     "lag_delta": (1, "calendar-month axis (<= months in the data)"),
     "survival_conversion": (2, "delay-hour axis (bounded grid of lag hours)"),
+    "daily_autocorrelation": (1, "calendar-day axis (one row per day after the corpus agg)"),
 }
 
 
