@@ -1512,7 +1512,13 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from elective_waiting_times_pipeline_spark.operators import sampling as S
 
     docs = load_table(spark, sf_dir, "documents")
-    scored = X.unigram_logprob(docs).select("doc_id", "mean_logprob")
+    # checkpoint the scored relation: the cut-points action and the
+    # rank plan would otherwise EACH recompute the unigram-LM pass
+    # (explode + model join) — the narrow (doc_id, score) projection
+    # is the cheap thing to keep, the token pipeline is not
+    scored = (
+        X.unigram_logprob(docs).select("doc_id", "mean_logprob").localCheckpoint(eager=False)
+    )
     cuts = S.range_cut_points(scored, "mean_logprob", n_buckets=64)
     ranked = S.ordered_prefix(
         scored,
