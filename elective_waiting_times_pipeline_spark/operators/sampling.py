@@ -222,14 +222,30 @@ def range_bucket(value: Column, cuts: Sequence[float], descending: bool = False)
     descending) value order: the count of cut points strictly before
     the value in sort direction. A pure per-row codegen expression —
     ties of `value` always share a bucket, so any order whose leading
-    key is `value` is respected by construction."""
+    key is `value` is respected by construction. NaN needs no special
+    case: Spark's comparisons treat NaN as the LARGEST value (matching
+    its sort position), so `c < NaN` is true for every cut — NaN lands
+    in the last bucket ascending and bucket 0 descending
+    (regression-tested). NULL keys are the caller's problem — Spark
+    sorts them first while DuckDB sorts them last, so a null-keyed
+    rank cannot be engine-stable anyway.
+
+    Implementation note: a CASE-WHEN sum, not `size(filter(array))` —
+    the higher-order-function form hits a Spark 4 internal error
+    (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND) when the optimizer inlines
+    the lambda into a downstream window sort; the when-chain codegens
+    identically and collapses fine."""
     if not cuts:
         return F.lit(0).cast("long")
-    arr = F.array(*[F.lit(float(c)) for c in cuts])
     v = value.cast("double")
-    if descending:
-        return F.size(F.filter(arr, lambda c: c > v)).cast("long")
-    return F.size(F.filter(arr, lambda c: c < v)).cast("long")
+    terms = [
+        F.when((v < F.lit(float(c))) if descending else (v > F.lit(float(c))), 1).otherwise(0)
+        for c in cuts
+    ]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return total.cast("long")
 
 
 def ordered_prefix(

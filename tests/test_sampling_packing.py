@@ -497,3 +497,25 @@ def test_ordered_prefix_property_matches_naive(spark, vals, cuts):
     got = {(x.k, x.r, x.cw, x.N) for x in out.collect()}
     want = {(x.k, x.r, x.cw, len(vals)) for x in naive.collect()}
     assert got == want
+
+
+def test_range_bucket_nan_keeps_monotone_rank(spark):
+    # NaN sorts as the LARGEST value in Spark: ascending it must land
+    # in the last bucket (not bucket 0), or the distributed rank would
+    # disagree with the naive global window.
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, float("nan")), (2, 2.0), (3, 5.0), (4, float("nan"))],
+        "k long, v double",
+    )
+    cuts = [1.5, 3.0]
+    for desc in (False, True):
+        order = [F.col("v").desc() if desc else F.col("v").asc(), F.col("k")]
+        out = S.ordered_prefix(
+            df, order, S.range_bucket(F.col("v"), cuts, descending=desc), out_pos="r"
+        )
+        naive = df.withColumn("r", F.row_number().over(Window.orderBy(*order)))
+        assert {(x.k, x.r) for x in out.collect()} == {
+            (x.k, x.r) for x in naive.collect()
+        }, f"descending={desc}"
