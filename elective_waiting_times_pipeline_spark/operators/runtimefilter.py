@@ -47,14 +47,31 @@ def prefiltered_semi_join(
     fact_key: str,
     dim_key: str,
     m: int = 1 << 20,
+    max_fill: float | None = 0.5,
 ) -> DataFrame:
     """fact LEFT SEMI dim, with a broadcast hash-bucket prefilter ahead
     of the exact join. Result is row-identical to the plain semi-join;
-    the prefilter only changes how many fact rows reach the exchange."""
+    the prefilter only changes how many fact rows reach the exchange.
+
+    Adaptive bypass: the prefilter pays off only while the bucket set
+    is sparse — at n distinct dim keys the occupied fraction is
+    1 - e^(-n/m), and past ~half-full the broadcast + second scan buy
+    almost nothing (measured 15.7 s vs ~4 s at a x100 dim). When
+    `max_fill` is set, one cheap distinct-count of the dim keys (the
+    same relation the filter would broadcast anyway) decides: if the
+    expected fill exceeds it, fall back to the plain exact semi-join.
+    Pass `max_fill=None` to force the prefilter (tests do, to exercise
+    heavy-collision correctness)."""
+    keys = dim.select(F.col(dim_key).alias("__rf_key")).distinct()
+    if max_fill is not None:
+        import math
+
+        n = keys.count()
+        if 1.0 - math.exp(-n / m) > max_fill:
+            return fact.join(keys, fact[fact_key] == F.col("__rf_key"), "left_semi")
     buckets = key_bucket_set(dim, dim_key, m)
     bucket: Column = F.pmod(F.xxhash64(fact[fact_key]), F.lit(m))
     pre = fact.join(
         F.broadcast(buckets), bucket == F.col("__rf_bucket"), "left_semi"
     )
-    keys = dim.select(F.col(dim_key).alias("__rf_key")).distinct()
     return pre.join(keys, pre[fact_key] == F.col("__rf_key"), "left_semi")

@@ -238,3 +238,24 @@ def test_q4_semi_join_no_lineitem_agg(spark, sf_dir):
     assert "GreaterThanOrEqual(o_orderdate" in plan
     # only the join columns leave the lineitem scan
     assert "l_extendedprice" not in plan and "l_quantity" not in plan
+
+
+def test_runtime_filter_bypasses_when_bucket_set_saturated(spark):
+    # 200 distinct keys into m=64 buckets -> expected fill ~96%: the
+    # prefilter would pass nearly everything, so the adaptive form
+    # must skip straight to the single exact semi-join (one LeftSemi,
+    # no broadcast bucket set) while returning identical rows.
+    from elective_waiting_times_pipeline_spark.operators.runtimefilter import (
+        prefiltered_semi_join,
+    )
+
+    fact = spark.createDataFrame([(i, i % 250) for i in range(500)], "row_id long, k long")
+    dim = spark.createDataFrame([(i,) for i in range(200)], "d long")
+    got = prefiltered_semi_join(fact, dim, "k", "d", m=64)
+    plan = io.StringIO()
+    with contextlib.redirect_stdout(plan):
+        got.explain("formatted")
+    assert "__rf_bucket" not in plan.getvalue()  # no prefilter stage
+    assert "LeftSemi" in plan.getvalue()
+    want = fact.join(dim, fact.k == dim.d, "left_semi")
+    assert sorted(r.row_id for r in got.collect()) == sorted(r.row_id for r in want.collect())
