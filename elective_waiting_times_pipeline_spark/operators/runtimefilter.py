@@ -55,13 +55,17 @@ def prefiltered_semi_join(
 
     Adaptive bypass: the prefilter pays off only while the bucket set
     is sparse — at n distinct dim keys the occupied fraction is
-    1 - e^(-n/m), and past ~half-full the broadcast + second scan buy
-    almost nothing (measured 15.7 s vs ~4 s at a x100 dim). When
-    `max_fill` is set, one cheap distinct-count of the dim keys (the
-    same relation the filter would broadcast anyway) decides: if the
-    expected fill exceeds it, fall back to the plain exact semi-join.
-    Pass `max_fill=None` to force the prefilter (tests do, to exercise
-    heavy-collision correctness)."""
+    1 - e^(-n/m), and past ~half-full it passes nearly every row while
+    still paying a bucket-set broadcast (megabytes to every executor)
+    and an extra probe per fact row. When `max_fill` is set, one cheap
+    distinct-count of the dim keys (the same relation the filter would
+    broadcast anyway) decides: if the expected fill exceeds it, fall
+    back to the plain exact semi-join. Wall-clock at x100 on one host
+    is similar either way (the exact join dominates); the bypass
+    matters on a real cluster, where a useless saturated broadcast
+    costs bandwidth per executor and the double probe costs CPU per
+    row. Pass `max_fill=None` to force the prefilter (tests do, to
+    exercise heavy-collision correctness)."""
     keys = dim.select(F.col(dim_key).alias("__rf_key")).distinct()
     if max_fill is not None:
         import math
