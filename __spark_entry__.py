@@ -81,6 +81,7 @@ _REGISTERED_AFTER_R3 = {
     "promo_revenue_share",
     "returned_item_revenue",
     "daily_autocorrelation",
+    "knn_pagerank_coreset",
 }
 
 

@@ -430,3 +430,109 @@ def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("variance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank coreset selection over the kNN graph: rank vectors by
+# centrality in their k-nearest-neighbor cosine graph — the classic
+# graph-based data-pruning / representative-example selector (central
+# nodes cover dense regions; tail nodes are outliers). Demonstrates
+# the iterative-algorithm pattern beyond connected components: 5
+# power iterations, each one join + one aggregate, lineage truncated
+# per round. EXACT cross-engine parity for an iterative float
+# algorithm is achieved by running the whole recurrence in integer
+# arithmetic: pr lives in "pico-mass" units (total mass 10^12), the
+# damping update is
+#     pr'(v) = (15*SCALE) // (100*N) + (85 * sum_{u->v} pr(u) // k) // 100
+# — floor divisions on non-negative longs, identical in Spark (`div`)
+# and DuckDB (`//`). The quadratic kNN edge build is the guarded
+# verification baseline (swap in lsh_bucketed_pairs / ivf_assign
+# candidate generation at corpus scale); out-degree is exactly k by
+# construction, so the share division is constant.
+# ---------------------------------------------------------------------------
+_PR_SCALE = 10**12
+_PR_K = 5
+_PR_ITERS = 5
+
+
+def _pagerank_oracle(k: int = _PR_K, iters: int = _PR_ITERS) -> str:
+    sql = f"""
+    WITH pairs AS (
+      SELECT qa.vec_id AS a, qb.vec_id AS b,
+             ROUND(list_cosine_similarity(CAST(qa.embedding AS DOUBLE[]),
+                                          CAST(qb.embedding AS DOUBLE[])), 6) AS s
+      FROM embeddings qa JOIN embeddings qb ON qa.vec_id <> qb.vec_id
+    ), e AS (
+      SELECT a, b FROM (
+        SELECT a, b, ROW_NUMBER() OVER (PARTITION BY a ORDER BY s DESC, b) AS rk
+        FROM pairs
+      ) WHERE rk <= {k}
+    ), nodes AS (SELECT vec_id AS v FROM embeddings),
+    cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM nodes),
+    pr0 AS (SELECT v, {_PR_SCALE} // c AS pr FROM nodes, cnt)"""
+    for i in range(1, iters + 1):
+        sql += f""", pr{i} AS (
+      SELECT nodes.v,
+             (15 * {_PR_SCALE}) // (100 * cnt.c)
+               + (85 * COALESCE(s.inflow, 0)) // 100 AS pr
+      FROM nodes
+      LEFT JOIN (SELECT e.b AS v, SUM(p.pr // {k}) AS inflow
+                 FROM e JOIN pr{i - 1} p ON e.a = p.v GROUP BY e.b) s USING (v),
+      cnt
+    )"""
+    sql += f"""
+    SELECT v AS vec_id, CAST(pr AS BIGINT) AS pagerank_pico
+    FROM pr{iters} ORDER BY pr DESC, v LIMIT 20
+    """
+    return sql
+
+
+@query("knn_pagerank_coreset", oracle=_pagerank_oracle())
+def knn_pagerank_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    if n > 20_000:
+        raise ValueError(
+            f"knn_pagerank_coreset's brute-force kNN build is quadratic: {n} rows "
+            "> 20000. Generate the edge list with lsh_bucketed_pairs/ivf_assign "
+            "blocking at corpus scale and run the same iteration over it."
+        )
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").cast("array<double>").alias("_va"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").cast("array<double>").alias("_vb"))
+    sim = F.round(S.cosine(F.col("_va"), F.col("_vb")), 6)
+    pairs = a.join(b, F.col("a") != F.col("b")).select("a", "b", sim.alias("s"))
+    w = Window.partitionBy("a").orderBy(F.col("s").desc(), F.col("b"))
+    edges = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _PR_K)
+        .select("a", "b")
+        .localCheckpoint(eager=False)
+    )
+    nodes = emb.select(F.col("vec_id").alias("v"))
+    teleport = (15 * _PR_SCALE) // (100 * n)
+    pr = nodes.withColumn("pr", F.lit(_PR_SCALE // n).cast("long"))
+    for _ in range(_PR_ITERS):
+        inflow = (
+            edges.join(pr, edges["a"] == pr["v"])
+            .select(F.col("b"), F.expr(f"pr div {_PR_K}").alias("share"))
+            .groupBy("b")
+            .agg(F.sum("share").alias("inflow"))
+        )
+        pr = (
+            nodes.join(inflow, nodes["v"] == inflow["b"], "left")
+            .select(
+                "v",
+                (
+                    F.lit(teleport)
+                    + F.expr("(85 * coalesce(inflow, 0)) div 100")
+                ).cast("long").alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        pr.orderBy(F.col("pr").desc(), "v")
+        .limit(20)
+        .select(F.col("v").alias("vec_id"), F.col("pr").alias("pagerank_pico"))
+    )
