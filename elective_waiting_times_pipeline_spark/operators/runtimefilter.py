@@ -41,6 +41,21 @@ def key_bucket_set(dim: DataFrame, dim_key: str, m: int = 1 << 20) -> DataFrame:
     ).distinct()
 
 
+def _plausibly_saturates(dim: DataFrame, m: int) -> bool:
+    """Zero-cost pre-gate for the adaptive bypass: Catalyst's
+    sizeInBytes estimate (free — no job) bounds the dim's key count
+    from above at ~8 bytes/key. A dim estimated under m*8 bytes cannot
+    hold enough distinct keys to saturate m buckets, so the common
+    small-dim case skips the exact deciding count entirely and keeps
+    the prefilter with no extra job. Estimation failures (e.g. Spark
+    Connect, exotic plans) err toward measuring."""
+    try:
+        est = int(str(dim._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:
+        return True
+    return est > m * 8
+
+
 def prefiltered_semi_join(
     fact: DataFrame,
     dim: DataFrame,
@@ -67,13 +82,20 @@ def prefiltered_semi_join(
     row. Pass `max_fill=None` to force the prefilter (tests do, to
     exercise heavy-collision correctness)."""
     keys = dim.select(F.col(dim_key).alias("__rf_key")).distinct()
-    if max_fill is not None:
+    if max_fill is not None and _plausibly_saturates(dim, m):
         import math
 
+        # only now pay an exact decision: materialize the key set once
+        # so the deciding count and the exact join share the work
+        keys = keys.localCheckpoint(eager=True)
         n = keys.count()
         if 1.0 - math.exp(-n / m) > max_fill:
             return fact.join(keys, fact[fact_key] == F.col("__rf_key"), "left_semi")
-    buckets = key_bucket_set(dim, dim_key, m)
+    # bucket set from the (possibly checkpointed) key set — never a
+    # second scan of the dim
+    buckets = keys.select(
+        F.pmod(F.xxhash64(F.col("__rf_key")), F.lit(m)).alias("__rf_bucket")
+    ).distinct()
     bucket: Column = F.pmod(F.xxhash64(fact[fact_key]), F.lit(m))
     pre = fact.join(
         F.broadcast(buckets), bucket == F.col("__rf_bucket"), "left_semi"
