@@ -82,6 +82,7 @@ _REGISTERED_AFTER_R3 = {
     "returned_item_revenue",
     "daily_autocorrelation",
     "knn_pagerank_coreset",
+    "k_anonymity_report",
 }
 
 

@@ -1795,3 +1795,45 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "char_entropy"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity report over quasi-identifiers — the privacy/compliance
+# gate a training-data release runs before shipping: for each
+# quasi-identifier combination (here source x lang x a coarse length
+# band), the equivalence-class size; classes below k are the re-
+# identification risk surface. One hash agg over the corpus plus a
+# k-threshold rollup — map-side combinable, no skew (class count is
+# bounded by the QI domain, not the corpus).
+# ---------------------------------------------------------------------------
+@query(
+    "k_anonymity_report",
+    oracle="""
+    WITH classes AS (
+      SELECT source, lang,
+             CAST(FLOOR(n_chars / 500) AS BIGINT) AS len_band,
+             CAST(COUNT(*) AS BIGINT) AS class_size
+      FROM documents GROUP BY 1, 2, 3
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(class_size) AS BIGINT) AS min_class_size,
+           CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) AS BIGINT)
+             AS rows_below_k5,
+           ROUND(CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) AS DOUBLE)
+                 / SUM(class_size), 6) AS at_risk_share
+    FROM classes GROUP BY source
+    """,
+)
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    classes = docs.groupBy(
+        "source", "lang", F.floor(F.col("n_chars") / 500).cast("long").alias("len_band")
+    ).agg(F.count(F.lit(1)).alias("class_size"))
+    below = F.sum(F.when(F.col("class_size") < 5, F.col("class_size")).otherwise(0))
+    return classes.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("class_size").alias("min_class_size"),
+        below.cast("long").alias("rows_below_k5"),
+        F.round(below.cast("double") / F.sum("class_size"), 6).alias("at_risk_share"),
+    )
