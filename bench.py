@@ -100,7 +100,7 @@ def _continuity(timings: dict[str, float], sf_val) -> dict:
         m = re.search(r"BENCH_r(\d+)\.json$", p)
         if m:
             rounds.append((int(m.group(1)), p))
-    for _, path in sorted(rounds, reverse=True):
+    for rnd, path in sorted(rounds, reverse=True):
         try:
             with open(path) as f:
                 prev = json.load(f)
@@ -117,6 +117,10 @@ def _continuity(timings: dict[str, float], sf_val) -> dict:
         prev_total = round(sum(pq[q] for q in common), 3)
         cur_total = round(sum(timings[q] for q in common), 3)
         return {
+            # prev_round makes the comparison base auditable: a re-run
+            # inside round N compares against N's own artifact (ratio
+            # ~1), which this field exposes instead of hiding
+            "prev_round": rnd,
             "common_queries": len(common),
             "prev_common_total": prev_total,
             "common_total": cur_total,

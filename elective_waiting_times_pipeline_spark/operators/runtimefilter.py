@@ -41,19 +41,26 @@ def key_bucket_set(dim: DataFrame, dim_key: str, m: int = 1 << 20) -> DataFrame:
     ).distinct()
 
 
-def _plausibly_saturates(dim: DataFrame, m: int) -> bool:
+def _plausibly_saturates(dim: DataFrame, m: int, max_fill: float) -> bool:
     """Zero-cost pre-gate for the adaptive bypass: Catalyst's
-    sizeInBytes estimate (free — no job) bounds the dim's key count
-    from above at ~8 bytes/key. A dim estimated under m*8 bytes cannot
-    hold enough distinct keys to saturate m buckets, so the common
-    small-dim case skips the exact deciding count entirely and keeps
-    the prefilter with no extra job. Estimation failures (e.g. Spark
-    Connect, exotic plans) err toward measuring."""
+    sizeInBytes estimate (free — no job) upper-bounds the dim's key
+    count. The fill 1-e^(-n/m) crosses `max_fill` at
+    n* = -m*ln(1-max_fill) keys; a dim estimated under n* bytes —
+    a deliberately conservative 1 byte/key, since file-source
+    estimates are COMPRESSED sizes (dictionary/RLE keys can pack far
+    below 8 bytes) — cannot saturate, so the common small-dim case
+    skips the exact deciding count with no extra job. Erring small
+    only costs one count job; erring large would silently keep a
+    saturated prefilter. Estimation failures (e.g. Spark Connect,
+    exotic plans) err toward measuring."""
+    import math
+
+    n_star = -m * math.log(max(1e-9, 1.0 - max_fill))
     try:
         est = int(str(dim._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
     except Exception:
         return True
-    return est > m * 8
+    return est > n_star
 
 
 def prefiltered_semi_join(
@@ -82,7 +89,7 @@ def prefiltered_semi_join(
     row. Pass `max_fill=None` to force the prefilter (tests do, to
     exercise heavy-collision correctness)."""
     keys = dim.select(F.col(dim_key).alias("__rf_key")).distinct()
-    if max_fill is not None and _plausibly_saturates(dim, m):
+    if max_fill is not None and _plausibly_saturates(dim, m, max_fill):
         import math
 
         # only now pay an exact decision: materialize the key set once

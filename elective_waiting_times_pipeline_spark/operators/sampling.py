@@ -226,9 +226,11 @@ def range_bucket(value: Column, cuts: Sequence[float], descending: bool = False)
     case: Spark's comparisons treat NaN as the LARGEST value (matching
     its sort position), so `c < NaN` is true for every cut — NaN lands
     in the last bucket ascending and bucket 0 descending
-    (regression-tested). NULL keys are the caller's problem — Spark
-    sorts them first while DuckDB sorts them last, so a null-keyed
-    rank cannot be engine-stable anyway.
+    (regression-tested). NULL keys match Spark's default sort
+    position WITHIN Spark — first ascending (bucket 0), last
+    descending (last bucket) — so ranks agree with a naive
+    Window.orderBy; but DuckDB sorts NULLs last either way, so a
+    null-keyed rank cannot be engine-stable across oracles.
 
     Implementation note: a CASE-WHEN sum, not `size(filter(array))` —
     the higher-order-function form hits a Spark 4 internal error
@@ -245,6 +247,11 @@ def range_bucket(value: Column, cuts: Sequence[float], descending: bool = False)
     total = terms[0]
     for t in terms[1:]:
         total = total + t
+    if descending:
+        # Spark sorts NULL last under desc; the null-comparison terms
+        # all fall to otherwise(0), which would put NULL rows in the
+        # FIRST bucket and silently shift every rank
+        total = F.when(v.isNull(), F.lit(len(cuts))).otherwise(total)
     return total.cast("long")
 
 

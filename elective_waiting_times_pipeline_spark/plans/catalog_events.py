@@ -1542,9 +1542,17 @@ def arpu_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "daily_autocorrelation",
     oracle="""
-    WITH daily AS (
+    WITH observed AS (
       SELECT date_trunc('day', ts) AS day, CAST(COUNT(*) AS BIGINT) AS x
       FROM events GROUP BY 1
+    ), grid AS (
+      SELECT unnest(generate_series(MIN(day), MAX(day), INTERVAL 1 DAY)) AS day
+      FROM observed
+    ), daily AS (
+      -- dense calendar grid: a zero-event day is x=0, so LAG(x, k)
+      -- always pairs days exactly k CALENDAR days apart
+      SELECT grid.day, COALESCE(o.x, 0) AS x
+      FROM grid LEFT JOIN observed o USING (day)
     ), lagged AS (
       SELECT x,
              LAG(x, 1) OVER (ORDER BY day) AS x1, LAG(x, 2) OVER (ORDER BY day) AS x2,
@@ -1580,8 +1588,17 @@ def arpu_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+    observed = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.count(F.lit(1)).cast("long").alias("x")
+    )
+    # dense calendar grid (a zero-event day is x=0): without it, LAG
+    # pairs days k ROWS apart, not k calendar days, and the weekly
+    # ACF is wrong on exactly the gappy data it should diagnose
+    grid = observed.agg(F.min("day").alias("lo"), F.max("day").alias("hi")).select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    daily = grid.join(observed, "day", "left").select(
+        "day", F.coalesce("x", F.lit(0)).cast("long").alias("x")
     )
     w = Window.orderBy("day")  # bounded calendar-day axis
     lagged = daily.select(

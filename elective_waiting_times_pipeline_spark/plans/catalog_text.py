@@ -1407,7 +1407,10 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(X.tokens("text")).alias("tok"))
         .filter(F.col("tok") != "")
     )
-    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    # checkpoint the narrow (tok, n) relation: the cut-points action
+    # and the ranked plan would otherwise EACH replay the token
+    # explode + count (same fix as curriculum_order's scored relation)
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=False)
     b = cnt.withColumn("_hh", F.md5("tok")).withColumn(
         "_bk", F.conv(F.substring("_hh", 1, 2), 16, 10).cast("long")
     )

@@ -40,14 +40,19 @@ def _nano_timestamp_cols(path: str) -> list[str]:
     to TimestampType here, truncating to microseconds."""
     try:
         import pyarrow.parquet as pq
-        import pyarrow as pa
 
-        schema = pq.read_schema(path)
-        return [
-            f.name
-            for f in schema
-            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
-        ]
+        # the PARQUET schema, not the arrow view: pyarrow maps INT96
+        # (Spark's default timestamp encoding) to timestamp[ns] too,
+        # but Spark reads INT96 natively — only true INT64
+        # TIMESTAMP(NANOS) columns need the nanosAsLong + div-1000
+        # treatment
+        schema = pq.read_metadata(path).schema
+        out = []
+        for i in range(len(schema)):
+            col = schema.column(i)
+            if col.physical_type == "INT64" and "nanos" in str(col.logical_type).lower():
+                out.append(col.name)
+        return out
     except Exception:
         return []
 

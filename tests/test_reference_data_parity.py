@@ -10,6 +10,8 @@ actually shipped."""
 
 from __future__ import annotations
 
+import os
+
 import duckdb
 import pytest
 from pyspark.sql import functions as F
@@ -20,6 +22,11 @@ from elective_waiting_times_pipeline_spark.sources.readers import read_csv_check
 from tests.oracle import _normalize
 
 REF_DATA = "/root/reference/Strategy Unit Update/Data"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_DATA),
+    reason="reference repo with committed extracts not mounted",
+)
 # the two extracts Charts.R reads for chart2 (Charts.R:39, Charts.R:69)
 EXTRACTS = [
     f"{REF_DATA}/1-3-2 National trends in independent sector trends in provision of elective care.csv",

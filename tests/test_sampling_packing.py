@@ -519,3 +519,23 @@ def test_range_bucket_nan_keeps_monotone_rank(spark):
         assert {(x.k, x.r) for x in out.collect()} == {
             (x.k, x.r) for x in naive.collect()
         }, f"descending={desc}"
+
+
+def test_range_bucket_null_keys_match_spark_sort_position(spark):
+    # Spark sorts NULL first ascending and last descending; the bucket
+    # must agree or ordered_prefix disagrees with the naive window.
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, None), (2, 2.0), (3, 5.0)], "k long, v double"
+    )
+    cuts = [1.5, 3.0]
+    for desc in (False, True):
+        order = [F.col("v").desc() if desc else F.col("v").asc(), F.col("k")]
+        out = S.ordered_prefix(
+            df, order, S.range_bucket(F.col("v"), cuts, descending=desc), out_pos="r"
+        )
+        naive = df.withColumn("r", F.row_number().over(Window.orderBy(*order)))
+        assert {(x.k, x.r) for x in out.collect()} == {
+            (x.k, x.r) for x in naive.collect()
+        }, f"descending={desc}"

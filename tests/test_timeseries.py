@@ -161,3 +161,49 @@ def test_gapfill_interpolation_straight_line(spark):
     out = TS.gapfill_interpolate(_events(spark, rows)).orderBy("bucket").collect()
     assert [r.filled_value for r in out] == [10.0, 20.0, 30.0, 40.0]
     assert [r.is_gap for r in out] == [False, True, True, False]
+
+
+def test_daily_autocorrelation_respects_calendar_gaps(spark, tmp_path):
+    # A day with ZERO events must enter the series as x=0 so lag-k
+    # pairs days k CALENDAR days apart — not k observed rows apart.
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from elective_waiting_times_pipeline_spark.plans import catalog
+    from tests.oracle import assert_matches_oracle
+
+    src = "/root/testdata/sf0.001"
+    sf = str(tmp_path / "sf_gap")
+    (tmp_path / "sf_gap").mkdir()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "documents", "embeddings"):
+        if os.path.isdir(f"{src}/{t}.parquet"):
+            shutil.copytree(f"{src}/{t}.parquet", f"{sf}/{t}.parquet")
+        else:
+            shutil.copy(f"{src}/{t}.parquet", f"{sf}/{t}.parquet")
+    # events: 10 days, day 5 missing entirely, varying daily counts
+    rows = []
+    eid = 0
+    for d in [1, 2, 3, 4, 6, 7, 8, 9, 10, 11]:
+        for i in range(d):  # count varies by day
+            rows.append((eid, f"2024-03-{d:02d} 12:{i:02d}:00"))
+            eid += 1
+    spark.createDataFrame(rows, "event_id long, ts_s string").select(
+        "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        F.lit(1).alias("user_id"),
+        F.lit("click").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    ).coalesce(1).write.parquet(f"{sf}/events_staging")
+    # flat file like the lake layout (duckdb reads '<name>.parquet' directly)
+    part = next(p for p in os.listdir(f"{sf}/events_staging") if p.endswith(".parquet"))
+    shutil.move(f"{sf}/events_staging/{part}", f"{sf}/events.parquet")
+    df = catalog.SPARK_QUERIES["daily_autocorrelation"](spark, sf)
+    assert_matches_oracle(df, catalog.ORACLE_SQL["daily_autocorrelation"], sf)
+    # the dense grid spans 11 calendar days -> overlap at lag 1 is 10,
+    # which only holds if the missing day was filled with x=0
+    daily_n = df.count()
+    assert daily_n == 7  # 7 lag rows out
