@@ -83,6 +83,8 @@ _REGISTERED_AFTER_R3 = {
     "daily_autocorrelation",
     "knn_pagerank_coreset",
     "k_anonymity_report",
+    "leakage_safe_split",
+    "split_leakage_audit",
 }
 
 

@@ -1840,3 +1840,91 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         below.cast("long").alias("rows_below_k5"),
         F.round(below.cast("double") / F.sum("class_size"), 6).alias("at_risk_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split: the split key is the exact-dup
+# GROUP (canonical min doc_id per normalized fingerprint), not the
+# row — every copy of a duplicated document lands on the SAME side,
+# so the eval set can never contain a training document's twin (the
+# classic silent eval contamination). One fingerprint agg + a window
+# carry of the canonical id + the same hash-threshold assignment as
+# sample_split_hash — deterministic under layout and reruns.
+# ---------------------------------------------------------------------------
+@query(
+    "leakage_safe_split",
+    oracle=rf"""
+    WITH fp AS (
+      SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS f
+      FROM documents
+    ), canon AS (
+      SELECT doc_id, MIN(doc_id) OVER (PARTITION BY f) AS canonical_id FROM fp
+    )
+    SELECT doc_id, CAST(canonical_id AS BIGINT) AS canonical_id,
+           CASE WHEN substr(md5(CAST(canonical_id AS VARCHAR) || 'grp'), 1, 4) < '{_T_TRAIN}' THEN 'train'
+                WHEN substr(md5(CAST(canonical_id AS VARCHAR) || 'grp'), 1, 4) < '{_T_VAL}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM canon
+    """,
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", X.fingerprint_md5("text").alias("f"))
+    canon = fp.withColumn(
+        "canonical_id", F.min("doc_id").over(Window.partitionBy("f")).cast("long")
+    )
+    return canon.select(
+        "doc_id",
+        "canonical_id",
+        S.split_column(F.col("canonical_id"), _SPLITS, salt="grp").alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Split-leakage audit: for the NAIVE per-row split, how many
+# fingerprint groups straddle train and test — the quantified case
+# for the group-aware split above (which by construction audits to
+# zero, asserted in the suite). Two aggs over the fingerprint
+# projection.
+# ---------------------------------------------------------------------------
+@query(
+    "split_leakage_audit",
+    oracle=rf"""
+    WITH fp AS (
+      SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS f,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{_T_TRAIN}' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{_T_VAL}' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ), g AS (
+      SELECT f,
+             MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_train,
+             MAX(CASE WHEN split <> 'train' THEN 1 ELSE 0 END) AS in_eval,
+             CAST(COUNT(*) AS BIGINT) AS n_copies
+      FROM fp GROUP BY f
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN in_train = 1 AND in_eval = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS leaking_groups,
+           CAST(SUM(CASE WHEN in_train = 1 AND in_eval = 1 THEN n_copies ELSE 0 END) AS BIGINT)
+             AS leaking_docs
+    FROM g
+    """,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        X.fingerprint_md5("text").alias("f"),
+        S.split_column(F.col("doc_id"), _SPLITS).alias("split"),
+    )
+    g = fp.groupBy("f").agg(
+        F.max(F.when(F.col("split") == "train", 1).otherwise(0)).alias("in_train"),
+        F.max(F.when(F.col("split") != "train", 1).otherwise(0)).alias("in_eval"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    leak = F.col("in_train") * F.col("in_eval")
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(leak).cast("long").alias("leaking_groups"),
+        F.sum(F.col("n_copies") * leak).cast("long").alias("leaking_docs"),
+    )

@@ -434,3 +434,37 @@ def test_streaming_vector_store_ingest_matches_batch(spark, tmp_path):
     run("ck2")  # full replay: rewrites its own (cell, batch) leaves only
     store2 = spark.read.parquet(store_path)
     assert store2.count() == emb.count()
+
+
+def test_leakage_safe_split_never_straddles_groups(spark, tmp_path):
+    # On a corpus WITH real duplicate groups (the sf tables have none
+    # exact): the group-aware split must keep every copy on one side,
+    # and the naive-split audit must detect the straddling groups.
+    from pyspark.sql import functions as F
+
+    from elective_waiting_times_pipeline_spark.plans import catalog
+    from tests.conftest import make_lake
+    from tests.oracle import assert_matches_oracle
+
+    base = ["quick brown fox", "lorem ipsum dolor", "pack my box", "sphinx of quartz"]
+    rows = []
+    for i in range(400):
+        rows.append((i, base[i % 4] + f" variant {i % 40}", "en", "web", 20))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )  # 40 distinct texts x 10 copies each
+    sf = make_lake(spark, tmp_path, documents=docs)
+    out = catalog.SPARK_QUERIES["leakage_safe_split"](spark, sf)
+    assert_matches_oracle(out, catalog.ORACLE_SQL["leakage_safe_split"], sf)
+    per_group = out.groupBy("canonical_id").agg(F.count_distinct("split").alias("n_splits"))
+    assert per_group.filter(F.col("n_splits") > 1).count() == 0
+    assert out.groupBy("canonical_id").count().filter(F.col("count") > 1).count() == 40
+    # naive per-row split on 10-copy groups straddles with overwhelming
+    # probability (P[all 10 same side] is tiny per group)
+    audit = catalog.SPARK_QUERIES["split_leakage_audit"](spark, sf).collect()[0]
+    assert_matches_oracle(
+        catalog.SPARK_QUERIES["split_leakage_audit"](spark, sf),
+        catalog.ORACLE_SQL["split_leakage_audit"],
+        sf,
+    )
+    assert audit.n_groups == 40 and audit.leaking_groups > 0
