@@ -69,6 +69,23 @@ def _ensure_session_confs(spark: SparkSession) -> None:
         pass  # locked-down conf: proceed with whatever the session has
 
 
+def normalize_time_column(df: DataFrame, col: str) -> DataFrame:
+    """THE event-time normalization rules, shared by the batch
+    (load_table) and streaming (streaming.io) edges so they can never
+    diverge on the same files: long → raw nanos truncated to micros
+    (integer `div` — double math loses 1 us past 2^53), TIMESTAMP_NTZ
+    → TIMESTAMP_LTZ cast (value-preserving under the UTC session tz),
+    TIMESTAMP_LTZ → passthrough."""
+    if col not in df.columns:
+        return df
+    dtype = df.schema[col].dataType
+    if isinstance(dtype, T.LongType):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    if isinstance(dtype, T.TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one lake table. Parquet scan → column pruning and predicate
     pushdown happen in the scan node for anything layered on top.
@@ -83,11 +100,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
     for c in _nano_timestamp_cols(path):
-        # Integer `div` — double division loses 1 us on values past 2^53.
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
-    if ntz:
-        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
+        df = normalize_time_column(df, c)
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.TimestampNTZType):
+            df = normalize_time_column(df, f.name)
     return df
 
 

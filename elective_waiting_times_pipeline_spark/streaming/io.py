@@ -20,16 +20,17 @@ from pyspark.sql import types as T
 
 
 def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
-    """Branch on the *actual* dtype of the event-time column:
-    long → raw nanos (truncate to micros; integer `div`, double math
-    loses 1 us past 2^53), TIMESTAMP_NTZ → cast (value-preserving
-    under the UTC session tz), TIMESTAMP_LTZ → passthrough."""
-    dtype = df.schema[col].dataType
-    if isinstance(dtype, T.LongType):
-        return df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
-    if isinstance(dtype, T.TimestampNTZType):
-        return df.withColumn(col, F.col(col).cast("timestamp"))
-    return df
+    """Branch on the *actual* dtype of the event-time column — the
+    SAME rules as the batch edge (one shared normalizer in
+    sources.readers, so batch and streaming can never diverge on the
+    same files): long → raw nanos (truncate to micros), TIMESTAMP_NTZ
+    → cast (value-preserving under the UTC session tz), TIMESTAMP_LTZ
+    → passthrough."""
+    from elective_waiting_times_pipeline_spark.sources.readers import (
+        normalize_time_column,
+    )
+
+    return normalize_time_column(df, col)
 
 
 def read_table_stream(spark: SparkSession, parquet_path: str) -> DataFrame:
@@ -44,15 +45,20 @@ def read_table_stream(spark: SparkSession, parquet_path: str) -> DataFrame:
         _ensure_session_confs,
     )
 
+    import os
+
     _ensure_session_confs(spark)
     schema = spark.read.parquet(parquet_path).schema
     reader = spark.readStream.schema(schema).format("parquet")
-    # The file source needs a directory; a single-file path becomes
-    # directory + glob filter.
-    if parquet_path.endswith(".parquet"):
+    # The file source needs a directory. A DIRECTORY named X.parquet
+    # (this repo's own table convention for partitioned writes) must
+    # stream as-is — only a true single FILE becomes parent dir +
+    # glob filter (a name-suffix check would silently match nothing:
+    # the leaf files inside the dir are part-*.parquet).
+    if not os.path.isdir(parquet_path) and parquet_path.endswith(".parquet"):
         head, _, tail = parquet_path.rpartition("/")
         reader = reader.option("pathGlobFilter", tail)
-        parquet_path = head
+        parquet_path = head or "."
     df = reader.load(parquet_path)
     return normalize_event_time(df) if "ts" in df.columns else df
 

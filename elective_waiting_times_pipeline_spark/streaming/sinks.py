@@ -72,7 +72,15 @@ def stream_refresh_hourly_rollup(
     lake so each batch sees newly landed partitions. Because a refresh
     is an idempotent partition swap, checkpoint replays and duplicate
     batches are harmless — the same days just get recomputed to the
-    same content."""
+    same content.
+
+    ORDERING CONSTRAINT: nothing here sequences a day's refresh after
+    that day's LANDING in the base lake — run this query downstream of
+    the landed lake (its `source` should be the lake itself, so a
+    batch only fires after the files exist), or drive landing and
+    refresh from the same foreachBatch. Feeding both queries the same
+    upstream source concurrently can refresh day D from a lake that
+    does not hold D's rows yet, and no later batch touches D again."""
     from elective_waiting_times_pipeline_spark.operators.rollup import (
         refresh_hourly_rollup,
         touched_days,
@@ -160,15 +168,27 @@ def stream_to_lake_with_dq(
     partition swap, the quarantine by batch-id subdir overwrite."""
     from elective_waiting_times_pipeline_spark.operators.quality import dq_report
 
+    # pin the constraint suite once: a one-shot iterable (generator)
+    # would be consumed by batch 0 and silently disable the gate for
+    # every later batch
+    constraints = list(constraints)
+
     def land(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
-        report = dq_report(batch, constraints, unique_key=unique_key).collect()[0]
-        violations = sum(v for k, v in report.asDict().items() if k != "n_rows")
-        if violations:
-            batch.write.mode("overwrite").parquet(f"{quarantine_path}/batch={batch_id}")
-        else:
-            overwrite_partitions(batch, lake_path, partition_cols)
+        # one pass decides everything (the report's n_rows gates the
+        # empty batch — no separate isEmpty probe re-reading source
+        # files); persist so the report scan and the write share it
+        batch.persist()
+        try:
+            report = dq_report(batch, constraints, unique_key=unique_key).collect()[0]
+            if report.n_rows == 0:
+                return
+            violations = sum(v for k, v in report.asDict().items() if k != "n_rows")
+            if violations:
+                batch.write.mode("overwrite").parquet(f"{quarantine_path}/batch={batch_id}")
+            else:
+                overwrite_partitions(batch, lake_path, partition_cols)
+        finally:
+            batch.unpersist()
 
     return (
         source.writeStream.foreachBatch(land)

@@ -14,7 +14,6 @@ from typing import Iterator, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
@@ -45,7 +44,10 @@ def _update(
     for pdf in pdfs:
         n += len(pdf)
         total += float(pdf["value"].sum())
-    state.update((n, round(total, 2)))
+    # state keeps the RAW total — rounding in state would compound per
+    # micro-batch and make the result depend on batch boundaries;
+    # rounding is presentation, applied only on emit
+    state.update((n, total))
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]})
 
 
@@ -116,9 +118,6 @@ FUNNEL_STATE_SCHEMA = StructType(
     ]
 )
 
-_US = 10**6
-
-
 def _funnel_update(
     key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
@@ -136,15 +135,17 @@ def _funnel_update(
                 clicks.append(us)
             elif t == "purchase":
                 purchases.append(us)
-    state.update((min_view, sorted(clicks), sorted(purchases), n_seen))
+    clicks.sort()
+    purchases.sort()
+    state.update((min_view, clicks, purchases, n_seen))
     # Recompute the funnel from state — answers only ever move earlier
     # as late data lands, so each emitted row supersedes the previous.
     t_click = None
     if min_view is not None:
-        t_click = next((c for c in sorted(clicks) if c > min_view), None)
+        t_click = next((c for c in clicks if c > min_view), None)
     t_purchase = None
     if t_click is not None:
-        t_purchase = next((p for p in sorted(purchases) if p > t_click), None)
+        t_purchase = next((p for p in purchases if p > t_click), None)
     stage = 3 if t_purchase is not None else 2 if t_click is not None else 1 if min_view is not None else 0
     as_ts = lambda us: pd.Timestamp(us, unit="us") if us is not None else pd.NaT  # noqa: E731
     yield pd.DataFrame(

@@ -155,3 +155,27 @@ def test_streaming_funnel_exact_across_micro_batches(spark, sf_dir, tmp_path):
         a, b = out[c], truth[c]
         assert (a.isna() == b.isna()).all()
         assert (a.dropna() == b.dropna()).all()
+
+
+def test_running_total_state_is_not_rounded_across_batches():
+    # 250 micro-batches of value 0.004: rounding IN STATE would snap
+    # the total back toward 0 every batch; the raw-state form emits
+    # the true 1.0 (rounded only on the emitted row).
+    import pandas as pd
+
+    from elective_waiting_times_pipeline_spark.streaming.stateful import _update
+
+    class FakeState:
+        exists = False
+        get = None
+
+        def update(self, v):
+            self.get = v
+            self.exists = True
+
+    st = FakeState()
+    out = None
+    for _ in range(250):
+        out = list(_update((1,), iter([pd.DataFrame({"value": [0.004]})]), st))[0]
+    assert st.get[0] == 250
+    assert abs(out["total_value"][0] - 1.0) < 1e-6
