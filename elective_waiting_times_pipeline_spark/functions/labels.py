@@ -16,17 +16,20 @@ from pyspark.sql import functions as F
 
 
 def monthyr_to_date(col: Column | str) -> Column:
-    """'Apr20' → date 2020-04-01."""
+    """'Apr20' → date 2020-04-01. try_to_date: a malformed label is
+    NULL (R's as.Date NA), not an ANSI CANNOT_PARSE abort of the whole
+    job on one garbled extract row."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.to_date(F.concat(F.lit("01"), c), "ddMMMyy")
+    return F.try_to_date(F.concat(F.lit("01"), c), "ddMMMyy")
 
 
 def period_to_date(col: Column | str) -> Column:
-    """'RTT-APRIL-2020' → date 2020-04-01 (month name in any case)."""
+    """'RTT-APRIL-2020' → date 2020-04-01 (month name in any case);
+    malformed labels → NULL, same rationale as monthyr_to_date."""
     c = F.col(col) if isinstance(col, str) else col
     month_name = F.initcap(F.lower(F.split(c, "-").getItem(1)))
     year = F.split(c, "-").getItem(2)
-    return F.to_date(F.concat_ws(" ", F.lit("01"), month_name, year), "dd MMMM yyyy")
+    return F.try_to_date(F.concat_ws(" ", F.lit("01"), month_name, year), "dd MMMM yyyy")
 
 
 def covid_period(date_col: Column | str) -> Column:
@@ -38,7 +41,10 @@ def covid_period(date_col: Column | str) -> Column:
     """
     d = F.col(date_col) if isinstance(date_col, str) else date_col
     return (
-        F.when(d < F.lit("2020-03-01").cast("date"), F.lit("pre"))
+        # NULL dates stay NULL (R's NA) — the otherwise() branch would
+        # silently bucket unparseable months as 'post'
+        F.when(d.isNull(), F.lit(None).cast("string"))
+        .when(d < F.lit("2020-03-01").cast("date"), F.lit("pre"))
         .when(d < F.lit("2021-06-01").cast("date"), F.lit("during"))
         .otherwise(F.lit("post"))
     )

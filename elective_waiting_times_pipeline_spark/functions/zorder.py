@@ -31,6 +31,11 @@ def zorder_key(x: Column | str, y: Column | str, bits: int = 16) -> Column:
     clear of the sign bit for non-negative keys. 16+16 bits rank
     65k x 65k cells — enough for file-level locality on bucketed
     domains."""
+    if not 1 <= bits <= 31:
+        raise ValueError(
+            f"bits must be in [1, 31] (got {bits}): position 2*bits-1 must stay "
+            "clear of the long sign bit or negative keys wreck the range layout"
+        )
     xc = (F.col(x) if isinstance(x, str) else x).cast("long")
     yc = (F.col(y) if isinstance(y, str) else y).cast("long")
     parts = []

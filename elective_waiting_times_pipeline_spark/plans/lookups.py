@@ -47,13 +47,18 @@ def weighted_imd_by_ccg(
         lsoa_ccg.join(lsoa_imd, "lsoa", "left")
         .join(lsoa_pop, "lsoa", "left")
     )
+    # R's weighted.mean returns NA whenever a WEIGHT is NA, under both
+    # na.rm settings (na.rm removes NA x's, not NA w's) — a NULL pop
+    # from the left join must therefore poison the group, never be
+    # silently dropped by SUM's null-skipping
+    any_null_w = F.max(F.col("pop").isNull().cast("int")) == 1
     if na_rm:
         num = F.sum(F.col("imd_score") * F.col("pop"))
         den = F.sum(F.when(F.col("imd_score").isNotNull(), F.col("pop")))
-        wmean = num / den
+        wmean = F.when(any_null_w, F.lit(None)).otherwise(num / den)
     else:
         any_null = F.max(F.col("imd_score").isNull().cast("int")) == 1
-        wmean = F.when(any_null, F.lit(None)).otherwise(
+        wmean = F.when(any_null_w | any_null, F.lit(None)).otherwise(
             F.sum(F.col("imd_score") * F.col("pop")) / F.sum("pop")
         )
     return j.groupBy("ccg_year", "ccg").agg(wmean.alias("weighted_imd_score"))
@@ -62,15 +67,26 @@ def weighted_imd_by_ccg(
 def imd_deciles(weighted: DataFrame) -> DataFrame:
     """Inverted deciles/quintiles per vintage partition (1a.R:117-118):
     most deprived (highest score) = decile 1. Ties broken by ccg code
-    for distributed determinism."""
+    for distributed determinism. NULL scores get NULL buckets (R's
+    11 - ntile(NA) is NA) and never consume a tile slot — Spark's
+    ascending sort would otherwise rank NULLs first, crowning a
+    missing-data CCG 'least deprived' and shifting every real bucket."""
     w = Window.partitionBy("ccg_year").orderBy("weighted_imd_score", "ccg")
-    return weighted.select(
+    scored = weighted.filter(F.col("weighted_imd_score").isNotNull()).select(
         "ccg_year",
         "ccg",
         "weighted_imd_score",
         (F.lit(11) - F.ntile(10).over(w)).alias("imd_decile"),
         (F.lit(6) - F.ntile(5).over(w)).alias("imd_quintile"),
     )
+    nulls = weighted.filter(F.col("weighted_imd_score").isNull()).select(
+        "ccg_year",
+        "ccg",
+        "weighted_imd_score",
+        F.lit(None).cast("int").alias("imd_decile"),
+        F.lit(None).cast("int").alias("imd_quintile"),
+    )
+    return scored.unionByName(nulls)
 
 
 def stack_org_files(

@@ -58,9 +58,11 @@ def period_summary(
 def add_share_within(df: DataFrame, part_cols: list[str], value_col: str = "total") -> DataFrame:
     """Window group-total → percentage share (3c.R:455-463)."""
     w = Window.partitionBy(*part_cols)
+    # try_divide: a zero-total group yields NULL shares instead of an
+    # ANSI DIVIDE_BY_ZERO abort (Spark 4 default; R gives NaN there)
     return df.withColumn(
         "share_pct",
-        F.round(100.0 * F.col(value_col) / F.sum(value_col).over(w), 1),
+        F.round(F.try_divide(100.0 * F.col(value_col), F.sum(value_col).over(w)), 1),
     )
 
 
@@ -119,9 +121,14 @@ def is_share_chart(extract: DataFrame, measure: str = "Inpatient admissions") ->
         "speciality",
         "der_activity_month",
         F.lit("Independent sector share of total treatments (%)").alias("Grid"),
-        (F.col("Independent Sector") / (F.col("Independent Sector") + F.col("NHS")) * 100).alias(
-            share_col
-        ),
+        # try_divide: a zero-treatment month is a NULL share, not an
+        # ANSI DIVIDE_BY_ZERO abort of the whole chart job
+        (
+            F.try_divide(
+                F.col("Independent Sector"), F.col("Independent Sector") + F.col("NHS")
+            )
+            * 100
+        ).alias(share_col),
         F.lit(None).cast("double").alias("Independent Sector"),
         F.lit(None).cast("double").alias("NHS"),
     )
@@ -228,11 +235,11 @@ def rebucket_day_waits(
         under, labels = UNDER_YEAR_BUCKETS, ("Under a year", "Over a year")
     else:
         raise ValueError(f"horizon must be '3m' or 'year', got {horizon!r}")
-    bucket = (
-        F.when(F.col("var_1").isin(*under), labels[0])
-        .when(F.col("var_1").isin(*[b for b in ALL_DAY_BUCKETS if b not in under]), labels[1])
-        .otherwise("NA")
-    )
+    # the reference's if_else(var_1 %in% under, Under, Over): anything
+    # not explicitly under-horizon is OVER — including buckets beyond
+    # the known ladder ('500-550', '500+'), which a closed whitelist
+    # would misroute into a spurious bucket and understate long waits
+    bucket = F.when(F.col("var_1").isin(*under), labels[0]).otherwise(labels[1])
     out = (
         su_5x.withColumn("time_bucket", bucket)
         .groupBy("year", "time_bucket")

@@ -146,12 +146,11 @@ def read_csv_tolerant(
     (the CSV sibling of read_jsonl's corrupt-record contract — at
     100 TB a single mangled row must not kill the job). Explicit
     schema required; the corrupt column is appended to it."""
-    from pyspark.sql import functions as F  # local: edges keeps pandas-only imports gated
-
     full = schema.rstrip() + f", {corrupt_col} string"
+    opts = {"header": True, **options}  # caller's header option wins
     return (
         spark.read.schema(full)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", corrupt_col)
-        .csv(path, header=True, **options)
+        .csv(path, **opts)
     )

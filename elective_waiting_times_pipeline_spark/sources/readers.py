@@ -39,8 +39,19 @@ def _nano_timestamp_cols(path: str) -> list[str]:
     type, so the session reads them as long (nanosAsLong) and we cast
     to TimestampType here, truncating to microseconds."""
     try:
+        import glob as _glob
+        import os
+
         import pyarrow.parquet as pq
 
+        # directory-shaped tables (partitioned/multi-file writes):
+        # read_metadata takes one file — probe the first leaf, the
+        # writer keeps one schema per table
+        if os.path.isdir(path):
+            leaves = sorted(_glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+            if not leaves:
+                return []
+            path = leaves[0]
         # the PARQUET schema, not the arrow view: pyarrow maps INT96
         # (Spark's default timestamp encoding) to timestamp[ns] too,
         # but Spark reads INT96 natively — only true INT64

@@ -113,3 +113,101 @@ def test_casemix_presentation_order(spark):
     # avg_IS column untouched (sort used a scratch column)
     cols = reporting.casemix_presentation(df).columns
     assert cols == ["region", "Pathway", "Specialty", "avg_IS"]
+
+
+# ---------------------------------------------------------------------------
+# NULL / edge semantics pinned after the ANSI-mode review: Spark 4
+# runs with spark.sql.ansi.enabled=true, so divides and date parses
+# that silently degraded pre-ANSI now abort jobs unless handled; and
+# NULL ordering defaults differ from R's NA propagation.
+# ---------------------------------------------------------------------------
+
+
+def test_covid_period_null_date_stays_null(spark):
+    from elective_waiting_times_pipeline_spark.functions.labels import covid_period
+
+    rows = spark.createDataFrame(
+        [("2019-01-01",), ("2021-01-01",), (None,)], "d string"
+    ).select(covid_period(F.col("d").cast("date")).alias("p")).collect()
+    assert [r.p for r in rows] == ["pre", "during", None]
+
+
+def test_monthyr_to_date_malformed_label_is_null_not_abort(spark):
+    from elective_waiting_times_pipeline_spark.functions.labels import monthyr_to_date
+
+    rows = spark.createDataFrame([("Apr20",), ("NotAMonth",)], "m string").select(
+        monthyr_to_date("m").alias("d")
+    ).collect()
+    assert str(rows[0].d) == "2020-04-01" and rows[1].d is None
+
+
+def test_add_share_within_zero_total_group_is_null_not_abort(spark):
+    from elective_waiting_times_pipeline_spark.plans.reporting import add_share_within
+
+    df = spark.createDataFrame(
+        [("a", 3), ("a", 1), ("z", 0), ("z", 0)], "g string, total long"
+    )
+    out = {(r.g, r.total): r.share_pct for r in add_share_within(df, ["g"]).collect()}
+    assert out[("a", 3)] == 75.0
+    assert out[("z", 0)] is None
+
+
+def test_imd_deciles_null_scores_get_null_buckets_without_shifting(spark):
+    from elective_waiting_times_pipeline_spark.plans.lookups import imd_deciles
+
+    rows = [("y1", f"c{i:02d}", float(i)) for i in range(10)] + [("y1", "cXX", None)]
+    w = spark.createDataFrame(rows, "ccg_year string, ccg string, weighted_imd_score double")
+    out = {r.ccg: (r.imd_decile, r.imd_quintile) for r in imd_deciles(w).collect()}
+    assert out["cXX"] == (None, None)
+    # 10 real scores -> one per decile, unshifted by the NULL row
+    assert sorted(d for c, (d, _) in out.items() if c != "cXX") == list(range(1, 11))
+
+
+def test_weighted_imd_null_population_poisons_group_both_semantics(spark):
+    from elective_waiting_times_pipeline_spark.plans.lookups import weighted_imd_by_ccg
+
+    ccg = spark.createDataFrame(
+        [("l1", "y1", "A"), ("l2", "y1", "A"), ("l3", "y1", "B")],
+        "lsoa string, ccg_year string, ccg string",
+    )
+    imd = spark.createDataFrame(
+        [("l1", 10.0), ("l2", 20.0), ("l3", 30.0)], "lsoa string, imd_score double"
+    )
+    pop = spark.createDataFrame([("l1", 100), ("l3", 50)], "lsoa string, pop long")  # l2 missing
+    for na_rm in (False, True):
+        out = {
+            r.ccg: r.weighted_imd_score
+            for r in weighted_imd_by_ccg(ccg, imd, pop, na_rm=na_rm).collect()
+        }
+        assert out["A"] is None, f"na_rm={na_rm}"  # NULL weight -> NA, like R
+        assert abs(out["B"] - 30.0) < 1e-9
+
+
+def test_rebucket_routes_unknown_long_wait_buckets_to_over(spark):
+    from elective_waiting_times_pipeline_spark.plans.reporting import rebucket_day_waits
+
+    df = spark.createDataFrame(
+        [(2023, "Independent Sector", "0-50", 0.5), (2023, "Independent Sector", "500-550", 0.5)],
+        "year int, sector string, var_1 string, prop double",
+    )
+    out = {r.time_bucket: r for r in rebucket_day_waits(df).collect()}
+    assert set(out) == {"Under 3m", "Over 3m"}  # no spurious NA bucket
+    assert abs(out["Over 3m"]["prop.Independent Sector"] - 0.5) < 1e-9
+
+
+def test_zorder_key_rejects_sign_bit_widths(spark):
+    import pytest as _pytest
+
+    from elective_waiting_times_pipeline_spark.functions.zorder import zorder_key
+
+    with _pytest.raises(ValueError):
+        zorder_key("a", "b", bits=32)
+
+
+def test_read_csv_tolerant_accepts_caller_header_option(spark, tmp_path):
+    from elective_waiting_times_pipeline_spark.sources.edges import read_csv_tolerant
+
+    p = tmp_path / "raw.csv"
+    p.write_text("1,foo\n2,bar\n")
+    out = read_csv_tolerant(spark, str(p), "id int, name string", header=False).collect()
+    assert [(r.id, r.name) for r in out] == [(1, "foo"), (2, "bar")]
