@@ -107,11 +107,18 @@ def assign_clusters(
 ) -> DataFrame:
     """`docs` + a `cluster_id` column: min doc id of the near-dup
     component, own id for singletons (docs in no pair)."""
-    cc = connected_components(pairs, src, dst).withColumnRenamed("v", "_cc_v")
+    # rename BOTH component columns: a docs-side 'label' column (the
+    # default ML class column elsewhere in this package) would make
+    # the coalesce ambiguous and the drop destructive
+    cc = (
+        connected_components(pairs, src, dst)
+        .withColumnRenamed("v", "_cc_v")
+        .withColumnRenamed("label", "_cc_label")
+    )
     return (
         docs.join(cc, docs[id_col] == cc["_cc_v"], "left")
-        .withColumn("cluster_id", F.coalesce(F.col("label"), F.col(id_col)))
-        .drop("_cc_v", "label")
+        .withColumn("cluster_id", F.coalesce(F.col("_cc_label"), F.col(id_col)))
+        .drop("_cc_v", "_cc_label")
     )
 
 

@@ -99,6 +99,22 @@ def _banded(
     Shared by the batch and incremental candidate generators so both
     hash identically."""
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    needed = bands * rows_per_band
+    # loud guard: a signature shorter than bands*rows_per_band would
+    # slice the high bands to [] -> array_join '' -> ONE shared bucket
+    # hash for every doc -> silent C(n,2) blowup of the whole corpus
+    checked = F.when(
+        F.size("signature") < needed,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"LSH banding needs bands*rows_per_band={needed} signature "
+                    "components, got "
+                ),
+                F.size("signature").cast("string"),
+            )
+        ),
+    ).otherwise(F.col("signature"))
     return sigs.select(
         F.col(id_col),
         F.explode(
@@ -107,7 +123,7 @@ def _banded(
                 lambda b: F.struct(
                     b.alias("band"),
                     F.xxhash64(
-                        F.array_join(F.slice("signature", b * rows_per_band + 1, rows_per_band), ",")
+                        F.array_join(F.slice(checked, b * rows_per_band + 1, rows_per_band), ",")
                     ).alias("bucket"),
                 ),
             )

@@ -72,7 +72,13 @@ def geocode_providers(
                     if res.get("number_results", 0) == 0:
                         row.update(status="ZERO_RESULTS", number_results=0)
                     else:
-                        row.update(status="OK", **res)
+                        # copy ONLY schema fields: a real client's extra
+                        # keys (place_id, ...) would widen the frame and
+                        # fail the whole Arrow batch against the schema
+                        row.update(
+                            status="OK",
+                            **{k: res[k] for k in row.keys() & res.keys()},
+                        )
                 except Exception:
                     pass  # keep the 'fail' fallback row
                 out.append(row)

@@ -45,7 +45,9 @@ def wide_to_band_long(
     """
     pairs = F.array(
         *[
-            F.struct(F.lit(i + 1).alias(band_col), F.col(c).cast("long").alias(cnt_col))
+            # backticks: the advertised 'Gt.00.To.01...' names would
+            # otherwise parse as nested struct-field access
+            F.struct(F.lit(i + 1).alias(band_col), F.col(f"`{c}`").cast("long").alias(cnt_col))
             for i, c in enumerate(gt_cols)
         ]
     )

@@ -110,13 +110,19 @@ def stratified_hash_sample(
     mechanics as `hash_sample`, with the threshold chosen per stratum.
     Strata missing from `fractions` get `default` (0 = drop)."""
     h = hash_hex_prefix(key, salt)
-    keep = None
+    keep = F.lit(False)
     for stratum, frac in fractions.items():
         cond = (F.col(strata_col) == stratum) & (
             F.lit(True) if frac >= 1.0 else h < F.lit(hex_threshold(frac))
         )
-        keep = cond if keep is None else keep | cond
-    others = ~F.col(strata_col).isin(*fractions.keys())
+        keep = keep | cond
+    # NULL strata take the default too: isNull is explicit because a
+    # NULL == / isin comparison is NULL, which filter() would DROP —
+    # silently losing null-stratum rows even at default=1.0
+    if fractions:
+        others = F.col(strata_col).isNull() | ~F.col(strata_col).isin(*fractions.keys())
+    else:
+        others = F.lit(True)
     if default >= 1.0:
         keep = keep | others
     elif default > 0.0:
@@ -156,6 +162,13 @@ def hash_order_prefix(
     Two shuffles of the data (bucket exchange + window sort) — the
     same cost as any global sort — plus a tiny side plan. The salt
     re-rolls the order without touching the key.
+
+    The ranked branch and the offsets branch both read the source: a
+    second scan, but column-pruned to (key, _bk[, weight]) and usually
+    deduplicated by Spark's exchange reuse (both branches hash on the
+    same keys — the plan audit shows `reused exch` on these queries).
+    Callers whose upstream is expensive (not a bare scan) should
+    localCheckpoint the input first, as curriculum_order/zipf_fit do.
     """
     c = F.col(key) if isinstance(key, str) else key
     s = c.cast("string")

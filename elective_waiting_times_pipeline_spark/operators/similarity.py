@@ -35,7 +35,10 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide: an all-zero vector yields NULL similarity (dropped
+    # by any threshold/top-k) instead of an ANSI DIVIDE_BY_ZERO abort
+    # of the whole scan — Spark 4 runs with ansi.enabled=true
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def cosine_topk(
@@ -51,7 +54,10 @@ def cosine_topk(
     the candidate side streams, so this is one scan of the corpus.
     Ordering is (similarity DESC, id ASC) on the ROUNDED similarity so
     top-k membership is engine-independent."""
-    q = F.broadcast(query_df.select(F.col(vec_col).alias("_qvec")))
+    # limit(1) enforces the single-query contract (the quantized
+    # variants do the same): a multi-row query_df would silently
+    # interleave scores against different queries
+    q = F.broadcast(query_df.select(F.col(vec_col).alias("_qvec")).limit(1))
     sim = F.round(cosine(F.col(vec_col), F.col("_qvec")), round_dp)
     return (
         df.crossJoin(q)
@@ -220,7 +226,11 @@ def ivf_probe(
     qd = ((C - qv) ** 2).sum(-1)
     probes = [int(i) for i in qd.argsort()[:n_probe]]
 
-    q = F.broadcast(query_df.select(F.col(vec_col).alias("_qvec")))
+    # limit(1): the probe-cell selection above used head() — scoring
+    # must use exactly one query row too, or a multi-row query_df
+    # would interleave scores (and could score a DIFFERENT row than
+    # the one that chose the probes)
+    q = F.broadcast(query_df.select(F.col(vec_col).alias("_qvec")).limit(1))
     pruned = indexed_df.filter(F.col(cell_col).isin(probes))
     sim = F.round(cosine(F.col(vec_col), F.col("_qvec")), round_dp)
     return (

@@ -529,8 +529,11 @@ def bm25_topk(
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     denom = F.col("tf") + k1 * (1.0 - b + b * (F.col("dl") / F.col("avgdl")))
     spm = F.floor((idf * (F.col("tf") * (k1 + 1.0)) / denom) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    # tokens() lowercases the corpus — match query terms in the same
+    # space or an uppercase query term silently scores zero
+    terms = [t.lower() for t in query_terms]
     return (
-        tf.filter(F.col("tok").isin(list(query_terms)))
+        tf.filter(F.col("tok").isin(terms))
         .join(dfreq, "tok")
         .join(dl, id_col)
         .crossJoin(F.broadcast(stats))  # 1-row scalar

@@ -212,12 +212,18 @@ def gapfill_interpolate(
     prev_h = F.last("h_obs", ignorenulls=True).over(wb)
     next_v = F.first("avg_value", ignorenulls=True).over(wf)
     next_h = F.first("h_obs", ignorenulls=True).over(wf)
+    # try_divide: an observed bucket whose events ALL carry NULL values
+    # has h_obs set but avg_value NULL — both windows then resolve to
+    # the row's own hour and the weight is 0/0, an ANSI abort without
+    # the guard (result stays NULL either way: no endpoints to
+    # interpolate between)
     interp = F.when(F.col("avg_value").isNotNull(), F.col("avg_value")).otherwise(
         F.round(
             prev_v
             + (next_v - prev_v)
-            * (F.col("h") - prev_h).cast("double")
-            / (next_h - prev_h).cast("double"),
+            * F.try_divide(
+                (F.col("h") - prev_h).cast("double"), (next_h - prev_h).cast("double")
+            ),
             6,
         )
     )

@@ -468,3 +468,54 @@ def test_leakage_safe_split_never_straddles_groups(spark, tmp_path):
         sf,
     )
     assert audit.n_groups == 40 and audit.leaking_groups > 0
+
+
+def test_banded_raises_on_short_signatures(spark):
+    # bands*rows_per_band beyond the signature length must fail LOUDLY
+    # — slicing past the end would hash every doc into one bucket and
+    # silently expand C(n,2) pairs
+    import pytest as _pytest
+
+    from elective_waiting_times_pipeline_spark.operators import dedup as D
+
+    sigs = spark.createDataFrame(
+        [(1, [11, 22, 33, 44, 55, 66, 77, 88])], "doc_id long, signature array<bigint>"
+    )
+    ok = D.minhash_lsh_candidates(sigs, bands=2, rows_per_band=4)
+    assert ok.count() == 0  # single doc, no pairs — but plan executes
+    with _pytest.raises(Exception, match="signature"):
+        D.minhash_lsh_candidates(sigs, bands=4, rows_per_band=4).count()
+
+
+def test_cosine_zero_vector_is_null_not_abort(spark):
+    from elective_waiting_times_pipeline_spark.operators import similarity as S
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    out = S.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=3).collect()
+    got = {r.vec_id: r.cosine_sim for r in out}
+    assert got[1] is None  # zero vector: NULL similarity, job survives
+    assert got[0] == 1.0
+
+
+def test_cosine_topk_multi_row_query_uses_one_vector(spark):
+    from elective_waiting_times_pipeline_spark.operators import similarity as S
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)], "vec_id long, embedding array<double>"
+    )
+    out = S.cosine_topk(emb, emb, k=5).collect()  # whole table as "query"
+    assert len(out) == 5  # one score per corpus row, not 25 interleaved
+
+
+def test_assign_clusters_tolerates_docs_label_column(spark):
+    from elective_waiting_times_pipeline_spark.operators import cluster as C
+
+    docs = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "doc_id long, label string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out = {r.doc_id: (r.cluster_id, r.label) for r in C.assign_clusters(docs, pairs).collect()}
+    assert out == {1: (1, "x"), 2: (1, "y"), 3: (3, "z")}  # user 'label' intact
