@@ -85,6 +85,16 @@ _REGISTERED_AFTER_R3 = {
     "k_anonymity_report",
     "leakage_safe_split",
     "split_leakage_audit",
+    # TPC-H optimizer-shape completion (this session)
+    "nation_trade_volume",
+    "market_share",
+    "product_type_profit",
+    "customer_order_distribution",
+    "small_qty_avg_revenue",
+    "disjunctive_revenue",
+    "idle_customers",
+    "revenue_concentration",
+    "boilerplate_gram_score",
 }
 
 

@@ -524,6 +524,7 @@ from elective_waiting_times_pipeline_spark.plans import catalog_relational  # no
 from elective_waiting_times_pipeline_spark.plans import catalog_text  # noqa: E402,F401
 from elective_waiting_times_pipeline_spark.plans import catalog_vector  # noqa: E402,F401
 from elective_waiting_times_pipeline_spark.plans import catalog_events  # noqa: E402,F401
+from elective_waiting_times_pipeline_spark.plans import catalog_tpch  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------

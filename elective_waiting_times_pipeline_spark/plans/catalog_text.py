@@ -1928,3 +1928,70 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(leak).cast("long").alias("leaking_groups"),
         F.sum(F.col("n_copies") * leak).cast("long").alias("leaking_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet/Dolma-style boilerplate detection at the n-gram level: a
+# trigram that recurs across >= 3 DISTINCT documents is "boilerplate"
+# (headers, nav text, licence blurbs); each doc is scored by the
+# fraction of its trigram stream that is boilerplate. At 100 TB the
+# gram->doc-frequency table is vocabulary-sized, so it is JOINED on
+# the gram key (never broadcast, same convention as tfidf_top_terms);
+# the per-doc re-aggregation shuffles on doc_id. The corpus-size
+# scalar (denominator for a production df-fraction threshold) stays a
+# 1-row broadcast. boiler_ratio divides two exact longs -> the double
+# is engine-identical without rounding. In production the absolute
+# df>=3 floor becomes a corpus fraction; the floor keeps the statistic
+# meaningful at every test sf.
+# ---------------------------------------------------------------------------
+@query(
+    "boilerplate_gram_score",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS a FROM documents WHERE {_NTOKS} >= 3
+    ), g AS (
+      SELECT doc_id,
+             unnest(list_transform(a[1:len(a)-2],
+                    (t, i) -> t || ' ' || a[i+1] || ' ' || a[i+2])) AS gram
+      FROM toks
+    ), dfreq AS (
+      SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS dfc
+      FROM g GROUP BY gram
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) FILTER (WHERE dfc >= 3) AS BIGINT) AS n_boiler,
+           CAST(COUNT(*) FILTER (WHERE dfc >= 3) AS DOUBLE) / COUNT(*) AS boiler_ratio
+    FROM g JOIN dfreq USING (gram)
+    GROUP BY doc_id
+    """,
+)
+def boilerplate_gram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    tri = F.transform(
+        F.slice(toks, 1, F.size(toks) - 2),
+        lambda t, i: F.concat_ws(
+            " ", t, F.element_at(toks, i + F.lit(2)), F.element_at(toks, i + F.lit(3))
+        ),
+    )
+    grams = (
+        docs.filter(X.token_count("text") >= 3)
+        .select("doc_id", F.explode(tri).alias("gram"))
+    )
+    dfreq = grams.groupBy("gram").agg(F.countDistinct("doc_id").alias("dfc"))
+    boiler = F.when(F.col("dfc") >= 3, F.lit(1)).otherwise(F.lit(0))
+    return (
+        grams.join(dfreq, "gram")  # vocab-sized side joined on key, not broadcast
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(boiler).cast("long").alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_boiler",
+            (F.col("n_boiler").cast("double") / F.col("n_grams")).alias("boiler_ratio"),
+        )
+    )

@@ -1,0 +1,394 @@
+"""Catalog: TPC-H-shaped optimizer-stress queries completing the
+relational family (SURVEY.md §2.3/§2.4 joins+aggregations; reference
+analogs: the 2.R/3b.R join+summarise pipelines exercise the same
+shapes one at a time — `2.R:61-104`, `3b.R:88-140`).
+
+Each query here targets ONE classic optimizer shape the rest of the
+catalog does not already exercise:
+
+- nation_trade_volume  (Q7)  — disjunctive cross-dimension pair filter
+- market_share         (Q8)  — conditional share-of-total per group
+- product_type_profit  (Q9)  — LIKE-filtered dim driving a fact agg
+- customer_order_distribution (Q13) — outer join with ON-clause filter,
+  then an aggregate OF an aggregate
+- small_qty_avg_revenue (Q17) — correlated scalar-avg subquery,
+  decorrelated to agg+rejoin
+- disjunctive_revenue  (Q19) — OR-of-AND predicate blocks across join
+- idle_customers       (Q22) — global scalar subquery + NOT EXISTS
+- revenue_concentration (Q11) — HAVING against a global-total scalar
+
+Determinism: money math uses the scaled-long convention from
+plans/registry.py (`sl2`/`sum2`); shares/averages divide two exact
+integers so the double result is IEEE-identical across engines.
+
+Scale notes (100 TB): dims (`nation`, filtered `part` slices, scalar
+aggregates) are broadcast; fact-fact joins shuffle on their keys; all
+selective predicates sit on base relations where Catalyst pushes them
+into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from elective_waiting_times_pipeline_spark.plans.registry import o_sum2, query, sl2, sum2
+from elective_waiting_times_pipeline_spark.sources.readers import load_table
+
+# Revenue at 2-dp-exact scaled-long precision: price*(1-discount) as
+# cents*percent integer, divided back once at the end.
+_REV = "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))"
+
+
+def _rev_col() -> F.Column:
+    return sl2("l_extendedprice") * (100 - sl2("l_discount"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape: bilateral trade volume between two nations by ship
+# year. The disjunction couples the two nation dims, so neither side
+# alone can prune — but membership in the 2-nation set CAN push to
+# each dim, and both dims broadcast. The residual pair disjunction
+# runs post-join on broadcast-joined columns (no extra shuffle).
+# ---------------------------------------------------------------------------
+@query(
+    "nation_trade_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           CAST(SUM({_REV}) AS DOUBLE) / 10000 AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pair = ("NATION_1", "NATION_2")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    # necessary-condition pushdown: each dim prunes to the 2-nation set
+    n1 = F.broadcast(n.filter(F.col("n_name").isin(*pair))).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = F.broadcast(n.filter(F.col("n_name").isin(*pair))).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg((F.sum(_rev_col()) / 10000.0).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape: one supplier nation's share of AMERICA-region
+# revenue per order year. The share divides two exact scaled-long
+# sums, so the double is engine-identical without rounding.
+# ---------------------------------------------------------------------------
+@query(
+    "market_share",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CASE WHEN n1.n_name = 'NATION_3' THEN {_REV} ELSE 0 END) AS DOUBLE)
+             / SUM({_REV}) AS mkt_share
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    JOIN region   ON n2.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    WHERE r_name = 'AMERICA'
+      AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = F.broadcast(load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region"))
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_name"))
+    rev = _rev_col()
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(r, F.col("n2_region") == F.col("r_regionkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_name") == "NATION_3", rev).otherwise(F.lit(0))).cast(
+                    "double"
+                )
+                / F.sum(rev)
+            ).alias("mkt_share")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 shape: profit by supplier nation and year for a LIKE-slice
+# of parts. The `%widget%` filter prunes `part` BEFORE the fact join
+# (pushed to the dim scan); the pruned part slice broadcasts.
+# ---------------------------------------------------------------------------
+@query(
+    "product_type_profit",
+    oracle=f"""
+    SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS o_year,
+           CAST(SUM({_REV}) AS DOUBLE) / 10000 AS profit
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%")).select("p_partkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year"))
+        .agg((F.sum(_rev_col()) / 10000.0).alias("profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape: distribution of per-customer order counts, with the
+# order filter living in the OUTER JOIN's ON clause (a filter in WHERE
+# would silently turn the outer join inner — the classic trap). The
+# aggregate-of-an-aggregate needs two shuffles by construction; both
+# key sets (custkey, then count value) are high-cardinality/compact.
+# ---------------------------------------------------------------------------
+@query(
+    "customer_order_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey")) & (F.col("o_orderstatus") != "F"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape: lines whose quantity is under half the part's own
+# average quantity. The correlated AVG subquery decorrelates into a
+# per-part aggregate re-joined to the fact; the threshold compares
+# scaled-long integers cross-multiplied (2*qty*n < sum_qty) so no
+# float boundary can disagree between engines.
+# ---------------------------------------------------------------------------
+@query(
+    "small_qty_avg_revenue",
+    oracle="""
+    WITH pq AS (
+      SELECT l_partkey AS pk,
+             CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_sum,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 700
+             AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN pq   ON l_partkey = pk
+    WHERE p_brand = 'Brand#1' AND p_type = 'SMALL'
+      AND 2 * CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) * n < qty_sum
+    """,
+)
+def small_qty_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#1") & (F.col("p_type") == "SMALL"))
+        .select("p_partkey")
+    )
+    pq = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(sl2("l_quantity")).alias("qty_sum"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(pq, F.col("l_partkey") == F.col("pk"))
+        .filter(2 * sl2("l_quantity") * F.col("n") < F.col("qty_sum"))
+        .agg(
+            (F.sum(sl2("l_extendedprice")) / 700.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape: three OR'd AND-blocks spanning both join sides.
+# Catalyst extracts the common `l_partkey = p_partkey` equi-condition
+# and pushes the per-relation necessary conditions (brand set, size
+# range, quantity range) into each scan; the full disjunction stays as
+# the join residual.
+# ---------------------------------------------------------------------------
+@query(
+    "disjunctive_revenue",
+    oracle=f"""
+    SELECT {o_sum2("l_extendedprice")} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    block = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(
+            block("Brand#1", 15, 1, 20) | block("Brand#2", 25, 10, 30) | block("Brand#3", 35, 20, 40)
+        )
+        .agg(sum2("l_extendedprice", "revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: above-average-balance customers with no RECENT
+# orders (none since 1999), per market segment. The global average is
+# ONE scalar — computed once and broadcast into the filter (never
+# recomputed per row); the NOT EXISTS is a left-anti join against the
+# date-filtered orders slice (the filter pushes to the orders scan).
+# The threshold compares balance*count against the positive-balance
+# sum in scaled-long space.
+# ---------------------------------------------------------------------------
+@query(
+    "idle_customers",
+    oracle="""
+    WITH pos AS (
+      SELECT CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS bal_sum,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
+             AS totacctbal
+    FROM customer, pos
+    WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) * n > bal_sum
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+      )
+    GROUP BY c_mktsegment
+    """,
+)
+def idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    pos = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(sl2("c_acctbal")).alias("bal_sum"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        c.join(F.broadcast(pos))  # 1-row scalar side → broadcast nested loop
+        .filter(sl2("c_acctbal") * F.col("n") > F.col("bal_sum"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("numcust"), sum2("c_acctbal", "totacctbal"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 shape: parts whose revenue exceeds 1.5x the MEAN
+# per-part revenue (scale-invariant, so the query is non-vacuous at
+# every sf — a fixed fraction-of-total threshold empties as the part
+# count grows). The total is a 1-row broadcast; the HAVING compares
+# 2 * n_parts * part_revenue > 3 * total_revenue in exact integers
+# (i.e. revenue > 1.5x the mean). Two
+# aggregations over one fact scan — the per-part aggregate is computed
+# once and feeds both the total and the filter.
+# ---------------------------------------------------------------------------
+@query(
+    "revenue_concentration",
+    oracle=f"""
+    WITH per_part AS (
+      SELECT l_partkey, CAST(SUM({_REV}) AS BIGINT) AS rev
+      FROM lineitem GROUP BY l_partkey
+    ), total AS (
+      SELECT CAST(SUM(rev) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS n_parts
+      FROM per_part
+    )
+    SELECT l_partkey, CAST(rev AS DOUBLE) / 10000 AS value
+    FROM per_part, total
+    WHERE 2 * n_parts * rev > 3 * tot
+    """,
+)
+def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(F.sum(_rev_col()).alias("rev"))
+    total = per_part.agg(F.sum("rev").alias("tot"), F.count(F.lit(1)).alias("n_parts"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(2 * F.col("n_parts") * F.col("rev") > 3 * F.col("tot"))
+        .select("l_partkey", (F.col("rev") / 10000.0).alias("value"))
+    )
