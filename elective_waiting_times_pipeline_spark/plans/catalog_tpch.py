@@ -110,6 +110,7 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "market_share",
+    headline=True,
     oracle=f"""
     SELECT CAST(year(o_orderdate) AS INT) AS o_year,
            CAST(SUM(CASE WHEN n1.n_name = 'NATION_3' THEN {_REV} ELSE 0 END) AS DOUBLE)
@@ -282,6 +283,7 @@ def small_qty_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "disjunctive_revenue",
+    headline=True,
     oracle=f"""
     SELECT {o_sum2("l_extendedprice")} AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_lines
