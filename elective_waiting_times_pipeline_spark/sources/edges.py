@@ -111,6 +111,29 @@ def write_csv(df: DataFrame, path: str, single_file: bool = False, mode: str = "
     out.write.mode(mode).option("header", True).csv(path)
 
 
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    max_records_per_file: int | None = None,
+    compression: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """JSON-Lines sink — the export side of `read_jsonl`'s
+    pretraining-corpus contract (one JSON object per line, shardable,
+    streamable). `max_records_per_file` caps rows per part file
+    (Spark's maxRecordsPerFile splits oversized tasks at write time)
+    so shard size tracks the data loader's appetite instead of the
+    shuffle partitioning; `compression` takes the built-in codecs
+    ('gzip', 'snappy', ...). Each executor writes its own parts — no
+    driver funnel, no coalesce — so the sink scales with the cluster."""
+    w = df.write.mode(mode)
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    if compression is not None:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
 def sanitize_output_names(df: DataFrame) -> DataFrame:
     """Rename columns to the reference's golden CSV form (dots kept;
     anything Spark-illegal is already legal since we use backticks) —

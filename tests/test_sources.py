@@ -102,6 +102,25 @@ def test_read_jsonl_explicit_schema(spark, tmp_path):
         assert out[2].text is None and out[2].meta is None
 
 
+def test_write_jsonl_roundtrip_and_shard_cap(spark, tmp_path):
+    from elective_waiting_times_pipeline_spark.sources.edges import read_jsonl, write_jsonl
+
+    df = spark.range(100).selectExpr("id AS doc_id", "concat('t', id) AS text").coalesce(1)
+    out = tmp_path / "corpus"
+    write_jsonl(df, str(out), max_records_per_file=10)
+    parts = [p for p in out.iterdir() if p.name.startswith("part-")]
+    # one 100-row task split into 10-row files by maxRecordsPerFile
+    assert len(parts) == 10
+    back = read_jsonl(spark, str(out), "doc_id long, text string")
+    rows = {r.doc_id: r.text for r in back.collect()}
+    assert len(rows) == 100 and rows[7] == "t7"
+
+    gz_out = tmp_path / "corpus_gz"
+    write_jsonl(df, str(gz_out), compression="gzip")
+    assert any(p.name.endswith(".gz") for p in gz_out.iterdir())
+    assert read_jsonl(spark, str(gz_out), "doc_id long, text string").count() == 100
+
+
 def test_write_training_shards_contiguous_runs(spark, tmp_path):
     from pyspark.sql import functions as F
 
