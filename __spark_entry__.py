@@ -95,6 +95,7 @@ _REGISTERED_AFTER_R3 = {
     "idle_customers",
     "revenue_concentration",
     "boilerplate_gram_score",
+    "kmeans_clusters",
 }
 
 

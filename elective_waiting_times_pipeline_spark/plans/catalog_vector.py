@@ -560,3 +560,61 @@ def knn_pagerank_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select(F.col("v").alias("vec_id"), F.col("pr").alias("pagerank_pico"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic k-means over the embedding corpus (k=4, 2 Lloyd
+# rounds, seeds = 4 smallest vec_ids) — the clustering stage of
+# cluster-then-sample curation. All math in micro-scaled longs
+# (operators/kmeans.py), so the DuckDB oracle replays the identical
+# integer iterations: distances are exact BIGINT folds, centroids
+# re-snap via floor(sum/n + 0.5), argmin ties go to the smaller
+# cluster id. Scale: assignment is a broadcast map pass; recompute
+# exchanges k*dim rows per round.
+# ---------------------------------------------------------------------------
+@query(
+    "kmeans_clusters",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS xv
+      FROM embeddings
+    ), seeds AS (
+      SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+      FROM v ORDER BY vec_id LIMIT 4
+    ), c0 AS (
+      SELECT s.cid, v.xv AS cv FROM seeds s JOIN v USING (vec_id)
+    ), d1 AS (
+      SELECT v.vec_id, v.xv, c.cid,
+             list_sum(list_transform(v.xv, (x, i) -> (x - c.cv[i]) * (x - c.cv[i]))) AS d
+      FROM v CROSS JOIN c0 c
+    ), a1 AS (
+      SELECT vec_id, xv, cid FROM (
+        SELECT vec_id, xv, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+        FROM d1) WHERE rk = 1
+    ), e1 AS (
+      SELECT cid, unnest(list_transform(xv, (x, i) -> {'i': i, 'x': x})) AS u FROM a1
+    ), m1 AS (
+      SELECT cid, u.i AS pos,
+             CAST(floor(CAST(SUM(u.x) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS m
+      FROM e1 GROUP BY cid, u.i
+    ), c1 AS (
+      SELECT cid, list(m ORDER BY pos) AS cv FROM m1 GROUP BY cid
+    ), d2 AS (
+      SELECT v.vec_id, c.cid,
+             list_sum(list_transform(v.xv, (x, i) -> (x - c.cv[i]) * (x - c.cv[i]))) AS d
+      FROM v CROSS JOIN c1 c
+    )
+    SELECT vec_id, cid AS cluster FROM (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+      FROM d2) WHERE rk = 1
+    """,
+)
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elective_waiting_times_pipeline_spark.operators.kmeans import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(emb, k=4, iters=2)
