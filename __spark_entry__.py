@@ -96,6 +96,7 @@ _REGISTERED_AFTER_R3 = {
     "revenue_concentration",
     "boilerplate_gram_score",
     "kmeans_clusters",
+    "cluster_balanced_sample",
 }
 
 

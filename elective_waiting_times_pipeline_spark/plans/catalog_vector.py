@@ -618,3 +618,74 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_lloyd(emb, k=4, iters=2)
+
+
+# ---------------------------------------------------------------------------
+# Cluster-then-sample curation (SemDeDup-style): k-means the embedding
+# corpus, then keep at most 40 hash-smallest members per cluster — a
+# diversity-preserving downsample (no semantic region may dominate the
+# mixture). Composes kmeans_clusters with the skew-safe cap machinery
+# (operators/sampling.py::cap_per_group): even a cluster holding half
+# the corpus fans across 256 bucket windows, never one task. The
+# oracle replays the integer k-means chain, then the identical
+# md5-ordered cap.
+# ---------------------------------------------------------------------------
+@query(
+    "cluster_balanced_sample",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS xv
+      FROM embeddings
+    ), seeds AS (
+      SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+      FROM v ORDER BY vec_id LIMIT 4
+    ), c0 AS (
+      SELECT s.cid, v.xv AS cv FROM seeds s JOIN v USING (vec_id)
+    ), d1 AS (
+      SELECT v.vec_id, v.xv, c.cid,
+             list_sum(list_transform(v.xv, (x, i) -> (x - c.cv[i]) * (x - c.cv[i]))) AS d
+      FROM v CROSS JOIN c0 c
+    ), a1 AS (
+      SELECT vec_id, xv, cid FROM (
+        SELECT vec_id, xv, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+        FROM d1) WHERE rk = 1
+    ), e1 AS (
+      SELECT cid, unnest(list_transform(xv, (x, i) -> {'i': i, 'x': x})) AS u FROM a1
+    ), m1 AS (
+      SELECT cid, u.i AS pos,
+             CAST(floor(CAST(SUM(u.x) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS m
+      FROM e1 GROUP BY cid, u.i
+    ), c1 AS (
+      SELECT cid, list(m ORDER BY pos) AS cv FROM m1 GROUP BY cid
+    ), d2 AS (
+      SELECT v.vec_id, c.cid,
+             list_sum(list_transform(v.xv, (x, i) -> (x - c.cv[i]) * (x - c.cv[i]))) AS d
+      FROM v CROSS JOIN c1 c
+    ), clusters AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+        FROM d2) WHERE rk = 1
+    )
+    SELECT vec_id, cluster, CAST(rn AS BIGINT) AS position
+    FROM (SELECT vec_id, cluster,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY cluster
+                   ORDER BY md5(CAST(vec_id AS VARCHAR) || 'cbal'), vec_id
+                 ) AS rn
+          FROM clusters)
+    WHERE rn <= 40
+    """,
+)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elective_waiting_times_pipeline_spark.operators.kmeans import kmeans_lloyd
+    from elective_waiting_times_pipeline_spark.operators.sampling import cap_per_group
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    clusters = kmeans_lloyd(emb, k=4, iters=2)
+    return cap_per_group(clusters, "vec_id", ["cluster"], max_rows=40, salt="cbal").select(
+        "vec_id", "cluster", "position"
+    )
