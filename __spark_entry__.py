@@ -97,6 +97,7 @@ _REGISTERED_AFTER_R3 = {
     "boilerplate_gram_score",
     "kmeans_clusters",
     "cluster_balanced_sample",
+    "stratified_exact_split",
 }
 
 

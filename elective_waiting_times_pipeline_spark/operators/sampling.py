@@ -440,3 +440,43 @@ def temperature_mixture(
         .filter((F.col("_p") >= 1.0) | (h < F.col("_t")))
         .drop("_p", "_t")
     )
+
+
+def stratified_exact_split(
+    df: DataFrame,
+    key: Column | str,
+    strata_cols: Iterable[str],
+    fractions: dict[str, int],
+    salt: str = "",
+    out: str = "split",
+) -> DataFrame:
+    """Exact-proportion stratified split: within every stratum, assign
+    the first floor(f1*n) rows of the deterministic hash order to the
+    first label, the next slab to the second, and so on — the
+    class-balanced sibling of the hash-RANGE split (`split_column`),
+    for when per-stratum proportions must hold EXACTLY (eval sets per
+    language, per-source holdouts) rather than in expectation.
+
+    `fractions` maps label -> integer PERMILLE (parts per 1000), e.g.
+    {"train": 800, "val": 100, "test": 100}; permille must sum to
+    1000. Cut points compare 1000*position <= cum_permille*n in exact
+    integers, so the assignment is reproducible across engines,
+    layouts, and reruns. Rank comes from `hash_order_prefix` — even a
+    single dominant stratum fans across 256 bucket windows. The
+    per-stratum counts are a |strata|-row broadcast."""
+    permille = list(fractions.items())
+    if sum(p for _, p in permille) != 1000:
+        raise ValueError("fractions (permille) must sum to 1000")
+    ranked = hash_order_prefix(df, key, strata_cols, salt)
+    strata = list(strata_cols)
+    counts = ranked.groupBy(*strata).agg(F.count(F.lit(1)).alias("_n"))
+    joined = ranked.join(F.broadcast(counts), strata)
+    cum = 0
+    expr: Column | None = None
+    for label, p in permille[:-1]:
+        cum += p
+        cond = 1000 * F.col("position") <= cum * F.col("_n")
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    last = permille[-1][0]
+    split = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return joined.withColumn(out, split).drop("_n")

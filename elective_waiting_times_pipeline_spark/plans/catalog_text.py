@@ -1995,3 +1995,42 @@ def boilerplate_gram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_boiler").cast("double") / F.col("n_grams")).alias("boiler_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-proportion stratified split: within every language stratum the
+# first 80% of the deterministic hash order is train, the next 10%
+# val, the rest test — the class-balanced sibling of sample_split_hash
+# (hash-RANGE assignment holds proportions only in expectation; this
+# holds them exactly, the eval-set contract when strata are small).
+# Integer permille cuts (1000*rank <= cum*n) make the boundary
+# engine-exact; the rank is the 256-bucket distributed form, so one
+# dominant language never funnels through a single task.
+# ---------------------------------------------------------------------------
+@query(
+    "stratified_exact_split",
+    oracle="""
+    WITH ordered AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || 'strat'), doc_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN 1000 * rn <= 800 * n THEN 'train'
+                WHEN 1000 * rn <= 900 * n THEN 'val'
+                ELSE 'test' END AS split
+    FROM ordered
+    """,
+)
+def stratified_exact_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return S.stratified_exact_split(
+        docs.select("doc_id", "lang"),
+        "doc_id",
+        ["lang"],
+        {"train": 800, "val": 100, "test": 100},
+        salt="strat",
+    ).select("doc_id", "lang", "split")

@@ -122,6 +122,19 @@ def load_tables(spark: SparkSession, sf_dir: str, names: Iterable[str] = TESTDAT
     return {n: load_table(spark, sf_dir, n) for n in names}
 
 
+def register_views(
+    spark: SparkSession, sf_dir: str, names: Iterable[str] = TESTDATA_TABLES
+) -> None:
+    """Register every lake table as a temp view so users can drive the
+    engine through plain `spark.sql(...)` — the SQL face of the same
+    catalog the DataFrame queries use (timestamps normalized by
+    `load_table`, so SQL and DataFrame callers see identical dtypes).
+    Views are lazy: registering costs one footer read per table, and
+    Catalyst still prunes/pushes down through them."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
 def read_csv_checked(
     spark: SparkSession,
     path: str,

@@ -539,3 +539,28 @@ def test_range_bucket_null_keys_match_spark_sort_position(spark):
         assert {(x.k, x.r) for x in out.collect()} == {
             (x.k, x.r) for x in naive.collect()
         }, f"descending={desc}"
+
+
+def test_stratified_exact_split_proportions(spark, sf_dir):
+    import pytest as _pytest
+
+    from elective_waiting_times_pipeline_spark.operators.sampling import (
+        stratified_exact_split,
+    )
+    from elective_waiting_times_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = stratified_exact_split(
+        docs, "doc_id", ["lang"], {"train": 800, "val": 100, "test": 100}, salt="strat"
+    )
+    rows = out.groupBy("lang", "split").count().collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.lang, {})[r.split] = r["count"]
+    for lang, d in per.items():
+        n = sum(d.values())
+        # exact permille floors hold PER STRATUM, not just in aggregate
+        assert d.get("train", 0) == (800 * n) // 1000, (lang, d)
+        assert d.get("train", 0) + d.get("val", 0) == (900 * n) // 1000, (lang, d)
+    with _pytest.raises(ValueError):
+        stratified_exact_split(docs, "doc_id", ["lang"], {"a": 500, "b": 400})

@@ -102,6 +102,25 @@ def test_read_jsonl_explicit_schema(spark, tmp_path):
         assert out[2].text is None and out[2].meta is None
 
 
+def test_register_views_sql_face(spark, sf_dir):
+    from elective_waiting_times_pipeline_spark.sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    row = spark.sql(
+        """
+        SELECT n_name, COUNT(*) AS n
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n DESC, n_name LIMIT 1
+        """
+    ).collect()[0]
+    assert row.n > 0 and row.n_name.startswith("NATION_")
+    # pushdown survives the view: a filtered scan still prunes
+    plan = spark.sql(
+        "SELECT l_orderkey FROM lineitem WHERE l_quantity < 2"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "LessThan(l_quantity,2" in plan
+
+
 def test_write_jsonl_roundtrip_and_shard_cap(spark, tmp_path):
     from elective_waiting_times_pipeline_spark.sources.edges import read_jsonl, write_jsonl
 
