@@ -57,6 +57,37 @@ def dq_report(
     return df.agg(*aggs)
 
 
+def observe_dq(
+    df: DataFrame,
+    constraints: Iterable[tuple[str, Column]],
+    name: str = "dq",
+):
+    """Attach the constraint suite as an in-flight observation — the
+    ZERO-extra-scan form of `dq_report`: metrics accumulate inside
+    whatever job the caller runs on the returned DataFrame (the write,
+    the aggregation, ...), so at 100 TB the DQ check costs nothing on
+    top of the work already being done. Returns `(df, observation)`;
+    after any action on the returned frame, `observation.get` yields
+    {"n_rows": ..., "<constraint>": ...}.
+
+    Limitations inherited from Spark's Observation: metrics must be
+    distinct-free (so no `unique_key` duplicate counter here — use
+    `dq_report` when you need it) and values surface only after an
+    action. The violation expressions are identical to `dq_report`'s,
+    so thresholds/gates can be shared between the two forms (the
+    streaming DQ gate `streaming/sinks.py::stream_to_lake_with_dq`
+    prices its rules the same way per micro-batch)."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for cname, violated in constraints:
+        aggs.append(
+            F.coalesce(F.sum(F.when(violated, 1)), F.lit(0)).cast("long").alias(cname)
+        )
+    return df.observe(obs, *aggs), obs
+
+
 def referential_violations(
     child: DataFrame, parent: DataFrame, child_key: str, parent_key: str
 ) -> DataFrame:

@@ -98,3 +98,22 @@ def test_dq_gated_streaming_ingest(spark, tmp_path):
     held = spark.read.parquet(quar)
     assert sorted(r.k for r in landed.collect()) == [1, 2]
     assert held.count() == 2 and held.filter(F.col("v") < 0).count() == 1
+
+
+def test_observe_dq_free_pass_metrics(spark, tmp_path):
+    """observe_dq must report the same counts as dq_report while the
+    caller's own job (here: a parquet write) does the scanning."""
+    constraints = [
+        Q.not_null("k"),
+        Q.in_range("v", 0, 100),
+        Q.matches("email", r"^[^@]+@[^@]+$"),
+    ]
+    observed, obs = Q.observe_dq(_df(spark), constraints)
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = obs.get
+    assert got["n_rows"] == 5
+    assert got["not_null_k"] == 1
+    assert got["range_v"] == 2
+    assert got["matches_email"] == 2
+    # and the written data is untouched by the observation
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 5
