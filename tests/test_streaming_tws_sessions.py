@@ -1,0 +1,61 @@
+"""transformWithState timer-driven sessionization: deterministic
+micro-batch script proving both close paths (input-driven and
+timer-driven) and the stale-timer guard.
+
+Environment gate: Spark's transformWithState Python protocol speaks
+protobuf (pyspark/sql/streaming/proto/StateMessage_pb2), which is not
+installed in every runtime (it is absent in this repo's CI container,
+where installs are unavailable). The test auto-skips there and runs
+anywhere `google.protobuf` exists."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+pytest.importorskip(
+    "google.protobuf",
+    reason="transformWithState's state protocol requires protobuf",
+)
+
+from elective_waiting_times_pipeline_spark.streaming.sessions_tws import (
+    run_finalized_sessions_available_now,
+)
+
+
+def _write_file(spark, path, rows):
+    spark.createDataFrame(rows, "user_id long, ts timestamp").coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def _t(sec: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=sec)
+
+
+@pytest.mark.timeout(600)
+def test_tws_sessions_both_close_paths(spark, tmp_path):
+    src = str(tmp_path / "events")
+    # file 1: user 1 has two events 10 s apart; user 2 one event.
+    _write_file(spark, src, [(1, _t(0)), (1, _t(10)), (2, _t(5))])
+    # file 2: user 1 returns 990 s later -> input-driven close of the
+    # first session; watermark advances to 990.
+    _write_file(spark, src, [(1, _t(1000))])
+    # file 3: clock tick from user 3 pushes the watermark far enough
+    # for user 2's timer (expiry 65 s) to fire.
+    _write_file(spark, src, [(3, _t(2000))])
+
+    out = run_finalized_sessions_available_now(
+        spark, src, gap="60 seconds", watermark="10 seconds", query_name="tws_t1"
+    ).collect()
+    got = {(r.user_id, r.session_start_us, r.session_end_us, r.n_events) for r in out}
+
+    us = lambda s: int(_t(s).timestamp() * 1_000_000)  # noqa: E731
+    # user 1's first session: closed by the arrival at t=1000
+    assert (1, us(0), us(10), 2) in got
+    # user 2's session: closed by its timer once the watermark passed
+    assert (2, us(5), us(5), 1) in got
+    # nothing else can have closed: user 1's second session and user
+    # 3's session still had live timers when the stream drained
+    assert len(got) == 2
