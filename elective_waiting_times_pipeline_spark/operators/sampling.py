@@ -191,16 +191,29 @@ def hash_order_prefix(
     offsets = bucketed.groupBy(*gcols, "_bk").agg(*aggs).withColumn(
         "_off", F.coalesce(F.sum("_n").over(ow), F.lit(0))
     )
-    keep = [*gcols, "_bk", "_off"]
     if weight is not None:
         offsets = offsets.withColumn("_woff", F.coalesce(F.sum("_ws").over(ow), F.lit(0)))
-        keep.append("_woff")
-    out = ranked.join(F.broadcast(offsets.select(*keep)), [*gcols, "_bk"]).withColumn(
+    # null-safe rejoin: a NULL group key is a real group (windows keep
+    # it), so the offsets join must not silently drop its rows — the
+    # group columns come back renamed and compared with eqNullSafe
+    # (still a hashable equi-key, the broadcast join survives)
+    keep = [
+        *[F.col(g).alias(f"_g{i}") for i, g in enumerate(gcols)],
+        F.col("_bk").alias("_obk"),
+        "_off",
+        *(["_woff"] if weight is not None else []),
+    ]
+    cond = F.col("_bk") == F.col("_obk")
+    for i, g in enumerate(gcols):
+        cond = cond & F.col(g).eqNullSafe(F.col(f"_g{i}"))
+    out = ranked.join(F.broadcast(offsets.select(*keep)), cond).withColumn(
         out_pos, (F.col("_off") + F.col("_rn")).cast("long")
     )
     if weight is not None:
         out = out.withColumn(out_prefix, (F.col("_woff") + F.col("_cw")).cast("long"))
-    return out.drop("_h", "_bk", "_rn", "_cw", "_off", "_woff")
+    drop = ["_h", "_bk", "_rn", "_cw", "_off", "_woff", "_obk"]
+    drop += [f"_g{i}" for i in range(len(gcols))]
+    return out.drop(*drop)
 
 
 def hash_order_position(
@@ -469,8 +482,20 @@ def stratified_exact_split(
         raise ValueError("fractions (permille) must sum to 1000")
     ranked = hash_order_prefix(df, key, strata_cols, salt)
     strata = list(strata_cols)
-    counts = ranked.groupBy(*strata).agg(F.count(F.lit(1)).alias("_n"))
-    joined = ranked.join(F.broadcast(counts), strata)
+    # counts from the PRE-rank input (the rank branch would otherwise
+    # execute twice), joined null-safely so a NULL stratum keeps its
+    # rows (a plain `on=strata` equi-join silently drops them)
+    counts = df.groupBy(*strata).agg(F.count(F.lit(1)).alias("_n"))
+    # aliased copies avoid self-join column ambiguity (ranked and
+    # counts share df's lineage)
+    counts = counts.select(
+        *[F.col(s).alias(f"_s_{s}") for s in strata], "_n"
+    )
+    cond = None
+    for s in strata:
+        c = F.col(s).eqNullSafe(F.col(f"_s_{s}"))
+        cond = c if cond is None else cond & c
+    joined = ranked.join(F.broadcast(counts), cond).drop(*[f"_s_{s}" for s in strata])
     cum = 0
     expr: Column | None = None
     for label, p in permille[:-1]:

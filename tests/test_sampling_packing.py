@@ -564,3 +564,19 @@ def test_stratified_exact_split_proportions(spark, sf_dir):
         assert d.get("train", 0) + d.get("val", 0) == (900 * n) // 1000, (lang, d)
     with _pytest.raises(ValueError):
         stratified_exact_split(docs, "doc_id", ["lang"], {"a": 500, "b": 400})
+
+
+def test_stratified_exact_split_null_stratum_kept(spark):
+    from elective_waiting_times_pipeline_spark.operators.sampling import (
+        stratified_exact_split,
+    )
+
+    rows = [(i, "en" if i % 2 else None) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_exact_split(
+        df, "doc_id", ["lang"], {"train": 800, "val": 100, "test": 100}
+    )
+    assert out.count() == 20  # NULL-stratum rows must not be dropped
+    null_rows = out.filter(out.lang.isNull())
+    assert null_rows.count() == 10
+    assert null_rows.filter(null_rows.split == "train").count() == 8
