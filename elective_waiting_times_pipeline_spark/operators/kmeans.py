@@ -112,6 +112,8 @@ def kmeans_lloyd(
     """Run `iters` Lloyd rounds from deterministic seeds (the k rows
     with the smallest ids — reproducible, engine-independent init).
     Returns (id_col, cluster) for every input row."""
+    if k < 1 or iters < 1:
+        raise ValueError(f"k and iters must be >= 1: k={k}, iters={iters}")
     vecs = snap_micros(df.select(id_col, vec_col), vec_col)
     # bounded driver collect (k ids) — relabels seeds to dense 0..k-1
     # without a global window in the plan

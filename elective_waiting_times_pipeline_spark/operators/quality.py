@@ -38,6 +38,18 @@ def satisfies(name: str, violated: Column) -> tuple[str, Column]:
     return name, violated
 
 
+def _violation_aggs(constraints: Iterable[tuple[str, Column]]) -> list[Column]:
+    """n_rows + one conditional-sum violation counter per constraint —
+    shared by the one-scan report and the in-flight observation so the
+    two DQ faces can never drift apart."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, violated in constraints:
+        aggs.append(
+            F.coalesce(F.sum(F.when(violated, 1)), F.lit(0)).cast("long").alias(name)
+        )
+    return aggs
+
+
 def dq_report(
     df: DataFrame,
     constraints: Iterable[tuple[str, Column]],
@@ -46,11 +58,7 @@ def dq_report(
     """One-row violations report: `n_rows`, one `<name>` violation
     count per constraint, and `dup_<keys>` (rows minus distinct keys)
     when `unique_key` is given. One scan, one aggregation."""
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for name, violated in constraints:
-        aggs.append(
-            F.coalesce(F.sum(F.when(violated, 1)), F.lit(0)).cast("long").alias(name)
-        )
+    aggs = _violation_aggs(constraints)
     if unique_key:
         dup = F.count(F.lit(1)) - F.count_distinct(F.struct(*[F.col(k) for k in unique_key]))
         aggs.append(dup.cast("long").alias("dup_" + "_".join(unique_key)))
@@ -80,12 +88,7 @@ def observe_dq(
     from pyspark.sql import Observation
 
     obs = Observation(name)
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for cname, violated in constraints:
-        aggs.append(
-            F.coalesce(F.sum(F.when(violated, 1)), F.lit(0)).cast("long").alias(cname)
-        )
-    return df.observe(obs, *aggs), obs
+    return df.observe(obs, *_violation_aggs(constraints)), obs
 
 
 def referential_violations(

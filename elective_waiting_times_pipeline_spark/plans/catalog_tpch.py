@@ -377,7 +377,7 @@ def idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_partkey, CAST(SUM({_REV}) AS BIGINT) AS rev
       FROM lineitem GROUP BY l_partkey
     ), total AS (
-      SELECT CAST(SUM(rev) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS n_parts
+      SELECT SUM(rev) AS tot, CAST(COUNT(*) AS BIGINT) AS n_parts
       FROM per_part
     )
     SELECT l_partkey, CAST(rev AS DOUBLE) / 10000 AS value
@@ -388,9 +388,17 @@ def idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     per_part = li.groupBy("l_partkey").agg(F.sum(_rev_col()).alias("rev"))
-    total = per_part.agg(F.sum("rev").alias("tot"), F.count(F.lit(1)).alias("n_parts"))
+    # the GLOBAL total (and its cross-multiplied comparison) outgrows
+    # int64 at full 100 TB scale — per-part sums stay long, the 1-row
+    # total and the products ride DECIMAL(38,0) (DuckDB's HUGEINT sum
+    # matches), keeping the comparison exact at any scale
+    d38 = "decimal(38,0)"
+    total = per_part.agg(
+        F.sum(F.col("rev").cast(d38)).alias("tot"), F.count(F.lit(1)).alias("n_parts")
+    )
+    lhs = (2 * F.col("n_parts")).cast(d38) * F.col("rev").cast(d38)
     return (
         per_part.join(F.broadcast(total))
-        .filter(2 * F.col("n_parts") * F.col("rev") > 3 * F.col("tot"))
+        .filter(lhs > 3 * F.col("tot"))
         .select("l_partkey", (F.col("rev") / 10000.0).alias("value"))
     )

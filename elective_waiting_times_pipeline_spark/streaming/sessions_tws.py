@@ -109,6 +109,9 @@ class SessionFinalizer(StatefulProcessor):
             if n > 0 and t - last_us > self.gap_us:
                 out.append(self._emit(key, start_us, last_us, n))
                 start_us, n = t, 0
+            # a late-but-within-watermark event can precede the open
+            # session's start — the session interval must cover it
+            start_us = min(start_us, t)
             last_us = max(last_us, t)
             n += 1
         self.sess.update((start_us, last_us, n))

@@ -19,8 +19,8 @@ from pyspark.sql import functions as F
 from elective_waiting_times_pipeline_spark.sources.readers import load_table, write_partitioned
 
 
-def _build_month_lake(spark, tmp_path):
-    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").withColumn(
+def _build_month_lake(spark, sf_dir, tmp_path):
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
         "ship_month", F.date_format("l_shipdate", "yyyy-MM")
     )
     lake = str(tmp_path / "fact_lake")
@@ -28,8 +28,8 @@ def _build_month_lake(spark, tmp_path):
     return lake
 
 
-def test_dpp_subquery_prunes_month_partitions(spark, tmp_path):
-    lake = _build_month_lake(spark, tmp_path)
+def test_dpp_subquery_prunes_month_partitions(spark, sf_dir, tmp_path):
+    lake = _build_month_lake(spark, sf_dir, tmp_path)
     fact = spark.read.parquet(lake)
     # dim: one row per month with an attribute only the dim knows —
     # the fact-side month set is NOT statically derivable, so only
@@ -59,10 +59,10 @@ def test_dpp_subquery_prunes_month_partitions(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
-def test_static_month_filter_prunes_at_plan_time(spark, tmp_path):
+def test_static_month_filter_prunes_at_plan_time(spark, sf_dir, tmp_path):
     """The cheaper sibling: a literal month predicate must land in
     PartitionFilters (plan-time pruning, no subquery needed)."""
-    lake = _build_month_lake(spark, tmp_path)
+    lake = _build_month_lake(spark, sf_dir, tmp_path)
     fact = spark.read.parquet(lake)
     one_month = fact.filter(F.col("ship_month") == "1995-06").agg(
         F.count(F.lit(1)).alias("n")
@@ -71,7 +71,7 @@ def test_static_month_filter_prunes_at_plan_time(spark, tmp_path):
     assert "PartitionFilters" in scan and "1995-06" in scan
     n = one_month.collect()[0].n
     manual = (
-        load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        load_table(spark, sf_dir, "lineitem")
         .filter(F.date_format("l_shipdate", "yyyy-MM") == "1995-06")
         .count()
     )

@@ -56,6 +56,10 @@ def test_tws_sessions_both_close_paths(spark, tmp_path):
     assert (1, us(0), us(10), 2) in got
     # user 2's session: closed by its timer once the watermark passed
     assert (2, us(5), us(5), 1) in got
-    # nothing else can have closed: user 1's second session and user
-    # 3's session still had live timers when the stream drained
-    assert len(got) == 2
+    # user 1's second session MAY also appear: with no-data
+    # micro-batches enabled (default), a trailing batch after the last
+    # file advances processing past its 1060 s timer under the final
+    # 1990 s watermark. User 3's session cannot close either way (its
+    # 2060 s deadline is beyond the final watermark).
+    assert got <= {(1, us(0), us(10), 2), (2, us(5), us(5), 1), (1, us(1000), us(1000), 1)}
+    assert 2 <= len(got) <= 3
