@@ -104,14 +104,14 @@ def _banded(
     # slice the high bands to [] -> array_join '' -> ONE shared bucket
     # hash for every doc -> silent C(n,2) blowup of the whole corpus
     checked = F.when(
-        F.size("signature") < needed,
+        F.col("signature").isNull() | (F.size("signature") < needed),
         F.raise_error(
             F.concat(
                 F.lit(
                     f"LSH banding needs bands*rows_per_band={needed} signature "
                     "components, got "
                 ),
-                F.size("signature").cast("string"),
+                F.coalesce(F.size("signature").cast("string"), F.lit("NULL")),
             )
         ),
     ).otherwise(F.col("signature"))
@@ -159,7 +159,7 @@ def incremental_lsh_candidates(
     if max_bucket_size is not None:
         ok = (
             ub.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(F.countDistinct(id_col).alias("_n"))
             .filter(F.col("_n") <= max_bucket_size)
             .select("band", "bucket")
         )
@@ -369,8 +369,9 @@ def simhash_near_dup_pairs(
     max_hamming: int = 8,
     bands: int | None = None,
     max_bucket_size: int | None = None,
+    bits: int = 64,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64-bit hash into chunks —
+    """Near-dup pairs by SimHash: band the `bits`-wide hash into chunks —
     by pigeonhole, a pair with Hamming distance ≤ max_hamming MUST
     agree on at least one of max_hamming+1 chunks (the differing bits
     can ruin at most max_hamming chunks), so bucket-join on chunks and
@@ -388,15 +389,23 @@ def simhash_near_dup_pairs(
     exact dedup) for bounded memory."""
     if bands is None:
         bands = max_hamming + 1
+    # `bits` must match the signature's real width: chunking a 32-bit
+    # simhash on a 64-bit layout would leave the high chunks all-zero
+    # and collapse the whole corpus into one bucket per high band.
+    if not 1 <= bands <= bits <= 64:
+        raise ValueError(f"need 1 <= bands <= bits <= 64: bands={bands}, bits={bits}")
     # chunk b covers bits [offsets[b], offsets[b+1]) — widths as even
-    # as 64/bands allows, remainder spread over the first chunks.
-    base, rem = divmod(64, bands)
+    # as bits/bands allows, remainder spread over the first chunks.
+    base, rem = divmod(bits, bands)
     widths = [base + (1 if b < rem else 0) for b in range(bands)]
     offsets = [sum(widths[:b]) for b in range(bands)]
 
     def chunk(b: int) -> F.Column:
+        shifted = F.shiftrightunsigned(F.col(sim_col), offsets[b])
+        if widths[b] >= 64:  # full-width chunk: (1<<64)-1 overflows a
+            return shifted   # long literal, and no mask is needed
         mask = (1 << widths[b]) - 1
-        return F.shiftrightunsigned(F.col(sim_col), offsets[b]).bitwiseAND(F.lit(mask))
+        return shifted.bitwiseAND(F.lit(mask))
 
     banded = sims.select(
         F.explode(

@@ -45,6 +45,16 @@ def _decode_image_stub(payload: bytes) -> tuple[str, int, int]:
     return fmt, width, height
 
 
+
+def _non_null(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """NULL payloads (failed fetches, outer-join gaps) are SKIPPED, not
+    crashed on: bytes(None) would kill the whole task for one bad row.
+    Emitting nothing for a null payload is the decode contract every
+    operator here shares; callers needing the gap list anti-join the
+    output back against the input ids."""
+    return df.select(id_col, bin_col).filter(F.col(bin_col).isNotNull())
+
+
 def decode_image_metadata(df: DataFrame, id_col: str = "id", bin_col: str = "payload") -> DataFrame:
     """BINARY column → typed metadata row per image (mapInPandas,
     Arrow-batched; one pass, no shuffle)."""
@@ -64,7 +74,7 @@ def decode_image_metadata(df: DataFrame, id_col: str = "id", bin_col: str = "pay
                 }
             )
 
-    return df.select(id_col, bin_col).mapInPandas(batches, IMAGE_META_SCHEMA)
+    return _non_null(df, id_col, bin_col).mapInPandas(batches, IMAGE_META_SCHEMA)
 
 
 def extract_image_features(
@@ -86,7 +96,7 @@ def extract_image_features(
                 feats.append((hist / hist.sum()).astype("float32"))
             yield pd.DataFrame({"id": pdf[id_col].astype("int64"), "feat": feats})
 
-    return df.select(id_col, bin_col).mapInPandas(batches, IMAGE_FEATURE_SCHEMA)
+    return _non_null(df, id_col, bin_col).mapInPandas(batches, IMAGE_FEATURE_SCHEMA)
 
 
 RESIZED_IMAGE_SCHEMA = "id long, payload binary"
@@ -126,7 +136,7 @@ def resize_images(
                 }
             )
 
-    return df.select(id_col, bin_col).mapInPandas(batches, RESIZED_IMAGE_SCHEMA)
+    return _non_null(df, id_col, bin_col).mapInPandas(batches, RESIZED_IMAGE_SCHEMA)
 
 
 def sample_frames(
@@ -153,7 +163,7 @@ def sample_frames(
                     hashes.append(hashlib.sha1(chunk).hexdigest())
             yield pd.DataFrame({"id": pd.array(ids, dtype="int64"), "frame_idx": pd.array(idxs, dtype="int32"), "frame_sha1": hashes})
 
-    return df.select(id_col, bin_col).mapInPandas(batches, FRAME_SAMPLE_SCHEMA)
+    return _non_null(df, id_col, bin_col).mapInPandas(batches, FRAME_SAMPLE_SCHEMA)
 
 
 AUDIO_META_SCHEMA = (
@@ -194,7 +204,7 @@ def decode_audio_metadata(df: DataFrame, id_col: str = "id", bin_col: str = "pay
                 }
             )
 
-    return df.select(id_col, bin_col).mapInPandas(batches, AUDIO_META_SCHEMA)
+    return _non_null(df, id_col, bin_col).mapInPandas(batches, AUDIO_META_SCHEMA)
 
 
 AHASH_SCHEMA = "id long, ahash long"
@@ -236,7 +246,7 @@ def average_hash_images(
                 hashes.append(h)
             yield pd.DataFrame({"id": pdf[id_col].astype("int64"), "ahash": hashes})
 
-    return df.select(id_col, bin_col).mapInPandas(batches, AHASH_SCHEMA)
+    return _non_null(df, id_col, bin_col).mapInPandas(batches, AHASH_SCHEMA)
 
 
 def image_near_dup_pairs(

@@ -62,7 +62,7 @@ def chunk_offsets(
         F.col(SHARD_COL),
         F.coalesce(F.sum(ntok_col).over(w), F.lit(0)).cast("long").alias("start_offset"),
         F.floor(F.coalesce(F.sum(ntok_col).over(w), F.lit(0)) / budget)
-        .cast("int")
+        .cast("long")
         .alias("chunk_id"),
     )
 
@@ -93,7 +93,10 @@ def greedy_pack(
                 oversize.append(True)
                 continue
             for b, room in enumerate(remaining):
-                if room >= n:
+                # strict > for zero-token docs: room >= 0 would admit
+                # them into permanently-full bins, including oversize
+                # singletons whose bin must stay single-document
+                if room >= n and (n > 0 or room > 0):
                     remaining[b] = room - n
                     bin_ids.append(b)
                     break

@@ -27,7 +27,7 @@ def daily_user_sketches(
     lake (binary column) and refresh per day like the hourly rollup."""
     return events.groupBy(
         F.date_format(F.date_trunc("DAY", F.col(ts_col)), "yyyy-MM-dd").alias("day")
-    ).agg(F.expr(f"hll_sketch_agg({key_col}, {lg_k})").alias("sketch"))
+    ).agg(F.hll_sketch_agg(F.col(key_col), lg_k).alias("sketch"))
 
 
 def merged_distinct_estimate(sketches: DataFrame, days: list[str] | None = None) -> DataFrame:
@@ -35,6 +35,6 @@ def merged_distinct_estimate(sketches: DataFrame, days: list[str] | None = None)
     never the fact table. `days=None` merges everything."""
     sel = sketches if days is None else sketches.filter(F.col("day").isin(list(days)))
     return sel.agg(
-        F.expr("hll_sketch_estimate(hll_union_agg(sketch))").alias("distinct_estimate"),
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch"))).alias("distinct_estimate"),
         F.count(F.lit(1)).alias("n_sketches"),
     )

@@ -448,7 +448,7 @@ from elective_waiting_times_pipeline_spark.operators import packing as P  # noqa
       FROM sh
     )
     SELECT doc_id, shard, start_offset,
-           CAST(floor(start_offset / 512) AS INT) AS chunk_id
+           CAST(floor(start_offset / 512) AS BIGINT) AS chunk_id
     FROM off
     """,
 )
@@ -832,8 +832,13 @@ def _curation_oracle() -> str:
              CASE WHEN {_NTOKS} > 0 THEN {_stop_filter('en')} / {_NTOKS} ELSE 0.0 END AS stop_ratio
       FROM documents
     ), kept AS (
-      SELECT doc_id, n_tokens,
-             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+      -- emitted n_tokens/fingerprint describe the REDACTED text
+      -- (streaming/curation.py contract); the filter judged raw text
+      SELECT doc_id,
+             CAST(CASE WHEN length(trim(regexp_replace(regexp_replace(regexp_replace(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'), '\+?[0-9][0-9 ().-]{6,}[0-9]', '[PHONE]', 'g'))) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(lower(regexp_replace(regexp_replace(regexp_replace(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'), '\+?[0-9][0-9 ().-]{6,}[0-9]', '[PHONE]', 'g'))), '\s+')) END AS INT)
+               AS n_tokens,
+             md5(regexp_replace(trim(lower(regexp_replace(regexp_replace(regexp_replace(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'), '\+?[0-9][0-9 ().-]{6,}[0-9]', '[PHONE]', 'g'))), '\s+', ' ', 'g')) AS fingerprint
       FROM feat
       WHERE n_tokens BETWEEN 5 AND 5000
         AND mean_tok_len BETWEEN 2.0 AND 12.0

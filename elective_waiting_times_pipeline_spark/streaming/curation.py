@@ -83,11 +83,18 @@ def curate(
         & (punct_ratio <= max_punct_ratio)
         & (stop_ratio >= min_stop_ratio)
     )
+    # the emitted columns describe the EMITTED (redacted) text: the
+    # token count budgets what a loader will actually see, and the
+    # fingerprint collapses docs identical after redaction (two pages
+    # differing only in a phone number ARE duplicates). The quality
+    # FILTER above still judges the raw text — redaction must not
+    # rescue a junk page.
+    redacted = redact_pii(t)
     return docs.filter(keep).select(
         F.col(id_col),
-        n_toks.cast("int").alias("n_tokens"),
-        redact_pii(t).alias(text_col),
-        fingerprint_md5(t).alias("fingerprint"),
+        token_count(redacted).cast("int").alias("n_tokens"),
+        redacted.alias(text_col),
+        fingerprint_md5(redacted).alias("fingerprint"),
         split_column(id_col, splits).alias("split"),
     )
 

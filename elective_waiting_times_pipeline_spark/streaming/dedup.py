@@ -18,7 +18,6 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from elective_waiting_times_pipeline_spark.streaming.io import read_events_stream
 

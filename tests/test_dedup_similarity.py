@@ -519,3 +519,58 @@ def test_assign_clusters_tolerates_docs_label_column(spark):
     pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     out = {r.doc_id: (r.cluster_id, r.label) for r in C.assign_clusters(docs, pairs).collect()}
     assert out == {1: (1, "x"), 2: (1, "y"), 3: (3, "z")}  # user 'label' intact
+
+
+def test_banded_null_signature_raises(spark):
+    from elective_waiting_times_pipeline_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    sigs = spark.createDataFrame(
+        [(1, [1, 2, 3, 4]), (2, None)], "doc_id long, signature array<bigint>"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="LSH banding"):
+        minhash_lsh_candidates(sigs, bands=2, rows_per_band=2).collect()
+
+
+def test_simhash_pairs_full_width_band_and_bits_guard(spark):
+    from elective_waiting_times_pipeline_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    sims = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, 1 << 40)], "doc_id long, simhash long"
+    )
+    # max_hamming=0 -> one 64-bit chunk: the (1<<64)-1 mask literal
+    # used to crash; exact matches must pair, the distinct value not
+    out = simhash_near_dup_pairs(sims, max_hamming=0)
+    assert {(r.id_a, r.id_b) for r in out.collect()} == {(1, 2)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bands <= bits"):
+        simhash_near_dup_pairs(sims, max_hamming=40, bits=32)
+
+
+def test_incremental_cap_counts_distinct_ids(spark):
+    """An id present in BOTH the store and the new batch must count
+    once toward max_bucket_size (rows would double-count and drop the
+    bucket the batch guard keeps)."""
+    from elective_waiting_times_pipeline_spark.operators.dedup import (
+        incremental_lsh_candidates,
+    )
+
+    sig = [1, 2, 3, 4]
+    store = spark.createDataFrame(
+        [(1, sig), (2, sig)], "doc_id long, signature array<bigint>"
+    )
+    new = spark.createDataFrame(
+        [(2, sig), (3, sig)], "doc_id long, signature array<bigint>"
+    )
+    # 3 distinct ids share every bucket; cap=3 keeps them (5 rows would not)
+    out = incremental_lsh_candidates(
+        new, store, bands=2, rows_per_band=2, max_bucket_size=3
+    )
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (1, 3) in got and (2, 3) in got and (1, 2) in got

@@ -132,3 +132,15 @@ def test_average_hash_and_image_near_dup_pairs(spark):
     assert pairs[(1, 2)] == 0
     assert (1, 3) in pairs and 0 < pairs[(1, 3)] <= 8
     assert all(4 not in p for p in pairs)
+
+
+def test_null_payloads_skipped_not_crashed(spark):
+    from elective_waiting_times_pipeline_spark.operators import multimodal as M
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abc")), (2, None)], "id long, payload binary"
+    )
+    meta = M.decode_image_metadata(df).collect()
+    assert [r.id for r in meta] == [1]  # null payload emits nothing
+    feats = M.extract_image_features(df).collect()
+    assert [r.id for r in feats] == [1]

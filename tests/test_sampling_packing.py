@@ -580,3 +580,24 @@ def test_stratified_exact_split_null_stratum_kept(spark):
     null_rows = out.filter(out.lang.isNull())
     assert null_rows.count() == 10
     assert null_rows.filter(null_rows.split == "train").count() == 8
+
+
+def test_greedy_pack_zero_token_doc_skips_full_bins(spark):
+    from elective_waiting_times_pipeline_spark.operators.packing import greedy_pack
+
+    df = spark.createDataFrame(
+        [(1, 600), (2, 0)], "doc_id long, n_tokens long"
+    )
+    out = {r.doc_id: r for r in greedy_pack(df, budget=512, shards=1).collect()}
+    # the oversize singleton keeps its bin to itself; the zero-token
+    # doc opens a fresh bin instead of slipping into a full one
+    assert out[1].oversize and not out[2].oversize
+    assert out[1].bin_id != out[2].bin_id
+
+
+def test_chunk_offsets_chunk_id_is_long(spark):
+    from elective_waiting_times_pipeline_spark.operators.packing import chunk_offsets
+
+    df = spark.createDataFrame([(1, 10)], "doc_id long, n_tokens long")
+    schema = dict(chunk_offsets(df).dtypes)
+    assert schema["chunk_id"] == "bigint"

@@ -50,3 +50,22 @@ def test_curation_output_contract(spark):
     rows = out.limit(50).collect()
     assert all(r["split"] in {"train", "val", "test"} for r in rows)
     assert all(len(r["fingerprint"]) == 32 for r in rows)
+
+
+def test_curate_emitted_columns_describe_redacted_text(spark):
+    """n_tokens and fingerprint must agree with the EMITTED (redacted)
+    text: a phone number collapses to one [PHONE] token, and two docs
+    identical after redaction share a fingerprint."""
+    base = "the quick brown fox jumps over the lazy dog and then sits down"
+    rows = [
+        (1, base + " call +1 (555) 123-4567 now"),
+        (2, base + " call +1 (555) 999-0000 now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in curate(docs).collect()}
+    assert len(out) == 2
+    for r in out.values():
+        assert "[PHONE]" in r.text
+        assert r.n_tokens == len(r.text.split())  # count matches emitted text
+    # identical after redaction -> same dedup key
+    assert out[1].fingerprint == out[2].fingerprint
