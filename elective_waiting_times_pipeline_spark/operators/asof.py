@@ -29,7 +29,10 @@ def asof_join_backward(
     l_tag = left.withColumn("_side", F.lit(1)).withColumn("_vals", F.lit(None).cast(
         "struct<" + ", ".join(f"{c}: double" for c in value_cols) + ">"
     ))
-    r_tag = right.select(
+    # a right row with NULL ts has no time position — ascending windows
+    # would sort it FIRST (nulls-first) and carry its payload into
+    # every early left row; it can never be a valid match, so drop it
+    r_tag = right.filter(F.col(ts).isNotNull()).select(
         by,
         ts,
         F.lit(0).alias("_side"),
@@ -51,7 +54,7 @@ def asof_join_backward(
     carried = unioned.withColumn("_carry", F.last("_vals", ignorenulls=True).over(w))
     out = carried.filter(F.col("_side") == 1).drop("_side", "_vals")
     for c in value_cols:
-        out = out.withColumn(c, F.col(f"_carry.{c}"))
+        out = out.withColumn(c, F.when(F.col(ts).isNotNull(), F.col(f"_carry.{c}")))
     return out.drop("_carry")
 
 
@@ -71,7 +74,10 @@ def asof_join_forward(
     l_tag = left.withColumn("_side", F.lit(1)).withColumn("_vals", F.lit(None).cast(
         "struct<" + ", ".join(f"{c}: double" for c in value_cols) + ">"
     ))
-    r_tag = right.select(
+    # a right row with NULL ts has no time position — ascending windows
+    # would sort it FIRST (nulls-first) and carry its payload into
+    # every early left row; it can never be a valid match, so drop it
+    r_tag = right.filter(F.col(ts).isNotNull()).select(
         by,
         ts,
         F.lit(0).alias("_side"),
@@ -88,7 +94,7 @@ def asof_join_forward(
     carried = unioned.withColumn("_carry", F.last("_vals", ignorenulls=True).over(w))
     out = carried.filter(F.col("_side") == 1).drop("_side", "_vals")
     for c in value_cols:
-        out = out.withColumn(c, F.col(f"_carry.{c}"))
+        out = out.withColumn(c, F.when(F.col(ts).isNotNull(), F.col(f"_carry.{c}")))
     return out.drop("_carry")
 
 
@@ -112,7 +118,7 @@ def asof_join_backward_tolerance(
     l_tag = left.withColumn("_side", F.lit(1)).withColumn(
         "_vals", F.lit(None).cast(payload_t)
     )
-    r_tag = right.select(
+    r_tag = right.filter(F.col(ts).isNotNull()).select(
         by,
         ts,
         F.lit(0).alias("_side"),
@@ -133,5 +139,7 @@ def asof_join_backward_tolerance(
     fresh = (F.unix_micros(F.col(ts)) - F.col("_carry._rts")) <= tolerance_s * 1_000_000
     out = carried.filter(F.col("_side") == 1).drop("_side", "_vals")
     for c in value_cols:
-        out = out.withColumn(c, F.when(fresh, F.col(f"_carry.{c}")))
+        out = out.withColumn(
+            c, F.when(F.col(ts).isNotNull() & fresh, F.col(f"_carry.{c}"))
+        )
     return out.drop("_carry")

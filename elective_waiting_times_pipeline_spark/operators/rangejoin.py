@@ -97,9 +97,29 @@ def range_join(
     if strategy != "binned":
         raise ValueError(f"strategy must be 'binned' or 'broadcast', got {strategy!r}")
 
+    s_dtype = intervals.schema[start_col].dataType
+    e_dtype = intervals.schema[end_col].dataType
+    # the three columns must share one numeric image: a timestamp
+    # point (epoch MICROS) binned against date intervals (epoch DAYS)
+    # would put the sides ~8.6e10 apart and the bin equi-join would
+    # silently match nothing — fail loudly instead
+
+    def _family(dt) -> str:
+        if isinstance(dt, (TimestampType, TimestampNTZType)):
+            return "timestamp"
+        if isinstance(dt, DateType):
+            return "date"
+        return "numeric"
+
+    fams = {_family(p_dtype), _family(s_dtype), _family(e_dtype)}
+    if len(fams) > 1:
+        raise ValueError(
+            f"range_join(binned): point/start/end must share a type family, got "
+            f"{p_dtype.simpleString()}/{s_dtype.simpleString()}/{e_dtype.simpleString()}"
+        )
     p_num = _to_long(F.col(point_col), p_dtype)
-    s_num = _to_long(F.col(start_col), intervals.schema[start_col].dataType)
-    e_num = _to_long(F.col(end_col), intervals.schema[end_col].dataType)
+    s_num = _to_long(F.col(start_col), s_dtype)
+    e_num = _to_long(F.col(end_col), e_dtype)
 
     if bin_width == "auto":
         # Tune the width to the data: the median interval length keeps

@@ -195,7 +195,7 @@ def ivf_assign(
         d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(-1)
         return pd.Series(d.argmin(1).astype("int32"))
 
-    return df.withColumn(cell_col, _cell_of(F.col(vec_col)))
+    return df.filter(F.col(vec_col).isNotNull()).withColumn(cell_col, _cell_of(F.col(vec_col)))
 
 
 def ivf_probe(
@@ -226,15 +226,15 @@ def ivf_probe(
     qd = ((C - qv) ** 2).sum(-1)
     probes = [int(i) for i in qd.argsort()[:n_probe]]
 
-    # limit(1): the probe-cell selection above used head() — scoring
-    # must use exactly one query row too, or a multi-row query_df
-    # would interleave scores (and could score a DIFFERENT row than
-    # the one that chose the probes)
-    q = F.broadcast(query_df.select(F.col(vec_col).alias("_qvec")).limit(1))
+    # score the EXACT row that chose the probes: head() and a separate
+    # limit(1) are two executions of an unordered plan and can return
+    # different rows for a multi-row query_df — the collected vector
+    # becomes a literal array instead
+    q_lit = F.array(*[F.lit(float(x)) for x in qv])
     pruned = indexed_df.filter(F.col(cell_col).isin(probes))
-    sim = F.round(cosine(F.col(vec_col), F.col("_qvec")), round_dp)
+    sim = F.round(cosine(F.col(vec_col), q_lit), round_dp)
     return (
-        pruned.crossJoin(q)
+        pruned
         .select(F.col(id_col), sim.alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
         .limit(k)
@@ -324,7 +324,9 @@ def lsh_bucketed_pairs(
         bits = (M @ P.T) >= 0
         return pd.Series(bits @ weights)
 
-    sigd = df.select(F.col(id_col), F.col(vec_col), _sig_of(F.col(vec_col)).alias("_sig"))
+    sigd = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), F.col(vec_col), _sig_of(F.col(vec_col)).alias("_sig")
+    )
     a = sigd.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), F.col("_sig"))
     b = sigd.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), F.col("_sig"))
     pairs = a.join(b, ["_sig"]).filter(F.col("id_a") < F.col("id_b"))
@@ -387,12 +389,14 @@ def centroid_outliers(
         .agg(F.array_sort(F.collect_list(F.struct("pos", "centroid_val"))).alias("_s"))
         .select(group_col, F.transform("_s", lambda s: s["centroid_val"]).alias("_cv"))
     )
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    add = lambda acc, x: acc + x  # noqa: E731
-    dot = F.aggregate(F.zip_with(v, F.col("_cv"), lambda a, b: a * b), F.lit(0.0), add)
-    n1 = F.sqrt(F.aggregate(F.transform(v, lambda a: a * a), F.lit(0.0), add))
-    n2 = F.sqrt(F.aggregate(F.transform(F.col("_cv"), lambda a: a * a), F.lit(0.0), add))
-    sim = F.round(F.when((n1 > 0) & (n2 > 0), dot / (n1 * n2)).otherwise(F.lit(0.0)), 6)
+    # module-level dot/norm helpers (identical per-element double
+    # casts); zero-norm pairs pin sim to 0.0 — this report counts them
+    # as outliers rather than dropping them like cosine()'s NULL
+    v, cv = F.col(vec_col), F.col("_cv")
+    n1, n2 = norm(v), norm(cv)
+    sim = F.round(
+        F.when((n1 > 0) & (n2 > 0), dot(v, cv) / (n1 * n2)).otherwise(F.lit(0.0)), 6
+    )
     return (
         df.join(F.broadcast(carr), group_col)
         .select(
@@ -570,8 +574,22 @@ def ivf_quantized_topk(
     qd = ((C - np.array(qrow[0], dtype="float64")) ** 2).sum(-1)
     probes = [int(i) for i in qd.argsort()[:n_probe]]
 
-    s_q, q_q = quantize_int8(F.col(vec_col))
-    q = F.broadcast(query_df.limit(1).select(s_q.alias("_sq"), q_q.alias("_qq")))
+    # quantize the SAME collected vector that chose the probes (a
+    # separate limit(1) execution could pick a different query row);
+    # replicates quantize_int8 exactly: s = max|x|, q = floor(127*x/s
+    # + 0.5) — per-element IEEE double math, identical in numpy
+    qv = np.array(qrow[0], dtype="float64")
+    amax = float(np.abs(qv).max())
+    if amax == 0.0:
+        q_ints = np.zeros(len(qv), dtype="int64")
+    else:
+        q_ints = np.floor(127.0 * qv / amax + 0.5).astype("int64")
+    q = F.broadcast(
+        query_df.sparkSession.range(1).select(
+            F.lit(amax).alias("_sq"),
+            F.array(*[F.lit(int(v)) for v in q_ints]).cast("array<tinyint>").alias("_qq"),
+        )
+    )
     pruned = store.filter(F.col("cell").isin(probes))
     score = F.round(
         int_dot(F.col("qvec"), F.col("_qq")) * F.col("scale") * F.col("_sq") / 16129.0, round_dp

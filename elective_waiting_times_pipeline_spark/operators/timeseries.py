@@ -120,7 +120,9 @@ def rolling_zscore(
         .orderBy("bucket")
         .rowsBetween(-lookback, -1)
     )
-    n = F.count(F.lit(1)).over(w)
+    # count observations (au non-NULL), not frame rows: an all-NULL
+    # bucket would inflate n and bias mean/var downward
+    n = F.count("au").over(w)
     s = F.sum("au").over(w)
     ss = F.sum(F.col("au") * F.col("au")).over(w)
     mean = s / n
@@ -171,7 +173,7 @@ def dyadic_ewma(
         F.col("grp").alias(group_col),
         "bucket",
         F.round(F.col("au") / 100.0, 6).alias("bucket_avg"),
-        F.round(F.expr(f"CAST({num} AS DOUBLE) / {den}") / 100.0, 6).alias("ewma"),
+        F.round(F.expr(f"try_divide(CAST({num} AS DOUBLE), {den})") / 100.0, 6).alias("ewma"),
     )
 
 
@@ -204,7 +206,7 @@ def gapfill_interpolate(
         hours.alias("h"),
         F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
         avg_value.alias("avg_value"),
-        F.when(F.col("n_events").isNotNull(), hours).alias("h_obs"),
+        F.when(avg_value.isNotNull(), hours).alias("h_obs"),
     )
     wb = Window.partitionBy("grp").orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     wf = Window.partitionBy("grp").orderBy("bucket").rowsBetween(0, Window.unboundedFollowing)
@@ -212,11 +214,10 @@ def gapfill_interpolate(
     prev_h = F.last("h_obs", ignorenulls=True).over(wb)
     next_v = F.first("avg_value", ignorenulls=True).over(wf)
     next_h = F.first("h_obs", ignorenulls=True).over(wf)
-    # try_divide: an observed bucket whose events ALL carry NULL values
-    # has h_obs set but avg_value NULL — both windows then resolve to
-    # the row's own hour and the weight is 0/0, an ANSI abort without
-    # the guard (result stays NULL either way: no endpoints to
-    # interpolate between)
+    # h_obs keys on avg_value (not n_events): a bucket whose events all
+    # carry NULL values is no interpolation endpoint — advancing the
+    # hour without the value would blend mismatched (value, hour)
+    # pairs. try_divide still guards the single-endpoint 0/0 edge.
     interp = F.when(F.col("avg_value").isNotNull(), F.col("avg_value")).otherwise(
         F.round(
             prev_v

@@ -491,7 +491,7 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM agg
     ), roll AS (
       SELECT grp, bucket, au, bucket_avg,
-             COUNT(*) OVER w AS n,
+             COUNT(au) OVER w AS n,
              SUM(au) OVER w AS s,
              SUM(au * au) OVER w AS ss
       FROM au
@@ -580,7 +580,8 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1, 2
     ), arrs AS (
       SELECT grp, bucket, au,
-             list(au) OVER (PARTITION BY grp ORDER BY bucket
+             list(au) FILTER (WHERE au IS NOT NULL)
+                      OVER (PARTITION BY grp ORDER BY bucket
                             ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS arr
       FROM agg
     )
@@ -588,7 +589,7 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(au / 100.0, 6) AS bucket_avg,
            ROUND(CAST(list_sum(list_transform(list_zip(arr, range(1, len(arr) + 1)),
                                               p -> p[1] * (CAST(1 AS BIGINT) << (p[2] - 1)))) AS DOUBLE)
-                 / ((CAST(1 AS BIGINT) << len(arr)) - 1) / 100.0, 6) AS ewma
+                 / NULLIF((CAST(1 AS BIGINT) << len(arr)) - 1, 0) / 100.0, 6) AS ewma
     FROM arrs
     """,
 )
@@ -1209,7 +1210,7 @@ def asof_join_tolerance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              COALESCE(a.n_events, 0) AS n_events,
              CASE WHEN a.n_events IS NOT NULL
                   THEN ROUND(CAST(a.sv AS DOUBLE) / 100 / a.n_events, 6) END AS avg_value,
-             CASE WHEN a.n_events IS NOT NULL
+             CASE WHEN a.n_events IS NOT NULL AND a.sv IS NOT NULL
                   THEN epoch_us(g.bucket) // 3600000000 END AS h_obs
       FROM grid g LEFT JOIN agg a USING (grp, bucket)
     ), nbr AS (
