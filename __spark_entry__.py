@@ -98,6 +98,13 @@ _REGISTERED_AFTER_R3 = {
     "kmeans_clusters",
     "cluster_balanced_sample",
     "stratified_exact_split",
+    # second session of round 4
+    "late_shipment_priority",
+    "top_revenue_supplier",
+    "chunk_dedup_exact",
+    "flagged_word_profile",
+    "theil_sen_trend",
+    "graph_triangle_stats",
 }
 
 

@@ -206,3 +206,56 @@ def dedup_keep_canonical(
     'first encountered')."""
     withc = assign_clusters(docs, pairs, id_col, src, dst)
     return withc.filter(F.col(id_col) == F.col("cluster_id")).drop("cluster_id")
+
+
+def triangle_stats(pairs: DataFrame, src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """Global triangle census of an undirected edge list: edge count,
+    node count, triangle count, and the global clustering coefficient
+    3·triangles / wedges (wedges = Σ d(d-1)/2).
+
+    Input edges must be canonical `src < dst` (the near-dup pair
+    generators emit exactly that). Triangles count each closed triple
+    once via the oriented join — e1=(a,b), e2=(b,c), closed by
+    e3=(a,c); with a<b<c each triangle matches exactly one (e1,e2,e3)
+    assignment. All three legs are hash equi-joins on vertex keys, the
+    standard distributed triangle-count plan; at corpus scale the edge
+    list itself comes from a bucketed (LSH/banding) generator, never
+    the quadratic baseline, and the canonical a<b orientation already
+    halves the join fan-out of high-degree hubs. The edge list feeds
+    four branches (two joins, degrees, counts) — callers pass a
+    checkpointed/cached relation when the upstream generator is
+    expensive (the catalog query does)."""
+    e = pairs.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+    deg = (
+        e.select(F.col("s").alias("v"))
+        .unionByName(e.select(F.col("t").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1 = e.select(F.col("s").alias("a"), F.col("t").alias("b"))
+    e2 = e.select(F.col("s").alias("b2"), F.col("t").alias("c"))
+    e3 = e.select(F.col("s").alias("a3"), F.col("t").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    counts = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    nodes = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"), F.sum(F.col("d") * (F.col("d") - 1)).alias("dd")
+    )
+    return (
+        counts.join(F.broadcast(nodes))
+        .join(F.broadcast(tri))
+        .select(
+            "n_edges",
+            "n_nodes",
+            "n_triangles",
+            F.round(
+                F.when(F.col("dd") == 0, F.lit(0.0)).otherwise(
+                    6.0 * F.col("n_triangles") / F.col("dd")
+                ),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )

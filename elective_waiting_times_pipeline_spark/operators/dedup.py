@@ -436,3 +436,54 @@ def hamming_distance(a, b) -> F.Column:
     """Popcount of XOR — for SimHash near-dup thresholds."""
     x = (F.col(a) if isinstance(a, str) else a).bitwiseXOR(F.col(b) if isinstance(b, str) else b)
     return F.bit_count(x)
+
+
+def chunk_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 32,
+) -> DataFrame:
+    """Chunk-granularity exact dedup (the fixed-width analog of
+    paragraph dedup for corpora without structural newlines — the
+    MassiveText/C4 "remove repeated passages" discipline): cut every
+    document into disjoint `window`-token chunks, fingerprint each
+    chunk, and keep only the globally FIRST occurrence of each
+    fingerprint under the total order (doc_id, chunk_idx); every later
+    occurrence — in the same doc or any other — is a duplicate.
+
+    Returns one row per document: `n_chunks`, `n_dup_chunks`, and
+    `kept_tokens` (tokens surviving after dropping duplicate chunks).
+
+    Scale: the winner per fingerprint is ONE min_by aggregation on the
+    md5 digest (map-side partial combine, digest-only shuffle — chunk
+    text never leaves the scan stage), re-joined on the digest. No
+    windows, no skew: a boilerplate chunk repeated 10^6 times still
+    reduces to one (digest, winner) row; the rejoin key is the digest
+    whose fan-out Spark handles as an ordinary equi-join. Contrast
+    with ROW_NUMBER() OVER (PARTITION BY digest): same semantics, but
+    the window sorts every copy of a hot chunk in one task and has no
+    partial aggregation.
+    """
+    from elective_waiting_times_pipeline_spark.operators.packing import sliding_chunks
+
+    chunks = sliding_chunks(df, text_col, id_col, window=window, stride=window).select(
+        id_col,
+        "chunk_idx",
+        "n_chunk_tokens",
+        F.md5("chunk_text").alias("_fp"),
+    )
+    winners = chunks.groupBy("_fp").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("chunk_idx").alias("i"))).alias("_w")
+    )
+    flagged = chunks.join(winners, "_fp").withColumn(
+        "_dup",
+        (F.col(id_col) != F.col("_w.d")) | (F.col("chunk_idx") != F.col("_w.i")),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_chunks"),
+        F.sum(F.col("_dup").cast("int")).cast("int").alias("n_dup_chunks"),
+        F.sum(F.when(F.col("_dup"), 0).otherwise(F.col("n_chunk_tokens"))).cast("long").alias(
+            "kept_tokens"
+        ),
+    )

@@ -1649,3 +1649,51 @@ def daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lag").cast("int"),
         F.round(num.cast("double") / den.cast("double"), 6).alias("acf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend: the median of all pairwise slopes of the
+# daily value series, per event type — the estimator companion to
+# trend_mann_kendall's test statistic (same bounded daily axis, same
+# pairwise self-join; the pair count is days² regardless of corpus
+# size, so the quadratic lives on the calendar axis, never the fact
+# table). Slopes divide exact cent integers by exact day counts, so
+# the doubles — and their median, both engines interpolating the same
+# two order statistics — are bit-identical before the final round.
+# ---------------------------------------------------------------------------
+@query(
+    "theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS grp, date_trunc('day', ts) AS d,
+             SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sv
+      FROM events GROUP BY 1, 2
+    ), slopes AS (
+      SELECT a.grp,
+             (b.sv - a.sv) / CAST(date_diff('day', a.d, b.d) AS DOUBLE) / 100 AS slope
+      FROM daily a JOIN daily b ON a.grp = b.grp AND a.d < b.d
+    )
+    SELECT grp AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY slope), 6) AS sen_slope
+    FROM slopes GROUP BY grp
+    """,
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("grp"), F.date_trunc("DAY", "ts").alias("d")
+    ).agg(F.sum(sl2("value")).alias("sv"))
+    a, b = daily.alias("a"), daily.alias("b")
+    slope = (
+        (F.col("b.sv") - F.col("a.sv"))
+        / F.datediff(F.col("b.d"), F.col("a.d")).cast("double")
+        / 100
+    )
+    pairs = a.join(b, (F.col("a.grp") == F.col("b.grp")) & (F.col("a.d") < F.col("b.d"))).select(
+        F.col("a.grp").alias("grp"), slope.alias("slope")
+    )
+    return pairs.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.percentile("slope", F.lit(0.5)), 6).alias("sen_slope"),
+    ).select(F.col("grp").alias("event_type"), "n_pairs", "sen_slope")

@@ -2039,3 +2039,96 @@ def stratified_exact_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"train": 800, "val": 100, "test": 100},
         salt="strat",
     ).select("doc_id", "lang", "split")
+
+
+# ---------------------------------------------------------------------------
+# Chunk-granularity exact dedup — the fixed-width analog of paragraph
+# dedup (MassiveText's "remove repeated passages") for corpora whose
+# documents carry no structural newlines: disjoint 32-token chunks,
+# md5 fingerprints, keep only the globally first (doc_id, chunk_idx)
+# occurrence of each fingerprint. One min_by aggregation on the digest
+# (map-side partials, digest-only shuffle) + an equi-rejoin — no
+# per-fingerprint window, so a boilerplate chunk repeated 10^6 times
+# costs one reduced row, not one task-local sort.
+# ---------------------------------------------------------------------------
+@query(
+    "chunk_dedup_exact",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS w, CAST({_NTOKS} AS INT) AS n
+      FROM documents WHERE {_NTOKS} >= 1
+    ), e AS (
+      SELECT doc_id, w, n, unnest(range((n + 31) // 32)) AS chunk_idx FROM t
+    ), c AS (
+      SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+             CAST(least(32, n - chunk_idx * 32) AS INT) AS n_chunk_tokens,
+             md5(array_to_string(list_slice(w, chunk_idx * 32 + 1, chunk_idx * 32 + 32), ' ')) AS fp
+      FROM e
+    ), k AS (
+      SELECT doc_id, n_chunk_tokens,
+             ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, chunk_idx) AS rn
+      FROM c
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INT) AS n_chunks,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS INT) AS n_dup_chunks,
+           CAST(SUM(CASE WHEN rn = 1 THEN n_chunk_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+    FROM k GROUP BY doc_id
+    """,
+)
+def chunk_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.chunk_dedup_stats(docs, window=32)
+
+
+# ---------------------------------------------------------------------------
+# Flagged-word (blocklist) filtering profile — the C4 "bad words"
+# discipline: per-document blocklist token fraction, drop documents
+# over the threshold, report the damage per source. The fraction snaps
+# to integer ppm (floor(1e6*flagged/n + 0.5)) so the keep/drop
+# boundary is engine-exact; empty docs carry 0 ppm and are kept.
+# Single corpus scan, codegen'd filter on the token array, per-source
+# hash agg with map-side partials.
+# ---------------------------------------------------------------------------
+_FLAGGED_WORDS = ("slow", "big")
+_FLAGGED_PPM_MAX = 60000
+
+
+@query(
+    "flagged_word_profile",
+    oracle=rf"""
+    WITH d AS (
+      SELECT source,
+             CASE WHEN {_NTOKS} = 0 THEN 0
+                  ELSE CAST(floor(1000000.0 * len(list_filter({_TOKS},
+                         t -> list_contains(['slow', 'big'], t))) / {_NTOKS} + 0.5) AS BIGINT)
+             END AS ppm
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN ppm > {_FLAGGED_PPM_MAX} THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           ROUND(CAST(SUM(ppm) AS DOUBLE) / COUNT(*) / 1000000, 6) AS mean_flagged_frac
+    FROM d GROUP BY source
+    """,
+)
+def flagged_word_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    flagged = F.size(
+        F.filter(toks, lambda t: t.isin(*_FLAGGED_WORDS))
+    )
+    n = F.size(toks)
+    ppm = (
+        F.when(n == 0, F.lit(0))
+        .otherwise(F.floor(1000000.0 * flagged / n + 0.5))
+        .cast("long")
+    )
+    d = docs.select("source", ppm.alias("ppm"))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("ppm") > _FLAGGED_PPM_MAX).cast("int")).cast("long").alias("n_dropped"),
+        F.round(F.sum("ppm").cast("double") / F.count(F.lit(1)) / 1000000.0, 6).alias(
+            "mean_flagged_frac"
+        ),
+    )

@@ -16,6 +16,10 @@ catalog does not already exercise:
 - disjunctive_revenue  (Q19) — OR-of-AND predicate blocks across join
 - idle_customers       (Q22) — global scalar subquery + NOT EXISTS
 - revenue_concentration (Q11) — HAVING against a global-total scalar
+- late_shipment_priority (Q12) — join-residual date arithmetic +
+  conditional counts over a low-cardinality fact column
+- top_revenue_supplier (Q15)  — agg feeding its own MAX scalar (view
+  self-join decorrelated to a 1-row broadcast)
 
 Determinism: money math uses the scaled-long convention from
 plans/registry.py (`sl2`/`sum2`); shares/averages divide two exact
@@ -401,4 +405,83 @@ def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_part.join(F.broadcast(total))
         .filter(lhs > 3 * F.col("tot"))
         .select("l_partkey", (F.col("rev") / 10000.0).alias("value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 shape (adapted: the synthetic lineitem carries no
+# shipmode/commitdate, so "late" is shipdate >= orderdate + 60 days
+# and the low-cardinality group axis is l_linestatus). What the shape
+# exercises: a date-arithmetic predicate spanning BOTH join sides
+# (stays as a join residual — only the equi-key hashes), plus
+# priority-bucket conditional counts. Reference analog: the
+# late/incomplete-pathway flagging in `2.R:200-236`.
+# ---------------------------------------------------------------------------
+@query(
+    "late_shipment_priority",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate < TIMESTAMP '2001-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < F.lit("2001-01-01 00:00:00").cast("timestamp")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        # cross-side residual: shipped >= 60 days after order placement
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue —
+# the classic "aggregate compared against the MAX of itself". The
+# per-supplier aggregate is computed once; its 1-row MAX broadcasts
+# back as the filter; the surviving (usually 1-row) slice broadcasts
+# into the supplier dim join. Ties all surface (= on exact integers).
+# ---------------------------------------------------------------------------
+@query(
+    "top_revenue_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey, CAST(SUM({_REV}) AS BIGINT) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+      GROUP BY 1
+    ), mx AS (SELECT MAX(total_rev) AS m FROM rev)
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) / 10000 AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey, mx
+    WHERE total_rev = m
+    """,
+)
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(_rev_col()).alias("total_rev"))
+    mx = rev.agg(F.max("total_rev").alias("m"))
+    top = rev.join(F.broadcast(mx)).filter(F.col("total_rev") == F.col("m"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return s.join(F.broadcast(top), F.col("s_suppkey") == F.col("l_suppkey")).select(
+        "s_suppkey", "s_name", (F.col("total_rev") / 10000.0).alias("total_revenue")
     )

@@ -689,3 +689,51 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_group(clusters, "vec_id", ["cluster"], max_rows=40, salt="cbal").select(
         "vec_id", "cluster", "position"
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle census of the cosine near-dup graph (vec_id<150 slice at
+# threshold 0.35 — same edge list as semantic_dedup_decision): edges,
+# nodes, triangles, global clustering coefficient. The closed-triple
+# count is the oriented three-way equi-join (a<b<c matches each
+# triangle once); a graph whose transitivity is high tells the dedup
+# consumer that connected components ≈ cliques, i.e. cluster-collapse
+# loses little. The O(n²) pair generator is the oracle-friendly
+# baseline; the kernel itself consumes any edge list (LSH/banded at
+# corpus scale).
+# ---------------------------------------------------------------------------
+@query(
+    "graph_triangle_stats",
+    oracle="""
+    WITH e AS (
+      SELECT a.vec_id AS s, b.vec_id AS t
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE a.vec_id < 150 AND b.vec_id < 150
+        AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+    ), deg AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT s AS v FROM e UNION ALL SELECT t AS v FROM e)
+      GROUP BY v
+    ), tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM e e1 JOIN e e2 ON e1.t = e2.s
+                JOIN e e3 ON e3.s = e1.s AND e3.t = e2.t
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           n_triangles,
+           ROUND(CASE WHEN (SELECT SUM(d * (d - 1)) FROM deg) = 0 THEN 0
+                      ELSE 6.0 * n_triangles / (SELECT SUM(d * (d - 1)) FROM deg)
+                 END, 6) AS clustering_coeff
+    FROM tri
+    """,
+)
+def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elective_waiting_times_pipeline_spark.operators.cluster import triangle_stats
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    # four consumers walk the edge list; checkpoint so the O(n²)
+    # cosine generator runs once, not once per branch
+    pairs = S.cosine_near_dup_pairs(emb, threshold=0.35).localCheckpoint(eager=False)
+    return triangle_stats(pairs.select("id_a", "id_b"))
