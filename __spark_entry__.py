@@ -105,6 +105,13 @@ _REGISTERED_AFTER_R3 = {
     "flagged_word_profile",
     "theil_sen_trend",
     "graph_triangle_stats",
+    # third session of round 4
+    "spearman_corr",
+    "mann_whitney_value",
+    "benford_first_digit",
+    "min_cost_supplier",
+    "supplier_cnt_by_part",
+    "excess_share_suppliers",
 }
 
 

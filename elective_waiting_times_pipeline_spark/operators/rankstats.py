@@ -1,0 +1,178 @@
+"""Rank-based statistics without global windows.
+
+Spearman correlation and the Mann-Whitney U test both need GLOBAL
+ranks of a value column — the textbook formulation is one
+`Window.orderBy(value)` over the whole relation, which funnels every
+row through a single task (the exact anti-pattern the catalog's
+plan-shape lint forbids). This module derives the ranks from the
+DISTINCT-VALUE axis instead:
+
+    average rank of value v  =  C(v) + (cnt(v) + 1) / 2
+
+where C(v) is the count of rows strictly below v and cnt(v) the tie
+count. C(v) is a prefix sum over the distinct values in value order —
+exactly what `operators.sampling.ordered_prefix` computes scale-free
+(range-bucketed per-bucket windows + broadcast cumulative offsets, two
+bounded shuffles). To stay in integers the module works with DOUBLED
+ranks, r2(v) = 2·C(v) + cnt(v) + 1, which are exact longs; Spearman's
+rho is affine-invariant so rho(r2x, r2y) == rho(rx, ry), and the U
+statistic carries the factor 2 through explicitly.
+
+Determinism contract (matches plans/catalog.py): every sum the
+statistics consume is an exact integer aggregate (decimal(38,0) sums —
+order-independent, no float accumulation); the final formula combines
+the EXACT sums in double with one fixed operation order that the
+DuckDB oracles repeat verbatim, so the rounded outputs are
+bit-identical across engines.
+
+Reference analog: the correlation/fit layer of the reference's chart
+scripts (`Charts.R`, SURVEY.md §2.10) — extended here to the
+rank-based (outlier-robust) variants a data-quality pipeline wants.
+
+Scale notes (100 TB): the row table is touched twice (one hash agg to
+the distinct-value axis, one equi-join back for Spearman's
+cross-moment); the per-value relation is |distinct| rows, range-
+bucketed so no task ever sees more than ~1/64th of it; nothing is
+collected to the driver except the ~63 approx-quantile cut points.
+The decimal(38,0) sums hold to n ≈ 10^18 rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from elective_waiting_times_pipeline_spark.operators.sampling import (
+    ordered_prefix,
+    range_bucket,
+    range_cut_points,
+)
+
+_DEC = "decimal(38,0)"
+
+
+def doubled_avg_rank(
+    df: DataFrame, value_col: str, out_col: str = "r2", n_buckets: int = 64
+) -> DataFrame:
+    """Distinct-value → doubled tie-averaged rank map.
+
+    Returns one row per distinct `value_col` with `out_col` =
+    2·C(v) + cnt(v) + 1 (twice the average rank of the tie group —
+    an exact long) and `_cnt` (the tie count). NULL values are
+    excluded: SQL rank semantics for NULL differ between engines
+    (Spark sorts NULL first, DuckDB last), so callers filter them —
+    the statistics here are over observed pairs anyway.
+    """
+    rows = df.filter(F.col(value_col).isNotNull())
+    g = rows.groupBy(value_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    cuts = range_cut_points(rows, value_col, n_buckets)
+    pre = ordered_prefix(
+        g,
+        [F.col(value_col).asc()],
+        range_bucket(F.col(value_col), cuts),
+        weight="_cnt",
+        out_prefix="_cum",
+    )
+    return pre.select(
+        value_col,
+        (2 * F.col("_cum") - F.col("_cnt") + 1).cast("long").alias(out_col),
+        "_cnt",
+    )
+
+
+def _dec(c: Column) -> Column:
+    return c.cast(_DEC)
+
+
+def spearman_rho(df: DataFrame, x: str, y: str, n_buckets: int = 64) -> DataFrame:
+    """Spearman rank correlation of two columns, tie-averaged ranks.
+
+    One row: `n` (pair count) and `spearman_rho` (round 6). Pearson
+    on the doubled-rank columns — affine invariance makes the factor
+    2 vanish. The five moment sums are exact decimal(38,0) integers;
+    the final rho combines them in double as
+
+        (n·Sxy − Sx·Sy) / (sqrt(n·Sxx − Sx²) · sqrt(n·Syy − Sy²))
+
+    — the one operation order the oracles repeat. Rows where either
+    column is NULL are dropped (pairwise-complete, the R default).
+    """
+    rows = df.filter(F.col(x).isNotNull() & F.col(y).isNotNull()).select(x, y)
+    rx = doubled_avg_rank(rows, x, "_rx", n_buckets).drop("_cnt")
+    ry = doubled_avg_rank(rows, y, "_ry", n_buckets).drop("_cnt")
+    j = rows.join(rx, x).join(ry, y)
+    agg = j.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(_dec(F.col("_rx"))).alias("_sx"),
+        F.sum(_dec(F.col("_ry"))).alias("_sy"),
+        F.sum(_dec(F.col("_rx")) * F.col("_ry")).alias("_sxy"),
+        F.sum(_dec(F.col("_rx")) * F.col("_rx")).alias("_sxx"),
+        F.sum(_dec(F.col("_ry")) * F.col("_ry")).alias("_syy"),
+    )
+    nd = F.col("_n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    num = nd * sxy - sx * sy
+    den = F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
+    return agg.select(
+        F.col("_n").cast("long").alias("n"),
+        F.round(F.when(den == 0, F.lit(0.0)).otherwise(num / den), 6).alias("spearman_rho"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Mann-Whitney U test (two-sided normal approximation with tie
+    correction) comparing `value_col` between two groups.
+
+    One row: n_a, n_b, u_stat (U of group A — half-integers exact in
+    double), z_score (round 6). Needs NO join back to the rows: the
+    rank sum of group A is Σ_v cnt_a(v)·avgrank(v), a pure aggregate
+    of the distinct-value relation — one hash agg + the bounded
+    prefix machinery + one final agg, the cheapest possible shape.
+
+        U_A = R_A − n_a(n_a+1)/2        (R_A from doubled ranks / 2)
+        μ   = n_a·n_b / 2
+        σ²  = n_a·n_b/12 · ((n+1) − Σ(t³−t)/(n(n−1)))   (tie-corrected)
+        z   = (U_A − μ) / σ
+    """
+    t = df.filter(F.col(group_col).isin(group_a, group_b) & F.col(value_col).isNotNull())
+    g = t.groupBy(value_col).agg(
+        F.sum(F.when(F.col(group_col) == group_a, 1).otherwise(0)).alias("_ca"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    cuts = range_cut_points(t, value_col, n_buckets)
+    pre = ordered_prefix(
+        g,
+        [F.col(value_col).asc()],
+        range_bucket(F.col(value_col), cuts),
+        weight="_cnt",
+        out_prefix="_cum",
+    )
+    r2 = 2 * F.col("_cum") - F.col("_cnt") + 1
+    agg = pre.agg(
+        F.sum("_ca").cast("long").alias("_na"),
+        F.sum(F.col("_cnt") - F.col("_ca")).cast("long").alias("_nb"),
+        F.sum(_dec(F.col("_ca")) * r2).alias("_r2a"),
+        F.sum(_dec(F.col("_cnt")) * F.col("_cnt") * F.col("_cnt") - F.col("_cnt")).alias("_tsum"),
+    )
+    na, nb = F.col("_na").cast("double"), F.col("_nb").cast("double")
+    n = na + nb
+    u = (F.col("_r2a").cast("double") - na * (na + F.lit(1.0))) / F.lit(2.0)
+    mu = na * nb / F.lit(2.0)
+    var = na * nb / F.lit(12.0) * ((n + F.lit(1.0)) - F.col("_tsum").cast("double") / (n * (n - F.lit(1.0))))
+    return agg.select(
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        u.alias("u_stat"),
+        F.round(F.when(var <= 0, F.lit(0.0)).otherwise((u - mu) / F.sqrt(var)), 6).alias(
+            "z_score"
+        ),
+    )

@@ -1697,3 +1697,54 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.round(F.percentile("slope", F.lit(0.5)), 6).alias("sen_slope"),
     ).select(F.col("grp").alias("event_type"), "n_pairs", "sen_slope")
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U test: does `value` differ in distribution between two
+# event types? The nonparametric two-sample companion to
+# `ab_test_welch` (which assumes normality). Needs only the
+# distinct-value axis — cnt_a and cnt per value, tie-averaged ranks
+# from the range-bucketed prefix machinery (operators/rankstats.py),
+# then ONE aggregate: the rank sum of group A is Σ cnt_a(v)·avgrank(v)
+# — no join back to the fact rows at all, so the whole test is one
+# hash agg + the bounded prefix + one final agg. Tie-corrected normal
+# approximation; exact integer sums feed a fixed-order double formula
+# the oracle repeats verbatim.
+# ---------------------------------------------------------------------------
+@query(
+    "mann_whitney_value",
+    oracle="""
+    WITH t AS (
+      SELECT event_type AS g, value AS v FROM events
+      WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+    ), r AS (
+      SELECT g, 2 * RANK() OVER (ORDER BY v) + COUNT(*) OVER (PARTITION BY v) - 1 AS r2
+      FROM t
+    ), s AS (
+      SELECT CAST(SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+             SUM(CASE WHEN g = 'click' THEN r2 ELSE 0 END) AS r2a
+      FROM r
+    ), ties AS (
+      SELECT SUM(c * c * c - c) AS tsum
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY v)
+    )
+    SELECT na AS n_a, nb AS n_b,
+           (CAST(r2a AS DOUBLE) - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0)) / 2.0
+             AS u_stat,
+           ROUND(((CAST(r2a AS DOUBLE) - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0)) / 2.0
+                  - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0)
+                 / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+                        * ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0)
+                           - CAST(tsum AS DOUBLE)
+                             / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                                * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 1.0)))), 6)
+             AS z_score
+    FROM s, ties
+    """,
+)
+def mann_whitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elective_waiting_times_pipeline_spark.operators.rankstats import mann_whitney_u
+
+    ev = load_table(spark, sf_dir, "events")
+    return mann_whitney_u(ev, "value", "event_type", "click", "purchase")

@@ -1232,3 +1232,64 @@ def price_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit profile — the classic fabricated-data /
+# corruption screen over a money column (DQ family, alongside
+# `dq_report`; SURVEY.md §2.9 F6). First significant digit taken from
+# the CENTS integer's decimal string (scaling by 100 never changes
+# the leading digit), so no float log10 is evaluated at runtime by
+# either engine: the nine Benford expectations are Python-precomputed
+# ppm literals embedded identically in both plans, and the observed
+# fraction snaps to ppm (floor(1e6·n_d/n + 0.5)) like every other
+# boundary in the catalog. One scan, 9-group hash agg, 1-row count
+# broadcast.
+# ---------------------------------------------------------------------------
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+@query(
+    "benford_first_digit",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR),
+                         1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d)
+    SELECT digit,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(floor(1000000.0 * COUNT(*) / n + 0.5) AS BIGINT) AS observed_ppm,
+           CASE digit {' '.join(f'WHEN {k} THEN {v}' for k, v in _BENFORD_PPM.items())}
+           END AS expected_ppm,
+           CAST(floor(1000000.0 * COUNT(*) / n + 0.5) AS BIGINT)
+             - CASE digit {' '.join(f'WHEN {k} THEN {v}' for k, v in _BENFORD_PPM.items())} END
+             AS deviation_ppm
+    FROM d, tot
+    GROUP BY digit, n
+    """,
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.substring(sl2("o_totalprice").cast("string"), 1, 1).cast("int")
+    d = orders.select(digit.alias("digit"))
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    expected = F.lit(None).cast("long")
+    for k, v in sorted(_BENFORD_PPM.items(), reverse=True):
+        expected = F.when(F.col("digit") == k, F.lit(v).cast("long")).otherwise(expected)
+    obs_ppm = F.floor(1000000.0 * F.col("n_orders") / F.col("n") + 0.5).cast("long")
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_orders",
+            obs_ppm.alias("observed_ppm"),
+            expected.alias("expected_ppm"),
+            (obs_ppm - expected).alias("deviation_ppm"),
+        )
+    )

@@ -2132,3 +2132,48 @@ def flagged_word_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_flagged_frac"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (n_chars vs token count) — the
+# outlier-robust companion to `corr_stats`' Pearson (SURVEY.md §2.10,
+# reference analog: the chart layer's correlation/fit calls in
+# Charts.R). The textbook single `Window.orderBy(value)` global rank
+# is banned by the plan-shape lint; `operators/rankstats.py` derives
+# tie-averaged ranks from the distinct-value axis through the
+# range-bucketed prefix machinery instead — no task ever holds more
+# than ~1/64th of the value axis. Doubled ranks keep everything in
+# exact integers (decimal(38,0) moment sums); the final rho combines
+# the exact sums in double with the one operation order the oracle
+# repeats, so the rounded output hash-matches.
+# ---------------------------------------------------------------------------
+@query(
+    "spearman_corr",
+    oracle=rf"""
+    WITH t AS (
+      SELECT n_chars AS x, CAST({_NTOKS} AS BIGINT) AS y FROM documents
+    ), r AS (
+      SELECT 2 * RANK() OVER (ORDER BY x) + COUNT(*) OVER (PARTITION BY x) - 1 AS rx,
+             2 * RANK() OVER (ORDER BY y) + COUNT(*) OVER (PARTITION BY y) - 1 AS ry
+      FROM t
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(rx * ry) AS DOUBLE)
+                  - CAST(SUM(rx) AS DOUBLE) * CAST(SUM(ry) AS DOUBLE))
+                 / (sqrt(CAST(COUNT(*) AS DOUBLE) * CAST(SUM(rx * rx) AS DOUBLE)
+                         - CAST(SUM(rx) AS DOUBLE) * CAST(SUM(rx) AS DOUBLE))
+                    * sqrt(CAST(COUNT(*) AS DOUBLE) * CAST(SUM(ry * ry) AS DOUBLE)
+                           - CAST(SUM(ry) AS DOUBLE) * CAST(SUM(ry) AS DOUBLE))), 6)
+             AS spearman_rho
+    FROM r
+    """,
+)
+def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elective_waiting_times_pipeline_spark.operators.rankstats import spearman_rho
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = docs.select(
+        F.col("n_chars").cast("long").alias("x"),
+        X.token_count("text").cast("long").alias("y"),
+    )
+    return spearman_rho(rows, "x", "y")

@@ -485,3 +485,153 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(F.broadcast(top), F.col("s_suppkey") == F.col("l_suppkey")).select(
         "s_suppkey", "s_name", (F.col("total_rev") / 10000.0).alias("total_revenue")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 shape (adapted: no partsupp table, so "supply cost" is the
+# minimum observed line price per (part, supplier)): for every small
+# part (p_size <= 5), the supplier(s) offering the minimum price —
+# the classic correlated scalar-MIN subquery, decorrelated to
+# agg + equality join-back (ties all surface). The part filter is
+# applied BEFORE the fact aggregate (broadcast semi shape), so the
+# (part, supplier) agg only sees qualifying parts — at 100 TB the
+# dim slice prunes the fact scan via dynamic partition pruning /
+# runtime filters rather than aggregating the whole fact table first
+# (the oracle aggregates everything then filters; same rows, since
+# the filter is on the join key's dim attributes only).
+# ---------------------------------------------------------------------------
+@query(
+    "min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS minc
+      FROM lineitem GROUP BY 1, 2
+    ), best AS (
+      SELECT l_partkey, MIN(minc) AS best FROM cost GROUP BY 1
+    )
+    SELECT p_partkey, p_brand, s_name, n_name,
+           CAST(c.minc AS DOUBLE) / 100 AS best_price
+    FROM cost c
+    JOIN best b ON c.l_partkey = b.l_partkey AND c.minc = b.best
+    JOIN part p ON p.p_partkey = c.l_partkey
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size <= 5
+    """,
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 5).select(
+        "p_partkey", "p_brand"
+    )
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    )
+    cost = li.groupBy("l_partkey", "l_suppkey", "p_partkey", "p_brand").agg(
+        F.min(sl2("l_extendedprice")).alias("minc")
+    )
+    best = cost.groupBy(F.col("l_partkey").alias("_pk")).agg(F.min("minc").alias("best"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        cost.join(
+            F.broadcast(best),
+            (F.col("l_partkey") == F.col("_pk")) & (F.col("minc") == F.col("best")),
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("p_partkey", "p_brand", "s_name", "n_name", (F.col("minc") / 100.0).alias("best_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape (adapted: the supplier exclusion is s_acctbal < 2000
+# in place of the comment-LIKE "complaints" list): how many distinct
+# suppliers serve each (brand, size) slice of the selected parts,
+# excluding blacklisted suppliers — NOT IN decorrelated to a
+# broadcast ANTI join (s_suppkey is non-null, so NOT IN == anti),
+# filtered dim broadcast into the fact, then a grouped distinct-count.
+# ---------------------------------------------------------------------------
+@query(
+    "supplier_cnt_by_part",
+    oracle="""
+    SELECT p_brand, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#45'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 23)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000)
+    GROUP BY 1, 2
+    """,
+)
+def supplier_cnt_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#45")
+            & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 23)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 2000).select(
+        "s_suppkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20 shape (adapted to the available columns): suppliers who
+# shipped MORE THAN HALF of some part's total 1996 volume — the
+# nested correlated-aggregate-threshold subquery, decorrelated to
+# (part, supplier) agg + per-part total + integer cross-multiplied
+# comparison (2·q > tot, no division), then a SEMI join into the
+# supplier dim. Quantities aggregate as exact scaled longs. Parts
+# served by fewer than 3 suppliers in the window are excluded (a
+# single-supplier part makes the >50% bar vacuous) — the HAVING rides
+# the same per-part aggregate, no extra pass.
+# ---------------------------------------------------------------------------
+@query(
+    "excess_share_suppliers",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS q
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1, 2
+    ), pt AS (
+      SELECT l_partkey, CAST(SUM(q) AS BIGINT) AS tot
+      FROM ps GROUP BY 1 HAVING COUNT(*) >= 3
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM ps JOIN pt USING (l_partkey) WHERE 2 * q > tot
+    )
+    """,
+)
+def excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(F.sum(sl2("l_quantity")).alias("q"))
+    pt = (
+        ps.groupBy(F.col("l_partkey").alias("_pk"))
+        .agg(F.sum("q").alias("tot"), F.count(F.lit(1)).alias("_nsupp"))
+        .filter(F.col("_nsupp") >= 3)
+    )
+    excess = (
+        ps.join(pt, F.col("l_partkey") == F.col("_pk"))
+        .filter(2 * F.col("q") > F.col("tot"))
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return s.join(excess, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
