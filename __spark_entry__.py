@@ -112,6 +112,9 @@ _REGISTERED_AFTER_R3 = {
     "min_cost_supplier",
     "supplier_cnt_by_part",
     "excess_share_suppliers",
+    "cusum_changepoint",
+    "l_diversity_report",
+    "mutual_information",
 }
 
 

@@ -1748,3 +1748,65 @@ def mann_whitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return mann_whitney_u(ev, "value", "event_type", "click", "purchase")
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection per event type: the day where the
+# cumulative deviation of daily volume from the series mean peaks —
+# the classic single-changepoint estimator (argmax_k |Σ_{i<=k}(x_i -
+# x̄)|). Everything stays in EXACT integers until display: with
+# T = Σ sv and n days, n·S_k = n·(Σ_{i<=k} sv_i) - k·T is an exact
+# long, so the argmax comparison never touches a float (windowed
+# double sums are engine-unstable — DuckDB's segment-tree windows
+# add in a different order than a sequential scan). The windows ride
+# the per-type DAILY axis (<= days-in-data rows after the corpus
+# agg), the same bounded class as daily_autocorrelation.
+# ---------------------------------------------------------------------------
+@query(
+    "cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS g, date_trunc('day', ts) AS d,
+             SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sv
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT g, CAST(SUM(sv) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS nd
+      FROM daily GROUP BY 1
+    ), c AS (
+      SELECT daily.g, d, nd,
+             nd * SUM(sv) OVER (PARTITION BY daily.g ORDER BY d)
+               - ROW_NUMBER() OVER (PARTITION BY daily.g ORDER BY d) * t AS s2
+      FROM daily JOIN m USING (g)
+    )
+    SELECT g AS event_type, nd AS n_days, d AS cp_day,
+           ROUND(CAST(s2 AS DOUBLE) / nd / 100, 6) AS cusum_peak
+    FROM c
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY abs(s2) DESC, d) = 1
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("g"), F.date_trunc("DAY", "ts").alias("d")
+    ).agg(F.sum(sl2("value")).alias("sv"))
+    m = daily.groupBy(F.col("g").alias("_g")).agg(
+        F.sum("sv").alias("t"), F.count(F.lit(1)).alias("nd")
+    )
+    j = daily.join(F.broadcast(m), F.col("g") == F.col("_g"))
+    w = Window.partitionBy("g").orderBy("d")
+    run = F.sum("sv").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    k = F.row_number().over(w)
+    c = j.select(
+        "g", "d", "nd", (F.col("nd") * run - k * F.col("t")).alias("s2")
+    )
+    pick = Window.partitionBy("g").orderBy(F.abs(F.col("s2")).desc(), F.col("d"))
+    return (
+        c.withColumn("_rn", F.row_number().over(pick))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("g").alias("event_type"),
+            F.col("nd").alias("n_days"),
+            F.col("d").alias("cp_day"),
+            F.round(F.col("s2").cast("double") / F.col("nd") / 100, 6).alias("cusum_peak"),
+        )
+    )

@@ -1293,3 +1293,55 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (obs_ppm - expected).alias("deviation_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity report — the companion privacy gate to
+# `k_anonymity_report` (catalog_text): k-anonymity bounds the
+# equivalence-class SIZE, l-diversity bounds how many distinct values
+# of the SENSITIVE attribute each class carries (a class of 50 rows
+# that all share one account-balance band still leaks it). QI =
+# (nation, market segment); sensitive = coarse acctbal band. Two
+# cascaded hash aggs, both map-side combinable; the class count is
+# bounded by the QI domain, never the table.
+# ---------------------------------------------------------------------------
+@query(
+    "l_diversity_report",
+    oracle="""
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS class_size,
+             CAST(COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+                                      WHEN c_acctbal < 5000 THEN 'mid'
+                                      ELSE 'high' END) AS BIGINT) AS l
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(l) AS BIGINT) AS min_l,
+           CAST(SUM(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_monolithic,
+           CAST(SUM(CASE WHEN l = 1 THEN class_size ELSE 0 END) AS BIGINT) AS rows_at_risk,
+           ROUND(CAST(SUM(CASE WHEN l = 1 THEN class_size ELSE 0 END) AS DOUBLE)
+                 / SUM(class_size), 6) AS at_risk_share
+    FROM classes
+    """,
+)
+def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+    )
+    classes = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.countDistinct(band).alias("l"),
+    )
+    mono = F.sum(F.when(F.col("l") == 1, 1).otherwise(0))
+    risk = F.sum(F.when(F.col("l") == 1, F.col("class_size")).otherwise(0))
+    return classes.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("l").alias("min_l"),
+        mono.cast("long").alias("n_monolithic"),
+        risk.cast("long").alias("rows_at_risk"),
+        F.round(risk.cast("double") / F.sum("class_size"), 6).alias("at_risk_share"),
+    )

@@ -2177,3 +2177,62 @@ def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.token_count("text").cast("long").alias("y"),
     )
     return spearman_rho(rows, "x", "y")
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between two categorical corpus facets (lang x
+# source) — "does the feed predict the language?" is the
+# mixture-design question a pretraining curator asks before weighting
+# sources. MI = Σ_ij (n_ij/N)·ln(n_ij·N/(n_i·n_j)) over the
+# contingency table: every count is an exact integer, each cell's log
+# ratio is micro-snapped (floor(ln·1e6+0.5) — the same 1e-6 snap
+# discipline as unigram_logprob, absorbing libm-vs-JVM ulp drift),
+# and the final division happens once. The contingency table is
+# |langs|·|sources| rows — marginals broadcast back onto it.
+# ---------------------------------------------------------------------------
+@query(
+    "mutual_information",
+    oracle="""
+    WITH cell AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS nij
+      FROM documents GROUP BY 1, 2
+    ), rowm AS (SELECT lang, CAST(SUM(nij) AS BIGINT) AS ni FROM cell GROUP BY 1),
+    colm AS (SELECT source, CAST(SUM(nij) AS BIGINT) AS nj FROM cell GROUP BY 1),
+    tot AS (SELECT CAST(SUM(nij) AS BIGINT) AS n FROM cell),
+    terms AS (
+      SELECT nij,
+             CAST(floor(ln(CAST(nij * n AS DOUBLE) / CAST(ni * nj AS DOUBLE)) * 1000000
+                        + 0.5) AS BIGINT) AS lpm,
+             n
+      FROM cell JOIN rowm USING (lang) JOIN colm USING (source), tot
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           ROUND(CAST(SUM(nij * lpm) AS DOUBLE) / MAX(n) / 1000000, 6) AS mi_nats
+    FROM terms
+    """,
+)
+def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cell = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("nij"))
+    rowm = cell.groupBy("lang").agg(F.sum("nij").alias("ni"))
+    colm = cell.groupBy("source").agg(F.sum("nij").alias("nj"))
+    tot = cell.agg(F.sum("nij").alias("n"))
+    lpm = F.floor(
+        F.log((F.col("nij") * F.col("n")).cast("double") / (F.col("ni") * F.col("nj")).cast("double"))
+        * 1000000
+        + 0.5
+    ).cast("long")
+    terms = (
+        cell.join(F.broadcast(rowm), "lang")
+        .join(F.broadcast(colm), "source")
+        .crossJoin(F.broadcast(tot))
+        .select("nij", lpm.alias("lpm"), "n")
+    )
+    return terms.agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.sum(F.col("nij") * F.col("lpm")).cast("double") / F.max("n") / 1000000, 6).alias(
+            "mi_nats"
+        ),
+    )
