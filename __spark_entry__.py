@@ -115,6 +115,8 @@ _REGISTERED_AFTER_R3 = {
     "cusum_changepoint",
     "l_diversity_report",
     "mutual_information",
+    "heavy_hitters_cms",
+    "psi_drift",
 }
 
 

@@ -38,3 +38,72 @@ def merged_distinct_estimate(sketches: DataFrame, days: list[str] | None = None)
         F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch"))).alias("distinct_estimate"),
         F.count(F.lit(1)).alias("n_sketches"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: fixed-width frequency summaries (Cormode &
+# Muthukrishnan 2005). d hash rows x w counters; cell counts are plain
+# sums, so sketches MERGE by adding cells — the same persistable
+# incremental shape as the HLL family above, but for "how often", not
+# "how many distinct". Estimates only ever OVER-count (hash
+# collisions add, never subtract), which makes the sketch a sound
+# candidate generator: any key whose true count passes a threshold is
+# guaranteed to pass it in the sketch too.
+# ---------------------------------------------------------------------------
+
+
+def count_min_cells(
+    items: DataFrame, key_col: str = "key", d: int = 4, w: int = 1024
+) -> DataFrame:
+    """Build the (row, col, cnt) cell relation of a count-min sketch
+    over `items[key_col]` (one occurrence per input row). One scan:
+    each key explodes into its d (row, hash-col) cells, then a hash
+    agg over the d·w-bounded cell grid — map-side combinable, output
+    size fixed at <= d·w rows no matter the corpus. Merge two
+    sketches by unioning cells and re-summing."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                F.pmod(F.xxhash64(F.col(key_col), F.lit(r)), F.lit(w)).alias("col"),
+            )
+            for r in range(d)
+        ]
+    )
+    return (
+        items.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    keys: DataFrame, cells: DataFrame, key_col: str = "key", d: int = 4, w: int = 1024
+) -> DataFrame:
+    """Attach `cms_est` — the count-min estimate (min over the d row
+    counters) — to every row of `keys`. The cell grid collapses into
+    ONE broadcast map row (<= d·w entries, a few KB), so estimation
+    is a pure per-row expression: no join, no shuffle. Guarantees
+    cms_est >= true count."""
+    m = cells.groupBy().agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct((F.col("row") * w + F.col("col")).cast("long"), F.col("cnt"))
+            )
+        ).alias("_m")
+    )
+    est = F.least(
+        *[
+            F.coalesce(
+                F.element_at(
+                    F.col("_m"),
+                    (F.lit(r) * w + F.pmod(F.xxhash64(F.col(key_col), F.lit(r)), F.lit(w))).cast(
+                        "long"
+                    ),
+                ),
+                F.lit(0),
+            )
+            for r in range(d)
+        ]
+    )
+    return keys.crossJoin(F.broadcast(m)).withColumn("cms_est", est.cast("long")).drop("_m")

@@ -1810,3 +1810,75 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("s2").cast("double") / F.col("nd") / 100, 6).alias("cusum_peak"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PSI drift monitor — Population Stability Index between the reference
+# window (Jan 1-15) and the current window (Jan 16+) of the event
+# value distribution: PSI = Σ_b (p_cur − p_ref)·ln(p_cur/p_ref) over
+# fixed-width value buckets. The training-pipeline use: alert when a
+# feed's feature distribution drifts from the one the model was fit
+# on (PSI > 0.2 is the conventional re-train trigger). Fixed bucket
+# edges (width 25, cents-exact) rather than fitted quantiles keep the
+# comparison engine-exact; Laplace +1 smoothing keeps empty buckets
+# finite; each bucket's log ratio is micro-snapped (the catalog's
+# 1e-6 ln discipline) and the PSI numerator stays in exact integers
+# (p_cur−p_ref = (ncur·tr−nref·tc)/(tc·tr)) so the bucket sum is
+# order-independent; one scan, bounded bucket axis.
+# ---------------------------------------------------------------------------
+@query(
+    "psi_drift",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor(CAST(floor(value * 100 + 0.5) AS BIGINT) / 2500) AS BIGINT) AS bucket,
+             CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS is_ref
+      FROM events WHERE value IS NOT NULL
+    ), cnt AS (
+      SELECT bucket,
+             CAST(SUM(is_ref) AS BIGINT) + 1 AS nref,
+             CAST(SUM(1 - is_ref) AS BIGINT) + 1 AS ncur
+      FROM b GROUP BY bucket
+    ), tot AS (
+      SELECT CAST(SUM(nref) AS BIGINT) AS tr, CAST(SUM(ncur) AS BIGINT) AS tc FROM cnt
+    ), terms AS (
+      SELECT (ncur * tr - nref * tc)
+             * CAST(floor(ln((CAST(ncur AS DOUBLE) / tc) / (CAST(nref AS DOUBLE) / tr))
+                          * 1000000 + 0.5) AS BIGINT) AS term_num,
+             tr, tc
+      FROM cnt, tot
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           ROUND(CAST(SUM(term_num) AS DOUBLE) / MAX(tc) / MAX(tr) / 1000000, 6) AS psi
+    FROM terms
+    """,
+)
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bucket = F.floor(sl2("value") / 2500).cast("long")
+    is_ref = F.when(
+        F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"), 1
+    ).otherwise(0)
+    cnt = ev.select(bucket.alias("bucket"), is_ref.alias("is_ref")).groupBy("bucket").agg(
+        (F.sum("is_ref") + 1).cast("long").alias("nref"),
+        (F.sum(1 - F.col("is_ref")) + 1).cast("long").alias("ncur"),
+    )
+    tot = cnt.agg(F.sum("nref").alias("tr"), F.sum("ncur").alias("tc"))
+    pcur = F.col("ncur").cast("double") / F.col("tc")
+    pref = F.col("nref").cast("double") / F.col("tr")
+    # exact-integer PSI numerator: p_cur - p_ref = (ncur*tr - nref*tc)
+    # / (tc*tr), so the per-bucket terms sum ORDER-INDEPENDENTLY as
+    # integers (decimal(38,0)); one double division at the end
+    lpm = F.floor(F.log(pcur / pref) * 1000000 + 0.5).cast("long")
+    term_num = (
+        (F.col("ncur") * F.col("tr") - F.col("nref") * F.col("tc")).cast("decimal(38,0)") * lpm
+    )
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(term_num.alias("term_num"), "tr", "tc")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.round(
+                F.sum("term_num").cast("double") / F.max("tc") / F.max("tr") / 1000000, 6
+            ).alias("psi"),
+        )
+    )

@@ -2236,3 +2236,67 @@ def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mi_nats"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters via a count-min sketch prefilter + exact verify.
+# The direct plan for "every bigram above 0.1% of corpus mass" is a
+# vocab-sized hash agg — at web scale that shuffle carries 10^9+
+# distinct n-grams, almost all of which are nowhere near the bar.
+# The CMS plan (operators/sketches.py) bounds the first pass at d·w
+# cells (a few KB, mergeable/persistable like the HLL family): pass 1
+# builds the sketch, pass 2 re-scans with the BROADCAST sketch as a
+# pure per-row expression and aggregates ONLY keys whose estimate
+# clears the threshold. CMS never under-counts, so the candidate set
+# provably contains every true heavy hitter; the exact agg over the
+# (tiny) surviving slice makes the result EXACT — which is why a
+# plain SQL HAVING oracle can check it. w=1024 < 916 distinct keys
+# here, so collisions genuinely occur and the verify step genuinely
+# prunes.
+# ---------------------------------------------------------------------------
+@query(
+    "heavy_hitters_cms",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT {_TOKS} AS a FROM documents WHERE {_NTOKS} >= 2
+    ), bg AS (
+      SELECT unnest(list_transform(a[1:len(a)-1], (t, i) -> t || ' ' || a[i+1])) AS bigram
+      FROM toks
+    ), c AS (
+      SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n FROM bg GROUP BY bigram
+    )
+    SELECT bigram, n FROM c
+    WHERE 1000 * n >= (SELECT SUM(n) FROM c)
+    """,
+)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elective_waiting_times_pipeline_spark.operators.sketches import (
+        cms_estimate,
+        count_min_cells,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    bigrams = F.transform(
+        F.slice(toks, 1, F.size(toks) - 1),
+        lambda t, i: F.concat_ws(" ", t, F.element_at(toks, i + F.lit(2))),
+    )
+    bg = (
+        docs.filter(X.token_count("text") >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .localCheckpoint(eager=False)  # sketch pass + verify pass share one materialization
+    )
+    cells = count_min_cells(bg, "bigram", d=4, w=1024)
+    total = cells.filter(F.col("row") == 0).agg(F.sum("cnt").alias("_tot"))
+    candidates = (
+        cms_estimate(bg, cells, "bigram", d=4, w=1024)
+        .crossJoin(F.broadcast(total))
+        # sketch estimates only over-count: no true heavy hitter is lost
+        .filter(1000 * F.col("cms_est") >= F.col("_tot"))
+    )
+    return (
+        candidates.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("_tot").alias("_t"))
+        .filter(1000 * F.col("n") >= F.col("_t"))  # exact verify trims collisions
+        .select("bigram", "n")
+    )
