@@ -117,6 +117,7 @@ _REGISTERED_AFTER_R3 = {
     "mutual_information",
     "heavy_hitters_cms",
     "psi_drift",
+    "ks_test_sources",
 }
 
 

@@ -2300,3 +2300,80 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(1000 * F.col("n") >= F.col("_t"))  # exact verify trims collisions
         .select("bigram", "n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov test (src0 vs src1 on document
+# length): D = max_v |ECDF_a(v) − ECDF_b(v)| — did two feeds draw
+# from the same length distribution? EXACT integer formulation: with
+# cumulative counts c_a(v), c_b(v) and group sizes n_a, n_b, the
+# ECDF gap at v is |c_a·n_b − c_b·n_a| / (n_a·n_b), whose numerator
+# is an exact long — the argmax never compares floats. The cumulative
+# counts come from the same range-bucketed prefix machinery as
+# spearman_corr (operators/rankstats.py's pattern: distinct-value
+# axis only, no corpus-sized window); the final max is a top-1
+# TakeOrdered, not a global sort.
+# ---------------------------------------------------------------------------
+@query(
+    "ks_test_sources",
+    oracle="""
+    WITH t AS (
+      SELECT n_chars AS v, CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS a
+      FROM documents WHERE source IN ('src0', 'src1')
+    ), g AS (
+      SELECT v, CAST(SUM(a) AS BIGINT) AS ca, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM t GROUP BY v
+    ), tot AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS n1, CAST(SUM(cnt - ca) AS BIGINT) AS n2 FROM g
+    ), c AS (
+      SELECT v,
+             SUM(ca) OVER (ORDER BY v) AS c1,
+             SUM(cnt) OVER (ORDER BY v) AS ct,
+             n1, n2
+      FROM g, tot
+    )
+    SELECT n1 AS n_a, n2 AS n_b, v AS ks_at,
+           ROUND(CAST(abs(c1 * n2 - (ct - c1) * n1) AS DOUBLE) / n1 / n2, 6) AS ks_stat
+    FROM c
+    QUALIFY ROW_NUMBER() OVER (ORDER BY abs(c1 * n2 - (ct - c1) * n1) DESC, v) = 1
+    """,
+)
+def ks_test_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("source").isin("src0", "src1"))
+    t = docs.select(
+        F.col("n_chars").alias("v"),
+        F.when(F.col("source") == "src0", 1).otherwise(0).alias("a"),
+    )
+    g = t.groupBy("v").agg(F.sum("a").alias("_ca"), F.count(F.lit(1)).alias("_cnt"))
+    cuts = S.range_cut_points(t, "v", 64)
+    pre = S.ordered_prefix(
+        g,
+        [F.col("v").asc()],
+        S.range_bucket(F.col("v"), cuts),
+        weight="_ca",
+        out_prefix="_c1",
+    )
+    pre = S.ordered_prefix(
+        pre,
+        [F.col("v").asc()],
+        S.range_bucket(F.col("v"), cuts),
+        weight="_cnt",
+        out_prefix="_ct",
+    )
+    tot = g.agg(
+        F.sum("_ca").cast("long").alias("n1"),
+        F.sum(F.col("_cnt") - F.col("_ca")).cast("long").alias("n2"),
+    )
+    num = F.abs(F.col("_c1") * F.col("n2") - (F.col("_ct") - F.col("_c1")) * F.col("n1"))
+    return (
+        pre.crossJoin(F.broadcast(tot))
+        .select("v", "n1", "n2", num.alias("_num"))
+        .orderBy(F.col("_num").desc(), F.col("v"))
+        .limit(1)
+        .select(
+            F.col("n1").alias("n_a"),
+            F.col("n2").alias("n_b"),
+            F.col("v").alias("ks_at"),
+            F.round(F.col("_num").cast("double") / F.col("n1") / F.col("n2"), 6).alias("ks_stat"),
+        )
+    )
