@@ -2053,6 +2053,7 @@ def stratified_exact_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "chunk_dedup_exact",
+    headline=True,
     oracle=rf"""
     WITH t AS (
       SELECT doc_id, {_TOKS} AS w, CAST({_NTOKS} AS INT) AS n
@@ -2149,6 +2150,7 @@ def flagged_word_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "spearman_corr",
+    headline=True,
     oracle=rf"""
     WITH t AS (
       SELECT n_chars AS x, CAST({_NTOKS} AS BIGINT) AS y FROM documents
@@ -2256,6 +2258,7 @@ def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "heavy_hitters_cms",
+    headline=True,
     oracle=rf"""
     WITH toks AS (
       SELECT {_TOKS} AS a FROM documents WHERE {_NTOKS} >= 2

@@ -197,3 +197,52 @@ def stream_to_lake_with_dq(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_maintain_count_min(
+    source: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    key_col: str = "key",
+    d: int = 4,
+    w: int = 1024,
+    query_name: str = "cms_maintain",
+) -> StreamingQuery:
+    """Streaming maintenance of a count-min frequency sketch
+    (operators/sketches.py): each micro-batch's keys collapse to a
+    <= d·w cell grid that lands under its own ``batch=<id>`` partition
+    — the sketch for any point in time is the plain SUM over landed
+    cells, because count-min cells merge by addition. Replays are
+    exactly-once by the same trick as the vector store: a re-run batch
+    rewrites exactly its own ``batch`` leaf, so cells never
+    double-count. The store grows by at most d·w rows per batch no
+    matter how many events the batch carried; compact old batches by
+    re-summing into one leaf whenever leaf count matters."""
+    from elective_waiting_times_pipeline_spark.operators.sketches import count_min_cells
+
+    def land(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        cells = count_min_cells(batch, key_col, d=d, w=w).withColumn(
+            "batch", F.lit(batch_id)
+        )
+        overwrite_partitions(cells, store_path, partition_cols=("batch",))
+
+    return (
+        source.writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint_path)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_count_min(spark: SparkSession, store_path: str) -> DataFrame:
+    """Collapse a streamed count-min store back to one (row, col, cnt)
+    cell grid — the exact sketch a single batch pass would have built
+    over the union of every landed micro-batch."""
+    return (
+        spark.read.parquet(store_path)
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
