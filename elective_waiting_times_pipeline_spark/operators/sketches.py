@@ -82,9 +82,15 @@ def cms_estimate(
 ) -> DataFrame:
     """Attach `cms_est` — the count-min estimate (min over the d row
     counters) — to every row of `keys`. The cell grid collapses into
-    ONE broadcast map row (<= d·w entries, a few KB), so estimation
-    is a pure per-row expression: no join, no shuffle. Guarantees
-    cms_est >= true count."""
+    ONE broadcast row holding a DENSE d·w array (a few KB), so
+    estimation is a pure per-row expression: no join, no shuffle, and
+    each lookup is O(1) positional `element_at` on the array.
+    (A map<long,long> of the sparse cells reads nicer but Spark's
+    ArrayBasedMapData makes `element_at(map, k)` a LINEAR scan of all
+    entries — at d=4, w=1024 that's 16k comparisons per input row,
+    measured 30x slower over a ×100 corpus. The map→dense-array
+    transform below pays that scan once, on the single broadcast
+    row.) Guarantees cms_est >= true count."""
     m = cells.groupBy().agg(
         F.map_from_entries(
             F.collect_list(
@@ -92,18 +98,21 @@ def cms_estimate(
             )
         ).alias("_m")
     )
+    dense = m.select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(d * w - 1)),
+            lambda i: F.coalesce(F.element_at(F.col("_m"), i.cast("long")), F.lit(0)),
+        ).alias("_a")
+    )
     est = F.least(
         *[
-            F.coalesce(
-                F.element_at(
-                    F.col("_m"),
-                    (F.lit(r) * w + F.pmod(F.xxhash64(F.col(key_col), F.lit(r)), F.lit(w))).cast(
-                        "long"
-                    ),
-                ),
-                F.lit(0),
+            F.element_at(
+                F.col("_a"),
+                (
+                    F.lit(r) * w + F.pmod(F.xxhash64(F.col(key_col), F.lit(r)), F.lit(w)) + 1
+                ).cast("int"),
             )
             for r in range(d)
         ]
     )
-    return keys.crossJoin(F.broadcast(m)).withColumn("cms_est", est.cast("long")).drop("_m")
+    return keys.crossJoin(F.broadcast(dense)).withColumn("cms_est", est.cast("long")).drop("_a")

@@ -104,6 +104,32 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col)).cast("int")
 
 
+def bigrams(toks: Column) -> Column:
+    """Adjacent token pairs as "a b" strings — zip_with over two
+    shifted slices, O(L) per document. The tempting
+    transform(slice, (t, i) -> element_at(toks, i+2)) form is O(L²):
+    element_at walks the array per call, and a 10k-token document
+    pays 10⁸ steps (measured 13 s vs sub-second for one corpus pass
+    at sf0.1)."""
+    n = F.size(toks)
+    return F.zip_with(
+        F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1), lambda a, b: F.concat_ws(" ", a, b)
+    )
+
+
+def trigrams(toks: Column) -> Column:
+    """Adjacent token triples as "a b c" strings — same O(L) shifted-
+    slice construction as `bigrams`."""
+    n = F.size(toks)
+    return F.zip_with(
+        F.zip_with(
+            F.slice(toks, 1, n - 2), F.slice(toks, 2, n - 2), lambda a, b: F.concat_ws(" ", a, b)
+        ),
+        F.slice(toks, 3, n - 2),
+        lambda ab, c: F.concat_ws(" ", ab, c),
+    )
+
+
 # GPT-2-style pre-tokenizer pattern (contractions | space?-letter-run |
 # space?-digit-run | space?-punct-run), with the original's trailing
 # `\s+(?!\S)` lookahead dropped: RE2 (DuckDB's engine) has no

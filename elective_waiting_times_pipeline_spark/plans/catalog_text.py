@@ -383,13 +383,9 @@ def simhash_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = X.tokens("text")
-    bigrams = F.transform(
-        F.slice(toks, 1, F.size(toks) - 1),
-        lambda t, i: F.concat_ws(" ", t, F.element_at(toks, i + F.lit(2))),
-    )
     return (
         docs.filter(X.token_count("text") >= 2)
-        .select(F.explode(bigrams).alias("bigram"))
+        .select(F.explode(X.bigrams(toks)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("bigram"))
@@ -1974,15 +1970,9 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def boilerplate_gram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = X.tokens("text")
-    tri = F.transform(
-        F.slice(toks, 1, F.size(toks) - 2),
-        lambda t, i: F.concat_ws(
-            " ", t, F.element_at(toks, i + F.lit(2)), F.element_at(toks, i + F.lit(3))
-        ),
-    )
     grams = (
         docs.filter(X.token_count("text") >= 3)
-        .select("doc_id", F.explode(tri).alias("gram"))
+        .select("doc_id", F.explode(X.trigrams(toks)).alias("gram"))
     )
     dfreq = grams.groupBy("gram").agg(F.countDistinct("doc_id").alias("dfc"))
     boiler = F.when(F.col("dfc") >= 3, F.lit(1)).otherwise(F.lit(0))
@@ -2252,9 +2242,9 @@ def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
 # clears the threshold. CMS never under-counts, so the candidate set
 # provably contains every true heavy hitter; the exact agg over the
 # (tiny) surviving slice makes the result EXACT — which is why a
-# plain SQL HAVING oracle can check it. w=1024 < 916 distinct keys
-# here, so collisions genuinely occur and the verify step genuinely
-# prunes.
+# plain SQL HAVING oracle can check it. 916 distinct bigrams hash
+# into w=1024 columns here, so collisions genuinely occur (birthday
+# bound) and the verify step genuinely prunes.
 # ---------------------------------------------------------------------------
 @query(
     "heavy_hitters_cms",
@@ -2280,13 +2270,9 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = X.tokens("text")
-    bigrams = F.transform(
-        F.slice(toks, 1, F.size(toks) - 1),
-        lambda t, i: F.concat_ws(" ", t, F.element_at(toks, i + F.lit(2))),
-    )
     bg = (
         docs.filter(X.token_count("text") >= 2)
-        .select(F.explode(bigrams).alias("bigram"))
+        .select(F.explode(X.bigrams(toks)).alias("bigram"))
         .localCheckpoint(eager=False)  # sketch pass + verify pass share one materialization
     )
     cells = count_min_cells(bg, "bigram", d=4, w=1024)
