@@ -118,6 +118,7 @@ _REGISTERED_AFTER_R3 = {
     "heavy_hitters_cms",
     "psi_drift",
     "ks_test_sources",
+    "feature_scale_profile",
 }
 
 

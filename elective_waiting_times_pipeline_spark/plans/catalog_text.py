@@ -2366,3 +2366,61 @@ def ks_test_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("_num").cast("double") / F.col("n1") / F.col("n2"), 6).alias("ks_stat"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group feature scaling (min-max + z-score of document length
+# within each language) — the standard ML-preprocessing pair, written
+# so both engines agree bit-for-bit: the z-score is algebraically
+# rearranged to (n·x − S) / sqrt(n·Q − S²) (population σ), giving an
+# exact INTEGER numerator and radicand — no mean/variance doubles
+# ever enter the comparison; min-max is likewise one division of two
+# integer differences. Group moments are one hash agg broadcast back
+# onto the scan (per-lang cardinality, bounded).
+# ---------------------------------------------------------------------------
+@query(
+    "feature_scale_profile",
+    oracle="""
+    WITH m AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS s,
+             CAST(SUM(n_chars * n_chars) AS BIGINT) AS q,
+             CAST(MIN(n_chars) AS BIGINT) AS mn,
+             CAST(MAX(n_chars) AS BIGINT) AS mx
+      FROM documents GROUP BY 1
+    )
+    SELECT doc_id, documents.lang,
+           ROUND(CASE WHEN mx = mn THEN 0.0
+                      ELSE CAST(n_chars - mn AS DOUBLE) / (mx - mn) END, 6) AS minmax_scaled,
+           ROUND(CASE WHEN n * q - s * s = 0 THEN 0.0
+                      ELSE CAST(n * n_chars - s AS DOUBLE)
+                           / sqrt(CAST(n * q - s * s AS DOUBLE)) END, 6) AS zscore
+    FROM documents JOIN m USING (lang)
+    """,
+)
+def feature_scale_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.groupBy(F.col("lang").alias("_lang")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("q"),
+        F.min("n_chars").alias("mn"),
+        F.max("n_chars").alias("mx"),
+    )
+    minmax = F.when(F.col("mx") == F.col("mn"), F.lit(0.0)).otherwise(
+        (F.col("n_chars") - F.col("mn")).cast("double") / (F.col("mx") - F.col("mn"))
+    )
+    rad = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    z = F.when(rad == 0, F.lit(0.0)).otherwise(
+        (F.col("n") * F.col("n_chars") - F.col("s")).cast("double") / F.sqrt(rad.cast("double"))
+    )
+    return (
+        docs.join(F.broadcast(m), F.col("lang") == F.col("_lang"))
+        .select(
+            "doc_id",
+            "lang",
+            F.round(minmax, 6).alias("minmax_scaled"),
+            F.round(z, 6).alias("zscore"),
+        )
+    )
