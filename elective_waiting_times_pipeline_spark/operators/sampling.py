@@ -239,6 +239,8 @@ def range_cut_points(
     monotone bucketing yields the same exact ranks, a degenerate cut
     list merely loses fan-out."""
     qs = [i / n_buckets for i in range(1, n_buckets)]
+    if not qs:  # n_buckets <= 1: one bucket, no cut points
+        return []
     cuts = df.approxQuantile(value, qs, rel_err)
     return sorted(set(cuts))
 

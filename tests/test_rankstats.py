@@ -101,3 +101,33 @@ def test_mann_whitney_ignores_other_groups_and_nulls(spark):
     df = spark.createDataFrame(rows, "g string, v double")
     got = mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
     assert (got.n_a, got.n_b) == (2, 2)
+
+
+# ---------------------------------------------------------------------------
+# property: the distributed doubled-rank map equals the naive global
+# window on arbitrary multisets (ties, negatives, huge gaps), under an
+# arbitrary bucket count — exactness must not depend on bucket balance
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vals=st.lists(
+        st.sampled_from([-5.0, -1.0, 0.0, 0.5, 2.0, 2.0, 3.0, 1e9]), min_size=1, max_size=40
+    ),
+    n_buckets=st.sampled_from([1, 2, 7]),
+)
+def test_doubled_rank_property(spark, vals, n_buckets):
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {
+        r.x: r.r2 for r in doubled_avg_rank(df, "x", "r2", n_buckets=n_buckets).collect()
+    }
+    # doubled tie-averaged rank from first principles
+    import collections
+
+    cnt = collections.Counter(vals)
+    below = 0
+    for v in sorted(cnt):
+        assert got[v] == 2 * below + cnt[v] + 1, (v, got, cnt)
+        below += cnt[v]
