@@ -119,6 +119,7 @@ _REGISTERED_AFTER_R3 = {
     "psi_drift",
     "ks_test_sources",
     "feature_scale_profile",
+    "skew_adaptive_agg",
 }
 
 

@@ -49,3 +49,70 @@ def salted_join_left(
     small_s = small.select("*", salts)
     out = big_s.join(small_s, on=[on, "_salt"], how="left")
     return out.drop("_salt")
+
+
+def adaptive_salted_sum(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    salt: int = 16,
+    sample_fraction: float = 0.05,
+    hot_min_sampled: int = 50,
+    out_col: str = "total",
+) -> DataFrame:
+    """Partial (hot-key-only) salting — the production middle ground
+    between `salted_sum` (salts every key: `salt`× more partial groups
+    even for the cold long tail) and a plain groupBy (one reducer eats
+    the mega-key). A cheap deterministic hash sample estimates which
+    keys are hot; ONLY those route through the salt fan-out, the cold
+    tail aggregates directly, and the two partial relations merge in
+    the final per-group agg.
+
+    Correctness does not depend on the detector: sum is associative,
+    so a missed hot key (slow, not wrong) or a false positive (a few
+    wasted partials) both still produce exactly the plain-groupBy
+    result — which is why a plain SQL oracle can check this. The hot
+    set is detected from a `sample_fraction` hash sample (seeded,
+    layout-independent) with an expected-count floor of
+    `hot_min_sampled` rows IN THE SAMPLE; the resulting key list
+    broadcasts (hot keys are few by definition — a hot set that
+    doesn't fit a broadcast means salting everything, i.e.
+    `salted_sum`).
+
+    The sample hashes EVERY column (not the group key — a key-level
+    hash would put each key fully in or fully out of the sample,
+    detecting only a `sample_fraction` of the hot keys), so it is
+    deterministic and layout-independent; rows byte-identical across
+    all columns sample together, which only matters if a hot key's
+    rows are ALSO all identical — then their shared hash either
+    samples the whole pile (count >> floor, detected) or none
+    (missed -> slow, never wrong)."""
+    sampled = df.filter(
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns], F.lit("adsalt")), F.lit(1000000))
+        < int(sample_fraction * 1000000)
+    )
+    hot = (
+        sampled.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= hot_min_sampled)
+        .select(*group_cols)
+    )
+    marked = df.join(F.broadcast(hot.withColumn("_hot", F.lit(1))), list(group_cols), "left")
+    hot_rows = marked.filter(F.col("_hot").isNotNull()).withColumn(
+        "_salt", (F.rand(seed=42) * salt).cast("int")
+    )
+    hot_part = (
+        hot_rows.groupBy(*group_cols, "_salt")
+        .agg(F.sum(value_col).alias("_part"))
+        .drop("_salt")
+    )
+    cold_part = (
+        marked.filter(F.col("_hot").isNull())
+        .groupBy(*group_cols)
+        .agg(F.sum(value_col).alias("_part"))
+    )
+    return (
+        hot_part.unionByName(cold_part)
+        .groupBy(*group_cols)
+        .agg(F.sum("_part").alias(out_col))
+    )

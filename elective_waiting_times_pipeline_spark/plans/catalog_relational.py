@@ -1345,3 +1345,34 @@ def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         risk.cast("long").alias("rows_at_risk"),
         F.round(risk.cast("double") / F.sum("class_size"), 6).alias("at_risk_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Adaptive (hot-key-only) salting — the production refinement of
+# skew_salted_agg: a deterministic row-level hash sample detects
+# which group keys are hot, ONLY those fan out over the salt, the
+# cold tail aggregates directly, and the two partials merge. The
+# l_returnflag axis (3 mega-hot values) routes everything through the
+# hot path here; correctness never depends on the detector (sum is
+# associative — missed hot key = slow, not wrong), which is why the
+# plain-SQL oracle can hash-check it.
+# ---------------------------------------------------------------------------
+@query(
+    "skew_adaptive_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def skew_adaptive_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elective_waiting_times_pipeline_spark.operators.skew import adaptive_salted_sum
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", sl2("l_quantity").alias("_q")
+    )
+    out = adaptive_salted_sum(
+        li, ["l_returnflag"], "_q", salt=16, sample_fraction=0.05, hot_min_sampled=20
+    )
+    return out.select("l_returnflag", (F.col("total") / 100.0).alias("sum_qty"))

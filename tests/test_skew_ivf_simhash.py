@@ -181,3 +181,34 @@ def test_ivf_fit_centroid_table_shape(spark):
     assert sorted(r.cell for r in cents) == list(range(8))
     dims = {len(r.centroid) for r in cents}
     assert dims == {64}
+
+
+def test_adaptive_salted_sum_exact_and_detects_hot(spark):
+    """Partial salting: equals plain groupBy-sum exactly, and the
+    detector actually routes a mega-hot key through the salt path."""
+    from elective_waiting_times_pipeline_spark.operators.skew import adaptive_salted_sum
+
+    rows = [("hot", float(i % 7)) for i in range(5000)] + [
+        (f"cold{i}", float(i)) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {
+        r.k: r.total
+        for r in adaptive_salted_sum(
+            df, ["k"], "v", salt=8, sample_fraction=0.1, hot_min_sampled=100
+        ).collect()
+    }
+    want = {r.k: r.s for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()}
+    assert got == want
+    # the detector sees ~500 sampled rows for "hot" (>> floor 100) and
+    # ~0-1 per cold key: exactly one key fans out over the salt
+    sampled = df.filter(
+        F.pmod(F.xxhash64("k", "v", F.lit("adsalt")), F.lit(1000000)) < 100000
+    )
+    hot = (
+        sampled.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 100)
+        .collect()
+    )
+    assert [r.k for r in hot] == ["hot"]
