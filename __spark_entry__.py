@@ -120,6 +120,7 @@ _REGISTERED_AFTER_R3 = {
     "ks_test_sources",
     "feature_scale_profile",
     "skew_adaptive_agg",
+    "join_null_safe",
 }
 
 

@@ -1376,3 +1376,39 @@ def skew_adaptive_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, ["l_returnflag"], "_q", salt=16, sample_fraction=0.05, hot_min_sampled=20
     )
     return out.select("l_returnflag", (F.col("total") / 100.0).alias("sum_qty"))
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equality join (<=> / IS NOT DISTINCT FROM) — the one join
+# semantic the rest of the catalog's equi-joins never exercise: NULL
+# keys MATCH each other instead of dropping out. The practical case
+# is joining two aggregates whose group key is nullable (here:
+# event_type with one value nulled out on each side) without
+# coalescing to a sentinel. Spark plans <=> as an ordinary hash join
+# on a null-wrapped key — same shuffle shape as plain equality.
+# ---------------------------------------------------------------------------
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (
+      SELECT nullif(event_type, 'error') AS k, CAST(COUNT(*) AS BIGINT) AS na
+      FROM events GROUP BY 1
+    ), b AS (
+      SELECT nullif(event_type, 'view') AS k, CAST(COUNT(*) AS BIGINT) AS nb
+      FROM events GROUP BY 1
+    )
+    SELECT a.k AS key_a, b.k AS key_b, na, nb
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.groupBy(F.nullif(F.col("event_type"), F.lit("error")).alias("ka")).agg(
+        F.count(F.lit(1)).alias("na")
+    )
+    b = ev.groupBy(F.nullif(F.col("event_type"), F.lit("view")).alias("kb")).agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    return a.join(b, F.col("ka").eqNullSafe(F.col("kb"))).select(
+        F.col("ka").alias("key_a"), F.col("kb").alias("key_b"), "na", "nb"
+    )
