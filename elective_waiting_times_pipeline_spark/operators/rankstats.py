@@ -34,7 +34,9 @@ the distinct-value axis, one equi-join back for Spearman's
 cross-moment); the per-value relation is |distinct| rows, range-
 bucketed so no task ever sees more than ~1/64th of it; nothing is
 collected to the driver except the ~63 approx-quantile cut points.
-The decimal(38,0) sums hold to n ≈ 10^18 rows.
+The decimal(38,0) sums hold while the largest moment fits 38 digits:
+Σ r2² ≈ 4n³, so n ≲ 3·10¹² rows (the final rho/z combine happens in
+double AFTER the exact sums, so no larger product is ever stored).
 """
 
 from __future__ import annotations
