@@ -121,6 +121,7 @@ _REGISTERED_AFTER_R3 = {
     "feature_scale_profile",
     "skew_adaptive_agg",
     "join_null_safe",
+    "quantization_error_profile",
 }
 
 

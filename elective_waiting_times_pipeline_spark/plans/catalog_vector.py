@@ -737,3 +737,48 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cosine generator runs once, not once per branch
     pairs = S.cosine_near_dup_pairs(emb, threshold=0.35).localCheckpoint(eager=False)
     return triangle_stats(pairs.select("id_a", "id_b"))
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization fidelity profile — how much cosine geometry the
+# 4x-compressed vector store (quantize_int8, the ANN scale path's
+# storage format) gives up, per label: mean and worst cosine between
+# each float vector and its own int8 quantization. Each cosine snaps
+# to exact ppm (floor(cos·1e6 + 0.5)) BEFORE aggregating, so the sums
+# are order-independent integers; quantization itself is per-element
+# IEEE math both engines reproduce exactly (no float summation in q).
+# ---------------------------------------------------------------------------
+@query(
+    "quantization_error_profile",
+    oracle="""
+    WITH q AS (
+      SELECT label,
+             CAST(embedding AS DOUBLE[]) AS e,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> floor(127 * x / list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                                            y -> abs(y))) + 0.5)) AS qv
+      FROM embeddings
+    ), c AS (
+      SELECT label,
+             CAST(floor(list_cosine_similarity(e, qv) * 1000000 + 0.5) AS BIGINT) AS ppm
+      FROM q
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(CAST(SUM(ppm) AS DOUBLE) / COUNT(*) / 1000000, 6) AS mean_cos,
+           ROUND(CAST(MIN(ppm) AS DOUBLE) / 1000000, 6) AS worst_cos
+    FROM c GROUP BY label
+    """,
+)
+def quantization_error_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    _, qv = S.quantize_int8(F.col("embedding"))
+    qd = F.transform(qv, lambda x: x.cast("double"))
+    ppm = F.floor(S.cosine(e, qd) * 1000000 + 0.5).cast("long")
+    c = emb.select("label", ppm.alias("ppm"))
+    return c.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.sum("ppm").cast("double") / F.count(F.lit(1)) / 1000000, 6).alias("mean_cos"),
+        F.round(F.min("ppm").cast("double") / 1000000, 6).alias("worst_cos"),
+    )
