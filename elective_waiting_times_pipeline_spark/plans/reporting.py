@@ -286,3 +286,51 @@ def delta_pre_post(
 ) -> DataFrame:
     """Pivot-then-subtract delta (3b.R:119-120)."""
     return pivoted.withColumn(out_col, F.col(f"`{post_col}`") - F.col(f"`{pre_col}`"))
+
+
+def heatmap_chart(eye: DataFrame, ortho: DataFrame) -> DataFrame:
+    """Regional heatmap table (Charts.R:135-181, chart3_heat): from the
+    two sub-national extracts (der_activity_month, var_1=region, name,
+    prop, sector, value), keep Independent Sector inpatient admissions,
+    label each month "MMM yy" (lubridate month abbr + 2-digit year),
+    tag the specialty, stack the two files, and attach `region_rank` —
+    the reference's fct_relevel ordering: regions sorted by DESCENDING
+    mean ophthalmology share since 2022-01-01 (Charts.R:169-176).
+    The rank is a ~7-row broadcast relation (one per region), so the
+    custom categorical order costs no extra corpus pass."""
+    def slice_one(df: DataFrame, specialty: str) -> DataFrame:
+        return (
+            df.filter(
+                (F.col("sector") == "Independent Sector")
+                & (F.col("name") == "Inpatient admissions")
+            )
+            .select(
+                "der_activity_month",
+                F.col("var_1").alias("region"),
+                F.lit(specialty).alias("specialty"),
+                "prop",
+                F.concat_ws(
+                    " ",
+                    F.date_format("der_activity_month", "MMM"),
+                    F.date_format("der_activity_month", "yy"),
+                ).alias("monthyear"),
+            )
+        )
+
+    stacked = slice_one(eye, "Ophthalmology").unionByName(slice_one(ortho, "Orthopaedic"))
+    order_src = stacked.filter(
+        (F.col("der_activity_month") >= F.lit("2022-01-01").cast("date"))
+        & (F.col("specialty") == "Ophthalmology")
+    )
+    from pyspark.sql import Window
+
+    ranks = (
+        order_src.groupBy(F.col("region").alias("_r"))
+        .agg(F.avg("prop").alias("_mp"))
+        # ~7 regions: the rank window rides a dim-sized axis
+        .withColumn("region_rank", F.row_number().over(Window.orderBy(F.desc("_mp"), "_r")))
+        .select("_r", "region_rank")
+    )
+    return stacked.join(
+        F.broadcast(ranks), stacked["region"] == ranks["_r"], "left"
+    ).select("der_activity_month", "region", "specialty", "prop", "monthyear", "region_rank")

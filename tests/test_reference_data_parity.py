@@ -130,3 +130,112 @@ def test_chart2_shape_and_grid_balance(chart2):
     assert n_counts["n"] == n_shares["n"] > 0
     assert n_counts["n_share"] == 0 and n_shares["n_is"] == 0
     assert n_counts["n_is"] == n_counts["n"]
+
+
+# ---------------------------------------------------------------------------
+# chart3_heat (Charts.R:135-181): the regional heatmap table over the
+# two committed SUB-national extracts — a different real consumer
+# shape than chart2 (month "MMM yy" labels, two-file stack, and the
+# fct_relevel region ordering derived from mean ophthalmology share
+# since 2022).
+# ---------------------------------------------------------------------------
+SUB_EXTRACTS = [
+    f"{REF_DATA}/1-1-1 Sub-national ophthalmic trends in independent sector provision of elective care.csv",
+    f"{REF_DATA}/1-1-1 Sub-national orthopaedic trends in independent sector provision of elective care.csv",
+]
+
+SUB_SCHEMA = T.StructType(
+    [
+        T.StructField("", T.IntegerType()),
+        T.StructField("der_activity_month", T.DateType()),
+        T.StructField("var_1", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("prop", T.DoubleType()),
+        T.StructField("sector", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+_DUCK_HEAT = """
+WITH raw AS (
+  SELECT der_activity_month, var_1 AS region, prop
+  FROM read_csv(?, header=true)
+  WHERE sector = 'Independent Sector' AND name = 'Inpatient admissions'
+)
+SELECT der_activity_month, region, ? AS specialty, prop,
+       strftime(der_activity_month, '%b %y') AS monthyear
+FROM raw
+"""
+
+
+@pytest.fixture(scope="module")
+def chart3(spark):
+    from elective_waiting_times_pipeline_spark.plans.reporting import heatmap_chart
+
+    eye = read_csv_checked(spark, SUB_EXTRACTS[0], schema=SUB_SCHEMA).drop("X")
+    ortho = read_csv_checked(spark, SUB_EXTRACTS[1], schema=SUB_SCHEMA).drop("X")
+    return heatmap_chart(eye, ortho)
+
+
+def test_chart3_heat_matches_independent_engine(chart3):
+    con = duckdb.connect()
+    import pandas as pd
+
+    want = pd.concat(
+        [
+            con.execute(_DUCK_HEAT, [SUB_EXTRACTS[0], "Ophthalmology"]).fetchdf(),
+            con.execute(_DUCK_HEAT, [SUB_EXTRACTS[1], "Orthopaedic"]).fetchdf(),
+        ],
+        ignore_index=True,
+    )
+    got = chart3.drop("region_rank").toPandas()
+    for frame in (want, got):
+        frame["der_activity_month"] = pd.to_datetime(frame["der_activity_month"])
+    want, got = _normalize(want), _normalize(got)
+    assert list(got.columns) == list(want.columns)
+    assert got.shape == want.shape and got.shape[0] > 0
+    for c in got.columns:
+        g, w = got[c], want[c]
+        if g.dtype.kind == "f":
+            import numpy as np
+
+            assert np.allclose(g, w, rtol=0, atol=1e-9), c
+        else:
+            assert g.equals(w), c
+
+
+def test_chart3_region_rank_matches_reference_ordering(chart3):
+    # replicate Charts.R:169-176 order_regions in DuckDB and compare
+    con = duckdb.connect()
+    want_order = [
+        r[0]
+        for r in con.execute(
+            """
+            SELECT var_1 FROM read_csv(?, header=true)
+            WHERE sector = 'Independent Sector' AND name = 'Inpatient admissions'
+              AND der_activity_month >= DATE '2022-01-01'
+            GROUP BY var_1 ORDER BY AVG(prop) DESC, var_1
+            """,
+            [SUB_EXTRACTS[0]],
+        ).fetchall()
+    ]
+    got = (
+        chart3.select("region", "region_rank")
+        .distinct()
+        .orderBy("region_rank")
+        .collect()
+    )
+    assert [r.region for r in got] == want_order
+    assert [r.region_rank for r in got] == list(range(1, len(want_order) + 1))
+
+
+def test_chart3_monthyear_label_spot_value(chart3):
+    # first committed row: 2018-02-01 East of England -> "Feb 18"
+    row = chart3.filter(
+        (F.col("der_activity_month") == F.lit("2018-02-01").cast("date"))
+        & (F.col("region") == "East of England")
+        & (F.col("specialty") == "Ophthalmology")
+    ).collect()
+    assert len(row) == 1
+    assert row[0].monthyear == "Feb 18"
+    assert abs(row[0].prop - 10.5207600281492) < 1e-9
