@@ -85,7 +85,7 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "month_series",
     oracle="""
-    SELECT CAST(unnest(generate_series(DATE '2018-04-01', DATE '2020-03-01', INTERVAL 1 MONTH)) AS DATE) AS month_start
+    SELECT CAST(unnest(generate_series(DATE '2018-04-01', DATE '2020-03-01', INTERVAL 1 MONTH)) AS TIMESTAMP) AS month_start
     """,
 )
 def month_series(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -96,8 +96,11 @@ def month_series(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("2020-03-01").cast("date"),
                 F.expr("INTERVAL 1 MONTH"),
             )
-        ).alias("month_start")
-    )
+        ).alias("_m")
+        # TIMESTAMP, not DATE: the rest of the catalog's time columns
+        # are timestamps (the driver-green mapping on both engines);
+        # this was the lone DateType output in all 194 queries
+    ).select(F.col("_m").cast("timestamp").alias("month_start"))
 
 
 # ---------------------------------------------------------------------------
