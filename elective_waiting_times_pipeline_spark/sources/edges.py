@@ -177,3 +177,37 @@ def read_csv_tolerant(
         .option("columnNameOfCorruptRecord", corrupt_col)
         .csv(path, **opts)
     )
+
+
+def read_xml_table(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: str | None = None,
+    corrupt_col: str = "_corrupt_record",
+    **options,
+) -> DataFrame:
+    """XML document(s) → DataFrame via Spark 4's NATIVE xml source
+    (distributed scan — unlike the Excel edge, this handles fact-sized
+    inputs): one output row per `row_tag` element, attributes as
+    `_attr` columns, nested elements as structs. With an explicit
+    `schema` the scan runs PERMISSIVE like read_csv_tolerant — a
+    malformed element lands its raw text in `corrupt_col` instead of
+    killing the job; schema inference (schema=None) keeps the source's
+    default FAILFAST-on-garbage behavior for exploration.
+
+    The reference's ingestion family (SURVEY §2.1) covers CSV / Excel
+    / HTML link-scrape / zip; XML completes the landing-zone formats a
+    public-data pipeline meets (NHS publishes several extracts as XML
+    feeds)."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        full = schema.rstrip() + f", {corrupt_col} string"
+        reader = (
+            reader.schema(full)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", corrupt_col)
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)

@@ -199,3 +199,33 @@ def test_csv_tolerant_captures_malformed_rows(spark, tmp_path):
     bad = df.filter(F.col("_corrupt_record").isNotNull())
     assert sorted((r.k, r.v) for r in good.collect()) == [(1, 2.5), (2, 4.0)]
     assert bad.count() == 1 and "oops_extra" in bad.collect()[0]._corrupt_record
+
+
+def test_read_xml_table_basic_and_tolerant(spark, tmp_path):
+    """Spark 4 native XML edge: row extraction, explicit-schema
+    PERMISSIVE mode with corrupt capture, attribute columns."""
+    from elective_waiting_times_pipeline_spark.sources.edges import read_xml_table
+
+    p = str(tmp_path / "feed.xml")
+    with open(p, "w") as f:
+        f.write(
+            "<feed>"
+            "<rec id=\"a\"><qty>3</qty><who>amy</who></rec>"
+            "<rec id=\"b\"><qty>notanumber</qty><who>bob</who></rec>"
+            "<rec id=\"c\"><qty>7</qty><who>cal</who></rec>"
+            "</feed>"
+        )
+    # inferred schema: all rows arrive, qty falls back to string
+    inferred = read_xml_table(spark, p, row_tag="rec")
+    assert inferred.count() == 3
+    assert "_id" in inferred.columns  # attribute surfaced
+    # explicit schema: the bad qty row lands in the corrupt column
+    df = read_xml_table(spark, p, row_tag="rec", schema="_id string, qty int, who string")
+    rows = {r["_id"]: r for r in df.collect()}
+    assert rows["a"]["qty"] == 3 and rows["c"]["qty"] == 7
+    assert rows["b"]["qty"] is None
+    # Spark disallows plans that reference ONLY the corrupt column on a
+    # raw scan — judge corruption from the collected rows instead
+    good = [i for i, r in rows.items() if r["_corrupt_record"] is None]
+    assert sorted(good) == ["a", "c"]
+    assert rows["b"]["_corrupt_record"] is not None
