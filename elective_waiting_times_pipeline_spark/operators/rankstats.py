@@ -119,7 +119,12 @@ def spearman_rho(df: DataFrame, x: str, y: str, n_buckets: int = 64) -> DataFram
     den = F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
     return agg.select(
         F.col("_n").cast("long").alias("n"),
-        F.round(F.when(den == 0, F.lit(0.0)).otherwise(num / den), 6).alias("spearman_rho"),
+        # den == 0 (constant column): NULL, matching what the oracle's
+        # unguarded x/0 yields in DuckDB (double/0 is NULL there); the
+        # CASE also keeps ANSI Spark from aborting on the division
+        F.round(
+            F.when(den == 0, F.lit(None).cast("double")).otherwise(num / den), 6
+        ).alias("spearman_rho"),
     )
 
 
@@ -169,12 +174,21 @@ def mann_whitney_u(
     n = na + nb
     u = (F.col("_r2a").cast("double") - na * (na + F.lit(1.0))) / F.lit(2.0)
     mu = na * nb / F.lit(2.0)
-    var = na * nb / F.lit(12.0) * ((n + F.lit(1.0)) - F.col("_tsum").cast("double") / (n * (n - F.lit(1.0))))
+    # n <= 1 would divide by n*(n-1) == 0 (ANSI abort); gate the tie
+    # term so the degenerate single-row input falls through to the
+    # var <= 0 branch below instead
+    var = F.when(n <= 1, F.lit(0.0)).otherwise(
+        na * nb / F.lit(12.0)
+        * ((n + F.lit(1.0)) - F.col("_tsum").cast("double") / (n * (n - F.lit(1.0))))
+    )
     return agg.select(
         F.col("_na").alias("n_a"),
         F.col("_nb").alias("n_b"),
         u.alias("u_stat"),
-        F.round(F.when(var <= 0, F.lit(0.0)).otherwise((u - mu) / F.sqrt(var)), 6).alias(
-            "z_score"
-        ),
+        # var <= 0 (one group empty / all values tied): NULL, matching
+        # the oracle's unguarded x/sqrt(0) -> NULL under DuckDB's
+        # double/0 semantics; the CASE also prevents the ANSI abort
+        F.round(
+            F.when(var <= 0, F.lit(None).cast("double")).otherwise((u - mu) / F.sqrt(var)), 6
+        ).alias("z_score"),
     )

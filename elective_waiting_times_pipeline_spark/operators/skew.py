@@ -98,21 +98,15 @@ def adaptive_salted_sum(
         .select(*group_cols)
     )
     marked = df.join(F.broadcast(hot.withColumn("_hot", F.lit(1))), list(group_cols), "left")
-    hot_rows = marked.filter(F.col("_hot").isNotNull()).withColumn(
-        "_salt", (F.rand(seed=42) * salt).cast("int")
+    # ONE corpus scan: cold keys take salt 0 (their partial is already
+    # final), hot keys fan out over [0, salt); the merge agg then moves
+    # at most `salt` rows per hot key and 1 per cold key — identical
+    # result to a filter-split union at half the scans
+    salted = marked.withColumn(
+        "_salt",
+        F.when(F.col("_hot").isNotNull(), (F.rand(seed=42) * salt).cast("int")).otherwise(
+            F.lit(0)
+        ),
     )
-    hot_part = (
-        hot_rows.groupBy(*group_cols, "_salt")
-        .agg(F.sum(value_col).alias("_part"))
-        .drop("_salt")
-    )
-    cold_part = (
-        marked.filter(F.col("_hot").isNull())
-        .groupBy(*group_cols)
-        .agg(F.sum(value_col).alias("_part"))
-    )
-    return (
-        hot_part.unionByName(cold_part)
-        .groupBy(*group_cols)
-        .agg(F.sum("_part").alias(out_col))
-    )
+    partial = salted.groupBy(*group_cols, "_salt").agg(F.sum(value_col).alias("_part"))
+    return partial.groupBy(*group_cols).agg(F.sum("_part").alias(out_col))

@@ -2322,7 +2322,9 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM g, tot
     )
     SELECT n1 AS n_a, n2 AS n_b, v AS ks_at,
-           ROUND(CAST(abs(c1 * n2 - (ct - c1) * n1) AS DOUBLE) / n1 / n2, 6) AS ks_stat
+           CASE WHEN n1 * n2 = 0 THEN NULL
+                ELSE ROUND(CAST(abs(c1 * n2 - (ct - c1) * n1) AS DOUBLE) / n1 / n2, 6)
+           END AS ks_stat
     FROM c
     QUALIFY ROW_NUMBER() OVER (ORDER BY abs(c1 * n2 - (ct - c1) * n1) DESC, v) = 1
     """,
@@ -2363,7 +2365,13 @@ def ks_test_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n1").alias("n_a"),
             F.col("n2").alias("n_b"),
             F.col("v").alias("ks_at"),
-            F.round(F.col("_num").cast("double") / F.col("n1") / F.col("n2"), 6).alias("ks_stat"),
+            # one group empty: KS is undefined -> NULL (and the CASE
+            # keeps ANSI Spark from aborting on the /0)
+            F.when(F.col("n1") * F.col("n2") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.round(F.col("_num").cast("double") / F.col("n1") / F.col("n2"), 6)
+            )
+            .alias("ks_stat"),
         )
     )
 

@@ -446,7 +446,12 @@ def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_linestatus")
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+            # NOT-IN SQL semantics: a NULL priority is neither high nor
+            # low (the oracle's NOT IN yields NULL -> ELSE 0), so count
+            # only non-null non-high rows
+            F.sum(
+                F.when(F.col("o_orderpriority").isNotNull() & ~high, 1).otherwise(0)
+            ).alias("low_line_count"),
         )
     )
 

@@ -758,6 +758,7 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                x -> floor(127 * x / list_max(list_transform(CAST(embedding AS DOUBLE[]),
                                                             y -> abs(y))) + 0.5)) AS qv
       FROM embeddings
+      WHERE list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) > 0
     ), c AS (
       SELECT label,
              CAST(floor(list_cosine_similarity(e, qv) * 1000000 + 0.5) AS BIGINT) AS ppm
@@ -771,7 +772,12 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def quantization_error_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # all-zero vectors are excluded on BOTH sides: cosine against a
+    # zero vector is undefined (the oracle's list_cosine_similarity
+    # raises on the NULLs its unguarded 127*x/0 produces)
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        S.max_abs(F.col("embedding")) > 0
+    )
     e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     _, qv = S.quantize_int8(F.col("embedding"))
     qd = F.transform(qv, lambda x: x.cast("double"))

@@ -324,11 +324,21 @@ def heatmap_chart(eye: DataFrame, ortho: DataFrame) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    # rank over ALL regions, not just those in the ordering slice —
+    # fct_relevel keeps unmatched levels (they sort after the ordered
+    # ones, alphabetically here for determinism); the mean share is
+    # snapped to ppm so a ~1-ulp float difference between engines or
+    # layouts can never flip a rank
+    mean_ppm = F.floor(F.avg("prop") * 1000000 + 0.5).cast("long")
+    ordered = order_src.groupBy(F.col("region").alias("_r")).agg(mean_ppm.alias("_mp"))
+    all_regions = stacked.select(F.col("region").alias("_r")).distinct()
     ranks = (
-        order_src.groupBy(F.col("region").alias("_r"))
-        .agg(F.avg("prop").alias("_mp"))
+        all_regions.join(ordered, "_r", "left")
         # ~7 regions: the rank window rides a dim-sized axis
-        .withColumn("region_rank", F.row_number().over(Window.orderBy(F.desc("_mp"), "_r")))
+        .withColumn(
+            "region_rank",
+            F.row_number().over(Window.orderBy(F.desc_nulls_last("_mp"), "_r")),
+        )
         .select("_r", "region_rank")
     )
     return stacked.join(

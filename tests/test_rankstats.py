@@ -131,3 +131,22 @@ def test_doubled_rank_property(spark, vals, n_buckets):
     for v in sorted(cnt):
         assert got[v] == 2 * below + cnt[v] + 1, (v, got, cnt)
         below += cnt[v]
+
+
+def test_degenerate_inputs_yield_null_not_abort(spark):
+    """ANSI-mode hardening: constant columns / single rows / one empty
+    group produce NULL statistics (the oracle's unguarded /0 in DuckDB
+    is NULL too) instead of DIVIDE_BY_ZERO job aborts."""
+    const = spark.createDataFrame([(1.0, float(i)) for i in range(5)], "x double, y double")
+    row = spearman_rho(const, "x", "y").collect()[0]
+    assert row.n == 5 and row.spearman_rho is None
+
+    single = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    r = mann_whitney_u(single, "v", "g", "a", "b").collect()[0]
+    assert (r.n_a, r.n_b) == (1, 0) and r.z_score is None
+
+    one_group = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0)], "g string, v double"
+    )
+    r = mann_whitney_u(one_group, "v", "g", "a", "b").collect()[0]
+    assert (r.n_a, r.n_b) == (3, 0) and r.z_score is None

@@ -205,7 +205,10 @@ def test_chart3_heat_matches_independent_engine(chart3):
 
 
 def test_chart3_region_rank_matches_reference_ordering(chart3):
-    # replicate Charts.R:169-176 order_regions in DuckDB and compare
+    # replicate Charts.R:169-176 order_regions in DuckDB (ppm-snapped
+    # mean, the engine's tie-proof form) and compare; regions absent
+    # from the ordering slice follow alphabetically (fct_relevel keeps
+    # unmatched levels)
     con = duckdb.connect()
     want_order = [
         r[0]
@@ -214,7 +217,8 @@ def test_chart3_region_rank_matches_reference_ordering(chart3):
             SELECT var_1 FROM read_csv(?, header=true)
             WHERE sector = 'Independent Sector' AND name = 'Inpatient admissions'
               AND der_activity_month >= DATE '2022-01-01'
-            GROUP BY var_1 ORDER BY AVG(prop) DESC, var_1
+            GROUP BY var_1
+            ORDER BY CAST(floor(AVG(prop) * 1000000 + 0.5) AS BIGINT) DESC, var_1
             """,
             [SUB_EXTRACTS[0]],
         ).fetchall()
@@ -225,8 +229,9 @@ def test_chart3_region_rank_matches_reference_ordering(chart3):
         .orderBy("region_rank")
         .collect()
     )
-    assert [r.region for r in got] == want_order
-    assert [r.region_rank for r in got] == list(range(1, len(want_order) + 1))
+    unmatched = sorted({r.region for r in got} - set(want_order))
+    assert [r.region for r in got] == want_order + unmatched
+    assert [r.region_rank for r in got] == list(range(1, len(got) + 1))
 
 
 def test_chart3_monthyear_label_spot_value(chart3):
