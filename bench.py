@@ -27,6 +27,16 @@ _COUNT_ONLY = {"filter_project", "window_share"}
 
 
 def headline_queries() -> list[str]:
+    # SPARK_GRAFT_QUERIES=a,b,c restricts the run (iterating on one
+    # query's perf without paying for the whole headline set); unknown
+    # names fail fast rather than silently benching nothing
+    override = os.environ.get("SPARK_GRAFT_QUERIES", "").strip()
+    if override:
+        names = [n.strip() for n in override.split(",") if n.strip()]
+        unknown = [n for n in names if n not in catalog.SPARK_QUERIES]
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_QUERIES: unknown queries {unknown}")
+        return names
     names = getattr(catalog, "HEADLINE", None)
     return list(names) if names else sorted(catalog.SPARK_QUERIES)
 
