@@ -32,7 +32,12 @@ from __future__ import annotations
 
 from datetime import datetime, timedelta, timezone
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -55,6 +60,22 @@ def _splitmix64(x: int) -> int:
     return x ^ (x >> 31)
 
 
+def _gen_rows(seed: int, start: int, end: int):
+    """Rows [start, end) of the deterministic (seed, i) sequence —
+    shared verbatim by the batch partitions and the stream batches so
+    the two faces of the source can never diverge."""
+    for i in range(start, end):
+        h = _splitmix64((seed << 32) ^ i)
+        ts = _EPOCH + timedelta(seconds=(h >> 16) % (30 * 86400))
+        yield (
+            i,
+            ts.replace(tzinfo=None),
+            (h >> 8) % 1000,
+            _EVENT_TYPES[h % len(_EVENT_TYPES)],
+            ((h >> 24) % 50000) / 100.0,
+        )
+
+
 class _RangePartition(InputPartition):
     def __init__(self, start: int, end: int, seed: int):
         self.start, self.end, self.seed = start, end, seed
@@ -74,16 +95,7 @@ class _SyntheticEventsReader(DataSourceReader):
         ]
 
     def read(self, partition: _RangePartition):
-        for i in range(partition.start, partition.end):
-            h = _splitmix64((partition.seed << 32) ^ i)
-            ts = _EPOCH + timedelta(seconds=(h >> 16) % (30 * 86400))
-            yield (
-                i,
-                ts.replace(tzinfo=None),
-                (h >> 8) % 1000,
-                _EVENT_TYPES[h % len(_EVENT_TYPES)],
-                ((h >> 24) % 50000) / 100.0,
-            )
+        return _gen_rows(partition.seed, partition.start, partition.end)
 
 
 class SyntheticEvents(DataSource):
@@ -106,3 +118,42 @@ class SyntheticEvents(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return _SyntheticEventsReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType):
+        return _SyntheticEventsStreamReader(self.options)
+
+
+class _SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the same generator: each micro-batch emits the
+    next `rowsPerBatch` indices of the SAME deterministic (seed, i)
+    sequence the batch reader produces, with the offset dict carrying
+    the high-water index. `maxRows` (default unbounded) ends the
+    stream for availableNow runs; replays re-read [start, end) and
+    regenerate byte-identical rows, so the source is replay-safe by
+    construction."""
+
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rowsperbatch", 100))
+        self.max_rows = int(options.get("maxrows", -1))
+        self.seed = int(options.get("seed", 0))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        lo = int(start["i"])
+        hi = lo + self.rows_per_batch
+        if self.max_rows >= 0:
+            hi = min(hi, self.max_rows)
+        # iter(list(...)), not a bare generator or list: the runtime's
+        # prefetch cache needs next() (empty-batch detection) AND
+        # copy.copy (re-serving the cached batch), which list iterators
+        # support via __reduce__ and generators do not;
+        # rows_per_batch bounds the materialization
+        return iter(list(_gen_rows(self.seed, lo, hi))), {"i": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(list(_gen_rows(self.seed, int(start["i"]), int(end["i"]))))
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up: rows are regenerated, never stored

@@ -63,3 +63,26 @@ def test_feeds_the_events_operator_family(spark):
     )
     assert out.count() > 0
     assert out.agg(F.sum("n")).collect()[0][0] == 2000
+
+
+def test_streaming_face_matches_batch_multiset(spark, tmp_path):
+    """availableNow stream over the generator == the batch read of the
+    same (seed, rows): the two faces share _gen_rows verbatim."""
+    # simple Python stream readers don't support availableNow — run
+    # the default micro-batch trigger and drain with processAllAvailable
+    q = (
+        spark.readStream.format("synthetic_events")
+        .option("rowsPerBatch", 40)
+        .option("maxRows", 100)
+        .option("seed", 7)
+        .load()
+        .writeStream.format("memory")
+        .queryName("synth_stream")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = sorted(map(tuple, spark.sql("SELECT * FROM synth_stream").collect()))
+    batch = sorted(map(tuple, _load(spark, rows=100, parts=3, seed=7).collect()))
+    assert streamed == batch and len(streamed) == 100
