@@ -122,6 +122,8 @@ _REGISTERED_AFTER_R3 = {
     "skew_adaptive_agg",
     "join_null_safe",
     "quantization_error_profile",
+    "pareto_revenue_share",
+    "rfm_segments",
 }
 
 

@@ -640,3 +640,125 @@ def excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return s.join(excess, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Pareto revenue concentration — "what share of revenue do the top
+# 10% / 20% / 50% of customers hold?" The classic 80/20 analysis, and
+# the catalog's sixth consumer of the value-order distributed rank:
+# ranking customers by spend is a GLOBAL order, so the per-customer
+# relation goes through sampling.ordered_prefix (range-bucketed rank +
+# running revenue, no single-partition window). All revenue stays in
+# exact scaled-long cents; the three shares divide exact integers at
+# the end. Customer count and rank thresholds use ceil(p·n) — exact
+# integer arithmetic both engines repeat.
+# ---------------------------------------------------------------------------
+@query(
+    "pareto_revenue_share",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), ranked AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS rnk,
+             SUM(cents) OVER (ORDER BY cents DESC, o_custkey) AS run,
+             COUNT(*) OVER () AS n,
+             SUM(cents) OVER () AS tot
+      FROM spend
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+           ROUND(CAST(MAX(CASE WHEN rnk = CAST(ceil(0.1 * n) AS BIGINT) THEN run END) AS DOUBLE)
+                 / MAX(tot), 6) AS top10_share,
+           ROUND(CAST(MAX(CASE WHEN rnk = CAST(ceil(0.2 * n) AS BIGINT) THEN run END) AS DOUBLE)
+                 / MAX(tot), 6) AS top20_share,
+           ROUND(CAST(MAX(CASE WHEN rnk = CAST(ceil(0.5 * n) AS BIGINT) THEN run END) AS DOUBLE)
+                 / MAX(tot), 6) AS top50_share
+    FROM ranked
+    """,
+)
+def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elective_waiting_times_pipeline_spark.operators import sampling as SA
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(F.sum(sl2("o_totalprice")).alias("cents"))
+    cuts = SA.range_cut_points(spend, "cents", 64)
+    ranked = SA.ordered_prefix(
+        spend,
+        [F.col("cents").desc(), F.col("o_custkey")],
+        SA.range_bucket(F.col("cents"), cuts, descending=True),
+        out_pos="rnk",
+        weight="cents",
+        out_prefix="run",
+        out_total="n",
+    )
+    tot = spend.agg(F.sum("cents").alias("tot"))
+    at = lambda p: F.max(  # noqa: E731
+        F.when(F.col("rnk") == F.ceil(p * F.col("n")).cast("long"), F.col("run"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n").cast("long").alias("n_customers"),
+            F.round(at(0.1).cast("double") / F.max("tot"), 6).alias("top10_share"),
+            F.round(at(0.2).cast("double") / F.max("tot"), 6).alias("top20_share"),
+            F.round(at(0.5).cast("double") / F.max("tot"), 6).alias("top50_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation — the standard customer-value grid: Recency (days
+# from last order to the 2001-09-01 anchor), Frequency (order count),
+# Monetary (exact cents). Scores bucket on FIXED thresholds rather
+# than per-run quantiles, the production form for a segmentation that
+# must stay stable across refreshes (quantile cutoffs drift with the
+# data and reshuffle customers between runs); every boundary compares
+# exact integers, so the grid is engine-identical. One fact agg + a
+# codegen CASE grid + a 27-cell rollup.
+# ---------------------------------------------------------------------------
+@query(
+    "rfm_segments",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(o_orderdate), TIMESTAMP '2001-09-01 00:00:00') AS rec_days,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), scored AS (
+      SELECT CASE WHEN rec_days <= 365 THEN 3 WHEN rec_days <= 730 THEN 2 ELSE 1 END AS r,
+             CASE WHEN freq >= 11 THEN 3 WHEN freq >= 8 THEN 2 ELSE 1 END AS f,
+             CASE WHEN cents >= 280000000 THEN 3 WHEN cents >= 200000000 THEN 2 ELSE 1 END AS m,
+             cents
+      FROM c
+    )
+    SELECT r, f, m,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS DOUBLE) / 100 AS segment_revenue
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = F.lit("2001-09-01 00:00:00").cast("timestamp")
+    c = orders.groupBy("o_custkey").agg(
+        F.datediff(anchor, F.max("o_orderdate")).alias("rec_days"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(sl2("o_totalprice")).alias("cents"),
+    )
+    r = F.when(F.col("rec_days") <= 365, 3).when(F.col("rec_days") <= 730, 2).otherwise(1)
+    f = F.when(F.col("freq") >= 11, 3).when(F.col("freq") >= 8, 2).otherwise(1)
+    m = (
+        F.when(F.col("cents") >= 280000000, 3)
+        .when(F.col("cents") >= 200000000, 2)
+        .otherwise(1)
+    )
+    return (
+        c.select(r.alias("r"), f.alias("f"), m.alias("m"), "cents")
+        .groupBy("r", "f", "m")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum("cents").cast("double") / 100).alias("segment_revenue"),
+        )
+    )
