@@ -124,6 +124,10 @@ _REGISTERED_AFTER_R3 = {
     "quantization_error_profile",
     "pareto_revenue_share",
     "rfm_segments",
+    "dedup_size_histogram",
+    "table_diff_summary",
+    "table_checksum",
+    "audience_overlap",
 }
 
 

@@ -1885,3 +1885,47 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("psi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Audience overlap — exact Jaccard between the user sets of two event
+# types ("how many clickers also purchase"): the set-algebra
+# counterpart of funnel_conversion (which demands temporal order).
+# One distinct-(user, side) agg, then per-user both/either flags —
+# intersection and union as exact counts, no join of the two sets.
+# ---------------------------------------------------------------------------
+@query(
+    "audience_overlap",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY user_id
+    )
+    SELECT CAST(SUM(a) AS BIGINT) AS n_click,
+           CAST(SUM(b) AS BIGINT) AS n_purchase,
+           CAST(SUM(a * b) AS BIGINT) AS n_both,
+           CAST(COUNT(*) AS BIGINT) AS n_either,
+           ROUND(CAST(SUM(a * b) AS DOUBLE) / COUNT(*), 6) AS jaccard
+    FROM u
+    """,
+)
+def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    u = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("a"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("b"),
+    )
+    return u.agg(
+        F.sum("a").cast("long").alias("n_click"),
+        F.sum("b").cast("long").alias("n_purchase"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("n_both"),
+        F.count(F.lit(1)).alias("n_either"),
+        F.round(F.sum(F.col("a") * F.col("b")).cast("double") / F.count(F.lit(1)), 6).alias(
+            "jaccard"
+        ),
+    )

@@ -1412,3 +1412,109 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, F.col("ka").eqNullSafe(F.col("kb"))).select(
         F.col("ka").alias("key_a"), F.col("kb").alias("key_b"), "na", "nb"
     )
+
+
+# ---------------------------------------------------------------------------
+# Table diff (migration / CDC validation): given two snapshots of a
+# keyed table, classify every key as added / removed / changed /
+# unchanged — the check run after any backfill, engine swap, or
+# replication hop. One full-outer join on the key; the value
+# comparison is null-safe (<=>) so NULL-vs-NULL is 'unchanged' and
+# NULL-vs-value is 'changed'. The snapshots here derive
+# deterministically from orders (B drops keys %97==0, bumps prices on
+# %101==0, and adds a shifted key block) so both engines build the
+# same pair; the kernel is snapshot-agnostic.
+# ---------------------------------------------------------------------------
+@query(
+    "table_diff_summary",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey AS k, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+      FROM orders
+    ), b AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+               + CASE WHEN o_orderkey % 101 = 0 THEN 500 ELSE 0 END AS v
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000 AS k, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+      FROM orders WHERE o_orderkey % 103 = 0
+    )
+    SELECT CASE WHEN a.k IS NULL THEN 'added'
+                WHEN b.k IS NULL THEN 'removed'
+                WHEN a.v IS NOT DISTINCT FROM b.v THEN 'unchanged'
+                ELSE 'changed' END AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM a FULL OUTER JOIN b ON a.k = b.k
+    GROUP BY 1
+    """,
+)
+def table_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.select(F.col("o_orderkey").alias("ka"), sl2("o_totalprice").alias("va"))
+    b = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        F.col("o_orderkey").alias("kb"),
+        (
+            sl2("o_totalprice")
+            + F.when(F.col("o_orderkey") % 101 == 0, 500).otherwise(0)
+        ).alias("vb"),
+    ).unionByName(
+        orders.filter(F.col("o_orderkey") % 103 == 0).select(
+            (F.col("o_orderkey") + 10000000).alias("kb"),
+            sl2("o_totalprice").alias("vb"),
+        )
+    )
+    change = (
+        F.when(F.col("ka").isNull(), "added")
+        .when(F.col("kb").isNull(), "removed")
+        .when(F.col("va").eqNullSafe(F.col("vb")), "unchanged")
+        .otherwise("changed")
+    )
+    return (
+        a.join(b, F.col("ka") == F.col("kb"), "full_outer")
+        .groupBy(change.alias("change_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order-independent table checksum — the migration-validation op: one
+# (row_count, checksum) pair per table snapshot that any engine can
+# reproduce, so "did the copy arrive intact" is a 2-value comparison
+# instead of a row-level diff. Each row serializes to ONE canonical
+# string (exact integers only — cents for money, epoch seconds for
+# time: float/locale formatting is where cross-engine checksums die),
+# md5s it, and the checksum SUMs the first 8 hex digits as integers —
+# addition commutes, so layout and sort order never matter.
+# ---------------------------------------------------------------------------
+@query(
+    "table_checksum",
+    oracle="""
+    WITH rows_ AS (
+      SELECT md5(CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|'
+                 || CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR) || '|'
+                 || CAST(CAST(epoch(o_orderdate) AS BIGINT) AS VARCHAR) || '|'
+                 || o_orderstatus || '|' || o_orderpriority) AS h
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(('0x' || substr(h, 1, 8)) AS BIGINT)) AS BIGINT) AS checksum
+    FROM rows_
+    """,
+)
+def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        sl2("o_totalprice").cast("string"),
+        F.unix_timestamp("o_orderdate").cast("long").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+    )
+    h = F.md5(canon)
+    return orders.select(F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("hv")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("hv").cast("long").alias("checksum"),
+    )

@@ -2432,3 +2432,36 @@ def feature_scale_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 6).alias("zscore"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster size histogram — the standard dedup diagnostic:
+# how many fingerprints occur once, twice, ... (a heavy tail here
+# means boilerplate mills, and sizes the win from collapse-first
+# clustering). Two cascaded hash aggs; the second runs on the
+# fingerprint axis, the third on the tiny size axis.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_size_histogram",
+    oracle=r"""
+    WITH fp AS (
+      SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS f
+      FROM documents
+    ), sizes AS (
+      SELECT f, CAST(COUNT(*) AS BIGINT) AS sz FROM fp GROUP BY f
+    )
+    SELECT sz AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY sz
+    """,
+)
+def dedup_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sizes = docs.select(X.fingerprint_md5("text").alias("f")).groupBy("f").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("sz").cast("long").alias("n_docs"),
+    )
