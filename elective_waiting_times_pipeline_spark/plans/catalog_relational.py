@@ -1491,30 +1491,43 @@ def table_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "table_checksum",
     oracle="""
     WITH rows_ AS (
-      SELECT md5(CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|'
-                 || CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR) || '|'
-                 || CAST(CAST(epoch(o_orderdate) AS BIGINT) AS VARCHAR) || '|'
-                 || o_orderstatus || '|' || o_orderpriority) AS h
+      SELECT md5(COALESCE(CAST(o_orderkey AS VARCHAR), chr(1)) || '|'
+                 || COALESCE(CAST(o_custkey AS VARCHAR), chr(1)) || '|'
+                 || COALESCE(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), chr(1)) || '|'
+                 || COALESCE(CAST(CAST(epoch(o_orderdate) AS BIGINT) AS VARCHAR), chr(1)) || '|'
+                 || COALESCE(o_orderstatus, chr(1)) || '|' || COALESCE(o_orderpriority, chr(1))) AS h
       FROM orders
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(CAST(('0x' || substr(h, 1, 8)) AS BIGINT)) AS BIGINT) AS checksum
+           CAST(SUM(CAST(('0x' || substr(h, 1, 8)) AS BIGINT)) % 1000000000000000000 AS BIGINT)
+             AS checksum
     FROM rows_
     """,
 )
 def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
+    # every field COALESCEs to an unprintable sentinel BEFORE joining:
+    # a bare concat_ws would silently SKIP null fields, making a row
+    # with NULL in column 3 serialize like one with NULL in column 4 —
+    # and diverge from the oracle's NULL-propagating '||'
+    nul = F.lit("\x01")
+    fld = lambda c: F.coalesce(c.cast("string"), nul)  # noqa: E731
     canon = F.concat_ws(
         "|",
-        F.col("o_orderkey").cast("string"),
-        F.col("o_custkey").cast("string"),
-        sl2("o_totalprice").cast("string"),
-        F.unix_timestamp("o_orderdate").cast("long").cast("string"),
-        F.col("o_orderstatus"),
-        F.col("o_orderpriority"),
+        fld(F.col("o_orderkey")),
+        fld(F.col("o_custkey")),
+        fld(sl2("o_totalprice")),
+        fld(F.unix_timestamp("o_orderdate").cast("long")),
+        fld(F.col("o_orderstatus")),
+        fld(F.col("o_orderpriority")),
     )
     h = F.md5(canon)
-    return orders.select(F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("hv")).agg(
+    # sum in decimal(38,0) (a long overflows past ~4.3e9 rows of
+    # 32-bit hash values — the repo's revenue_concentration precedent),
+    # then mod 1e18 so the emitted checksum stays a plain BIGINT
+    return orders.select(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("decimal(38,0)").alias("hv")
+    ).agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum("hv").cast("long").alias("checksum"),
+        (F.sum("hv") % F.lit(1000000000000000000)).cast("long").alias("checksum"),
     )

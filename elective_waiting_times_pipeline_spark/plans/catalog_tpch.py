@@ -692,18 +692,17 @@ def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_prefix="run",
         out_total="n",
     )
-    tot = spend.agg(F.sum("cents").alias("tot"))
     at = lambda p: F.max(  # noqa: E731
         F.when(F.col("rnk") == F.ceil(p * F.col("n")).cast("long"), F.col("run"))
     )
-    return (
-        ranked.crossJoin(F.broadcast(tot))
-        .agg(
-            F.max("n").cast("long").alias("n_customers"),
-            F.round(at(0.1).cast("double") / F.max("tot"), 6).alias("top10_share"),
-            F.round(at(0.2).cast("double") / F.max("tot"), 6).alias("top20_share"),
-            F.round(at(0.5).cast("double") / F.max("tot"), 6).alias("top50_share"),
-        )
+    # the grand total IS the last rank's inclusive running sum — no
+    # separate total aggregate (that would rescan the orders agg) and
+    # no crossJoin
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.round(at(0.1).cast("double") / F.max("run"), 6).alias("top10_share"),
+        F.round(at(0.2).cast("double") / F.max("run"), 6).alias("top20_share"),
+        F.round(at(0.5).cast("double") / F.max("run"), 6).alias("top50_share"),
     )
 
 

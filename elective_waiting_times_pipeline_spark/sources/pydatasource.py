@@ -88,6 +88,8 @@ class _SyntheticEventsReader(DataSourceReader):
         self.seed = int(options.get("seed", 0))
 
     def partitions(self):
+        if self.rows <= 0:  # empty relation: one empty partition
+            return [_RangePartition(0, 0, self.seed)]
         step = -(-self.rows // self.num_partitions)
         return [
             _RangePartition(lo, min(lo + step, self.rows), self.seed)
