@@ -103,3 +103,32 @@ def referential_violations(
         "left_anti",
     )
     return orphans.agg(F.count(F.lit(1)).alias("orphans"))
+
+
+def order_independent_checksum(df: DataFrame, fields: Sequence[Column | str]) -> DataFrame:
+    """(n_rows, checksum) for a table snapshot — the migration /
+    replication validation primitive: any engine that can md5 a string
+    reproduces it, so "did the copy arrive intact" is a 2-value
+    comparison.
+
+    Construction: each row serializes to ONE canonical '|'-joined
+    string, with every field COALESCEd to an unprintable \\x01 sentinel
+    FIRST (concat_ws silently skips NULL fields, which both diverges
+    from '||'-style NULL propagation in other engines and collapses
+    distinct rows — NULL in field 3 vs field 4 — onto one string).
+    The row md5's leading 8 hex digits sum as decimal(38,0) (a long
+    overflows past ~4.3e9 rows of 32-bit values) mod 1e18, so addition
+    commutes and layout/sort order never matter.
+
+    CALLER CONTRACT: pass engine-stable serializations — exact
+    integers (cents, epoch seconds) and raw strings. Floats and
+    locale-formatted dates are where cross-engine checksums die.
+    """
+    nul = F.lit("\x01")
+    cols = [F.col(c) if isinstance(c, str) else c for c in fields]
+    canon = F.concat_ws("|", *[F.coalesce(c.cast("string"), nul) for c in cols])
+    hv = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("decimal(38,0)")
+    return df.select(hv.alias("_hv")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum("_hv") % F.lit(10**18)).cast("long").alias("checksum"),
+    )

@@ -1505,29 +1505,19 @@ def table_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    # every field COALESCEs to an unprintable sentinel BEFORE joining:
-    # a bare concat_ws would silently SKIP null fields, making a row
-    # with NULL in column 3 serialize like one with NULL in column 4 —
-    # and diverge from the oracle's NULL-propagating '||'
-    nul = F.lit("\x01")
-    fld = lambda c: F.coalesce(c.cast("string"), nul)  # noqa: E731
-    canon = F.concat_ws(
-        "|",
-        fld(F.col("o_orderkey")),
-        fld(F.col("o_custkey")),
-        fld(sl2("o_totalprice")),
-        fld(F.unix_timestamp("o_orderdate").cast("long")),
-        fld(F.col("o_orderstatus")),
-        fld(F.col("o_orderpriority")),
+    from elective_waiting_times_pipeline_spark.operators.quality import (
+        order_independent_checksum,
     )
-    h = F.md5(canon)
-    # sum in decimal(38,0) (a long overflows past ~4.3e9 rows of
-    # 32-bit hash values — the repo's revenue_concentration precedent),
-    # then mod 1e18 so the emitted checksum stays a plain BIGINT
-    return orders.select(
-        F.conv(F.substring(h, 1, 8), 16, 10).cast("decimal(38,0)").alias("hv")
-    ).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        (F.sum("hv") % F.lit(1000000000000000000)).cast("long").alias("checksum"),
+
+    orders = load_table(spark, sf_dir, "orders")
+    return order_independent_checksum(
+        orders,
+        [
+            F.col("o_orderkey"),
+            F.col("o_custkey"),
+            sl2("o_totalprice"),
+            F.unix_timestamp("o_orderdate").cast("long"),
+            F.col("o_orderstatus"),
+            F.col("o_orderpriority"),
+        ],
     )

@@ -117,3 +117,41 @@ def test_observe_dq_free_pass_metrics(spark, tmp_path):
     assert got["matches_email"] == 2
     # and the written data is untouched by the observation
     assert spark.read.parquet(str(tmp_path / "out")).count() == 5
+
+
+def test_order_independent_checksum_nulls_and_layout(spark):
+    """The checksum primitive: NULL fields serialize via the sentinel
+    (never silently skipped), the value matches an independent engine
+    on the same rows, and layout can't change it."""
+    import duckdb
+
+    from elective_waiting_times_pipeline_spark.operators.quality import (
+        order_independent_checksum,
+    )
+
+    rows = [(1, None), (2, "x"), (None, "x"), (3, "y")]
+    df = spark.createDataFrame(rows, "k int, v string")
+    got = order_independent_checksum(df, ["k", "v"]).collect()[0]
+    want = duckdb.sql(
+        """
+        WITH r AS (
+          SELECT md5(COALESCE(CAST(k AS VARCHAR), chr(1)) || '|' || COALESCE(v, chr(1))) AS h
+          FROM (VALUES (1, NULL), (2, 'x'), (NULL, 'x'), (3, 'y')) t(k, v)
+        )
+        SELECT COUNT(*), CAST(SUM(CAST(('0x' || substr(h, 1, 8)) AS BIGINT))
+                              % 1000000000000000000 AS BIGINT)
+        FROM r
+        """
+    ).fetchall()[0]
+    assert (got.n_rows, got.checksum) == want
+    relaid = order_independent_checksum(df.repartition(5), ["k", "v"]).collect()[0]
+    assert (relaid.n_rows, relaid.checksum) == want
+    # NULL position matters: (NULL, 'x') and ('x', NULL)-shaped rows
+    # must NOT collapse onto one serialization
+    a = order_independent_checksum(
+        spark.createDataFrame([(None, "x")], "k string, v string"), ["k", "v"]
+    ).collect()[0]
+    b = order_independent_checksum(
+        spark.createDataFrame([("x", None)], "k string, v string"), ["k", "v"]
+    ).collect()[0]
+    assert a.checksum != b.checksum
