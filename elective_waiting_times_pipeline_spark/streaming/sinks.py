@@ -246,3 +246,22 @@ def read_count_min(spark: SparkSession, store_path: str) -> DataFrame:
         .groupBy("row", "col")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def compact_count_min(spark: SparkSession, store_path: str) -> None:
+    """Collapse a streamed count-min store's per-batch leaves into one
+    ``batch=-1`` leaf (cells re-summed — the merge is exact, so the
+    collapsed store answers identically). Run when leaf count starts
+    to matter; the overwrite replaces the whole store root in one
+    write, and a concurrently-running maintenance stream simply lands
+    its next batch leaf beside the compacted one (sums still correct —
+    batch ids only ever move forward, so no live leaf is lost unless
+    compaction races the very batch being written; pause the stream or
+    accept at-most-one-batch staleness)."""
+    cells = read_count_min(spark, store_path).withColumn("batch", F.lit(-1))
+    # materialize BEFORE the overwrite: the plan reads the same files
+    # the write replaces
+    rows = cells.collect()  # <= d*w rows by construction
+    spark.createDataFrame(rows, cells.schema).write.mode("overwrite").partitionBy(
+        "batch"
+    ).parquet(store_path)

@@ -62,3 +62,17 @@ def test_replay_does_not_double_count(spark, tmp_path):
     _run(spark, src, store, str(tmp_path / "ck2"))
     second = sorted(tuple(r) for r in read_count_min(spark, store).collect())
     assert second == first
+
+
+def test_compaction_preserves_the_sketch(spark, tmp_path):
+    from elective_waiting_times_pipeline_spark.streaming.sinks import compact_count_min
+
+    src, df = _land_source(spark, tmp_path)
+    store = str(tmp_path / "store")
+    _run(spark, src, store, str(tmp_path / "ck1"))
+    before = sorted(tuple(r) for r in read_count_min(spark, store).collect())
+    compact_count_min(spark, store)
+    after = sorted(tuple(r) for r in read_count_min(spark, store).collect())
+    assert after == before
+    leaves = spark.read.parquet(store).select("batch").distinct().collect()
+    assert [r.batch for r in leaves] == [-1]
