@@ -128,6 +128,7 @@ _REGISTERED_AFTER_R3 = {
     "table_diff_summary",
     "table_checksum",
     "audience_overlap",
+    "attribution_last_touch",
 }
 
 

@@ -105,16 +105,19 @@ def asof_join_backward_tolerance(
     ts: str,
     value_cols: list[str],
     tolerance_s: int,
+    keep_match_ts: str | None = None,
 ) -> DataFrame:
     """Backward as-of with a max-staleness bound (pandas
     merge_asof(tolerance=...)): the carried right-side values are
     NULLed when the matched row is older than `tolerance_s` seconds —
     "use the last quote unless it's stale". Same single-window plan;
     the right-side timestamp rides inside the carry struct so the age
-    check is a per-row projection afterwards."""
-    payload_t = (
-        "struct<_rts: bigint, " + ", ".join(f"{c}: double" for c in value_cols) + ">"
-    )
+    check is a per-row projection afterwards. `keep_match_ts` also
+    surfaces the matched right-side TIMESTAMP under that name (NULL
+    when unmatched/stale) — what attribution consumers join credit to;
+    `value_cols` may be empty when the match time is all you need."""
+    fields = ["_rts: bigint"] + [f"{c}: double" for c in value_cols]
+    payload_t = "struct<" + ", ".join(fields) + ">"
     l_tag = left.withColumn("_side", F.lit(1)).withColumn(
         "_vals", F.lit(None).cast(payload_t)
     )
@@ -141,5 +144,10 @@ def asof_join_backward_tolerance(
     for c in value_cols:
         out = out.withColumn(
             c, F.when(F.col(ts).isNotNull() & fresh, F.col(f"_carry.{c}"))
+        )
+    if keep_match_ts is not None:
+        out = out.withColumn(
+            keep_match_ts,
+            F.when(F.col(ts).isNotNull() & fresh, F.timestamp_micros(F.col("_carry._rts"))),
         )
     return out.drop("_carry")

@@ -1929,3 +1929,63 @@ def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution — credit each purchase to the user's most
+# recent click within a 7-day lookback, then roll revenue up to the
+# CLICK day (the marketing-attribution question funnel_conversion's
+# ordered-step count doesn't answer: which day's clicks drove the
+# money). The match is the catalog's as-of-with-tolerance kernel
+# (one user-partitioned carry window, no range-join blowup); revenue
+# stays in exact cents until the final division.
+# ---------------------------------------------------------------------------
+@query(
+    "attribution_last_touch",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'click'
+    ), m AS (
+      SELECT p.user_id, p.ts, p.cents, MAX(c.ts) AS click_ts
+      FROM p LEFT JOIN c
+        ON c.user_id = p.user_id AND c.ts <= p.ts
+       AND c.ts >= p.ts - INTERVAL 7 DAY
+      GROUP BY 1, 2, 3
+    )
+    SELECT date_trunc('day', click_ts) AS click_day,
+           CAST(COUNT(*) AS BIGINT) AS n_attributed,
+           CAST(SUM(cents) AS DOUBLE) / 100 AS attributed_revenue
+    FROM m WHERE click_ts IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elective_waiting_times_pipeline_spark.operators.asof import (
+        asof_join_backward_tolerance,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", sl2("value").alias("cents")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    att = asof_join_backward_tolerance(
+        purchases,
+        clicks,
+        by="user_id",
+        ts="ts",
+        value_cols=[],
+        tolerance_s=7 * 86400,
+        keep_match_ts="click_ts",
+    )
+    return (
+        att.filter(F.col("click_ts").isNotNull())
+        .groupBy(F.date_trunc("DAY", "click_ts").alias("click_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_attributed"),
+            (F.sum("cents").cast("double") / 100).alias("attributed_revenue"),
+        )
+    )
