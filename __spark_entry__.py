@@ -129,6 +129,7 @@ _REGISTERED_AFTER_R3 = {
     "table_checksum",
     "audience_overlap",
     "attribution_last_touch",
+    "attribution_linear",
 }
 
 

@@ -1989,3 +1989,64 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("cents").cast("double") / 100).alias("attributed_revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear (multi-touch) attribution — split each purchase's revenue
+# EQUALLY across every click in its 7-day lookback, rolled up to the
+# click day: last_touch's sibling, but the match is one-to-MANY, so
+# the kernel is the binned range join (day-wide bins, user equality —
+# never the quadratic non-equi join). Per-click credit snaps to
+# micro-cents (floor(cents·1e6/n + 0.5)) so the day sums stay exact
+# integers; the interval end adds 1 µs because range_join is
+# half-open (start <= point < end) and the lookback is inclusive.
+# ---------------------------------------------------------------------------
+@query(
+    "attribution_linear",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS pid, user_id, ts AS pts,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'
+    ), j AS (
+      SELECT pid, cts, cents
+      FROM p JOIN c ON c.user_id = p.user_id
+       AND c.cts <= p.pts AND c.cts >= p.pts - INTERVAL 7 DAY
+    ), n AS (
+      SELECT pid, CAST(COUNT(*) AS BIGINT) AS n_clicks FROM j GROUP BY pid
+    )
+    SELECT date_trunc('day', cts) AS click_day,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           ROUND(SUM(CAST(floor(cents * 1000000.0 / n_clicks + 0.5) AS BIGINT))
+                 / 100000000, 6) AS attributed_revenue
+    FROM j JOIN n USING (pid)
+    GROUP BY 1
+    """,
+)
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elective_waiting_times_pipeline_spark.operators.rangejoin import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 7 DAYS")).alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 MICROSECOND")).alias("win_end"),
+        sl2("value").alias("cents"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select("user_id", F.col("ts").alias("cts"))
+    j = range_join(
+        c, p, "cts", "win_start", "win_end", extra_eq=["user_id"], bin_width=86400
+    ).select("pid", "cts", "cents")
+    n = j.groupBy(F.col("pid").alias("_pid")).agg(F.count(F.lit(1)).alias("n_clicks"))
+    credit = F.floor(F.col("cents") * 1000000.0 / F.col("n_clicks") + 0.5).cast("long")
+    return (
+        j.join(n, F.col("pid") == F.col("_pid"))
+        .groupBy(F.date_trunc("DAY", "cts").alias("click_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.round(F.sum(credit) / 100000000, 6).alias("attributed_revenue"),
+        )
+    )
