@@ -130,6 +130,7 @@ _REGISTERED_AFTER_R3 = {
     "audience_overlap",
     "attribution_last_touch",
     "attribution_linear",
+    "fk_integrity_audit",
 }
 
 

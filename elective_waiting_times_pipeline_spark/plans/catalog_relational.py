@@ -1521,3 +1521,77 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority"),
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit across the whole star schema — the
+# cross-TABLE data-quality gate (dq_report checks single-table
+# constraints): for every FK edge, how many fact rows point at a
+# missing dimension/parent key. Each edge is one LEFT ANTI join
+# (dim side broadcast when dim-sized; the orders<-lineitem edge
+# shuffles on the key like any fact-fact semi). NULL FKs count as
+# orphans here — an unset mandatory key is exactly what the audit
+# exists to surface.
+# ---------------------------------------------------------------------------
+@query(
+    "fk_integrity_audit",
+    oracle="""
+    SELECT 'orders.custkey->customer' AS fk_edge,
+           CAST(COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT) AS n_orphans,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem.orderkey->orders',
+           CAST(COUNT(*) FILTER (WHERE ord.o_orderkey IS NULL) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l LEFT JOIN orders ord ON l.l_orderkey = ord.o_orderkey
+    UNION ALL
+    SELECT 'lineitem.partkey->part',
+           CAST(COUNT(*) FILTER (WHERE p.p_partkey IS NULL) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'lineitem.suppkey->supplier',
+           CAST(COUNT(*) FILTER (WHERE s.s_suppkey IS NULL) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    UNION ALL
+    SELECT 'customer.nationkey->nation',
+           CAST(COUNT(*) FILTER (WHERE n.n_nationkey IS NULL) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def edge(name: str, fact: DataFrame, fk: str, dim: DataFrame, pk: str) -> DataFrame:
+        hit = dim.select(F.col(pk).alias("_pk")).distinct()
+        joined = fact.select(F.col(fk).alias("_fk")).join(
+            F.broadcast(hit) if name != "lineitem.orderkey->orders" else hit,
+            F.col("_fk") == F.col("_pk"),
+            "left",
+        )
+        return joined.agg(
+            F.lit(name).alias("fk_edge"),
+            F.sum(F.when(F.col("_pk").isNull(), 1).otherwise(0)).cast("long").alias(
+                "n_orphans"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    edges = [
+        edge("orders.custkey->customer", orders, "o_custkey", customer, "c_custkey"),
+        edge("lineitem.orderkey->orders", lineitem, "l_orderkey", orders, "o_orderkey"),
+        edge("lineitem.partkey->part", lineitem, "l_partkey", part, "p_partkey"),
+        edge("lineitem.suppkey->supplier", lineitem, "l_suppkey", supplier, "s_suppkey"),
+        edge("customer.nationkey->nation", customer, "c_nationkey", nation, "n_nationkey"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
+    return out
