@@ -131,6 +131,7 @@ _REGISTERED_AFTER_R3 = {
     "attribution_last_touch",
     "attribution_linear",
     "fk_integrity_audit",
+    "decayed_engagement_topk",
 }
 
 

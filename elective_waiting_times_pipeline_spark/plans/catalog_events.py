@@ -2050,3 +2050,67 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(credit) / 100000000, 6).alias("attributed_revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-decayed engagement score — the standard recency-weighted user
+# feature: Σ cents · 2^(-age_days / 7) per user (7-day half-life),
+# top 20. Engine-exact WITHOUT trusting pow(): integer age decomposes
+# as 7q + r, so the weight is lit[r] / 2^q — seven Python-precomputed
+# double literals (embedded identically in both plans) divided by a
+# power of two (exact in IEEE). Each event's contribution micro-snaps
+# before the per-user sum, so the aggregate is an exact integer; the
+# top-20 is a TakeOrdered, never a global sort.
+# ---------------------------------------------------------------------------
+_DECAY_R = [
+    1.0, 0.9057236642639067, 0.820335356007638, 0.7429971445684742,
+    0.6729500963161781, 0.6095068271022377, 0.5520447568369062,
+]
+_DECAY_ANCHOR = "2024-01-31 00:00:00"
+
+
+@query(
+    "decayed_engagement_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             date_diff('day', date_trunc('day', ts), TIMESTAMP '{_DECAY_ANCHOR}') AS age
+      FROM events WHERE value IS NOT NULL
+    ), w AS (
+      SELECT user_id,
+             CAST(floor(cents * (CASE age % 7 {' '.join(f'WHEN {r} THEN {v!r}' for r, v in enumerate(_DECAY_R))} END)
+                        / power(2.0, age // 7) * 1000000 + 0.5) AS BIGINT) AS micro
+      FROM e WHERE age >= 0
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(micro) AS DOUBLE) / 100000000, 6) AS engagement
+    FROM w GROUP BY user_id
+    ORDER BY engagement DESC, user_id LIMIT 20
+    """,
+)
+def decayed_engagement_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    age = F.datediff(F.lit(_DECAY_ANCHOR).cast("timestamp"), F.date_trunc("DAY", "ts"))
+    aged = ev.select("user_id", sl2("value").alias("cents"), age.alias("_age")).filter(
+        F.col("_age") >= 0
+    )
+    lit_r = F.lit(None).cast("double")
+    for r, v in reversed(list(enumerate(_DECAY_R))):
+        lit_r = F.when(F.col("_age") % 7 == r, F.lit(v)).otherwise(lit_r)
+    # division by 2^q is EXACT in IEEE doubles — no pow() trust needed
+    micro = F.floor(
+        F.col("cents") * lit_r / F.pow(F.lit(2.0), F.floor(F.col("_age") / 7)) * 1000000
+        + 0.5
+    ).cast("long")
+    w = aged.select("user_id", micro.alias("micro"))
+    return (
+        w.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("micro").cast("double") / 100000000, 6).alias("engagement"),
+        )
+        .orderBy(F.desc("engagement"), "user_id")
+        .limit(20)
+    )
