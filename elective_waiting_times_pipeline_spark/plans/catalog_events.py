@@ -1944,16 +1944,19 @@ def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "attribution_last_touch",
     oracle="""
     WITH p AS (
-      SELECT user_id, ts, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      SELECT event_id AS pid, user_id, ts,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
       FROM events WHERE event_type = 'purchase'
     ), c AS (
       SELECT user_id, ts FROM events WHERE event_type = 'click'
     ), m AS (
-      SELECT p.user_id, p.ts, p.cents, MAX(c.ts) AS click_ts
+      -- grouped by the purchase EVENT id: two identical purchases are
+      -- two attributions (the Spark side keeps every row)
+      SELECT p.pid, p.cents, MAX(c.ts) AS click_ts
       FROM p LEFT JOIN c
         ON c.user_id = p.user_id AND c.ts <= p.ts
        AND c.ts >= p.ts - INTERVAL 7 DAY
-      GROUP BY 1, 2, 3
+      GROUP BY 1, 2
     )
     SELECT date_trunc('day', click_ts) AS click_day,
            CAST(COUNT(*) AS BIGINT) AS n_attributed,
@@ -2040,14 +2043,17 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = range_join(
         c, p, "cts", "win_start", "win_end", extra_eq=["user_id"], bin_width=86400
     ).select("pid", "cts", "cents")
-    n = j.groupBy(F.col("pid").alias("_pid")).agg(F.count(F.lit(1)).alias("n_clicks"))
-    credit = F.floor(F.col("cents") * 1000000.0 / F.col("n_clicks") + 0.5).cast("long")
+    # per-purchase click count as a pid-partitioned window (bounded by
+    # the 7-day lookback) — a groupBy+rejoin would execute the range
+    # join TWICE, doubling the dominant cost
+    n_clicks = F.count(F.lit(1)).over(Window.partitionBy("pid"))
+    credit = F.floor(F.col("cents") * 1000000.0 / n_clicks + 0.5).cast("long")
     return (
-        j.join(n, F.col("pid") == F.col("_pid"))
+        j.withColumn("_credit", credit)  # window first, aggregate after
         .groupBy(F.date_trunc("DAY", "cts").alias("click_day"))
         .agg(
             F.count(F.lit(1)).alias("n_touches"),
-            F.round(F.sum(credit) / 100000000, 6).alias("attributed_revenue"),
+            F.round(F.sum("_credit") / 100000000, 6).alias("attributed_revenue"),
         )
     )
 
@@ -2058,7 +2064,8 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 # top 20. Engine-exact WITHOUT trusting pow(): integer age decomposes
 # as 7q + r, so the weight is lit[r] / 2^q — seven Python-precomputed
 # double literals (embedded identically in both plans) divided by a
-# power of two (exact in IEEE). Each event's contribution micro-snaps
+# power of two built from an integer BIT SHIFT (exact in IEEE; no
+# libm pow() in either plan). Each event's contribution micro-snaps
 # before the per-user sum, so the aggregate is an exact integer; the
 # top-20 is a TakeOrdered, never a global sort.
 # ---------------------------------------------------------------------------
@@ -2080,7 +2087,7 @@ _DECAY_ANCHOR = "2024-01-31 00:00:00"
     ), w AS (
       SELECT user_id,
              CAST(floor(cents * (CASE age % 7 {' '.join(f'WHEN {r} THEN {v!r}' for r, v in enumerate(_DECAY_R))} END)
-                        / power(2.0, age // 7) * 1000000 + 0.5) AS BIGINT) AS micro
+                        / CAST(1::BIGINT << LEAST(age // 7, 62) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS micro
       FROM e WHERE age >= 0
     )
     SELECT user_id,
@@ -2099,10 +2106,16 @@ def decayed_engagement_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lit_r = F.lit(None).cast("double")
     for r, v in reversed(list(enumerate(_DECAY_R))):
         lit_r = F.when(F.col("_age") % 7 == r, F.lit(v)).otherwise(lit_r)
-    # division by 2^q is EXACT in IEEE doubles — no pow() trust needed
+    # 2^q via an integer BIT SHIFT cast to double — division by a
+    # power of two is IEEE-exact and no libm pow() enters either
+    # engine; q clamps at 62 (beyond ~8.5 years of half-lives the
+    # weight underflows the micro-snap to 0 anyway, and 1<<63 would
+    # overflow the long)
+    pow2q = F.expr(
+        "CAST(shiftleft(1L, least(CAST(floor(_age / 7) AS INT), 62)) AS DOUBLE)"
+    )
     micro = F.floor(
-        F.col("cents") * lit_r / F.pow(F.lit(2.0), F.floor(F.col("_age") / 7)) * 1000000
-        + 0.5
+        F.col("cents") * lit_r / pow2q * 1000000 + 0.5
     ).cast("long")
     w = aged.select("user_id", micro.alias("micro"))
     return (

@@ -1527,11 +1527,11 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Referential-integrity audit across the whole star schema — the
 # cross-TABLE data-quality gate (dq_report checks single-table
 # constraints): for every FK edge, how many fact rows point at a
-# missing dimension/parent key. Each edge is one LEFT ANTI join
-# (dim side broadcast when dim-sized; the orders<-lineitem edge
-# shuffles on the key like any fact-fact semi). NULL FKs count as
-# orphans here — an unset mandatory key is exactly what the audit
-# exists to surface.
+# missing dimension/parent key. Each edge is one LEFT OUTER join
+# probing the parent's distinct keys (orphan = unmatched row; dim
+# side broadcast when dim-sized, the fact-sized orders<-lineitem edge
+# shuffles on the key). NULL FKs count as orphans here — an unset
+# mandatory key is exactly what the audit exists to surface.
 # ---------------------------------------------------------------------------
 @query(
     "fk_integrity_audit",
@@ -1563,18 +1563,31 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    def edge(name: str, fact: DataFrame, fk: str, dim: DataFrame, pk: str) -> DataFrame:
+    def edge(
+        name: str,
+        fact: DataFrame,
+        fk: str,
+        dim: DataFrame,
+        pk: str,
+        broadcast_dim: bool = True,
+    ) -> DataFrame:
+        # broadcast is an explicit per-edge decision, never inferred
+        # from the display label: a fact-sized parent (orders under
+        # lineitem) must shuffle, and a silent broadcast of it would
+        # OOM at scale
         hit = dim.select(F.col(pk).alias("_pk")).distinct()
         joined = fact.select(F.col(fk).alias("_fk")).join(
-            F.broadcast(hit) if name != "lineitem.orderkey->orders" else hit,
+            F.broadcast(hit) if broadcast_dim else hit,
             F.col("_fk") == F.col("_pk"),
             "left",
         )
         return joined.agg(
             F.lit(name).alias("fk_edge"),
-            F.sum(F.when(F.col("_pk").isNull(), 1).otherwise(0)).cast("long").alias(
-                "n_orphans"
-            ),
+            # coalesce: an EMPTY fact table must report 0 orphans like
+            # the oracle's COUNT(*) FILTER, not NULL
+            F.coalesce(
+                F.sum(F.when(F.col("_pk").isNull(), 1).otherwise(0)), F.lit(0)
+            ).cast("long").alias("n_orphans"),
             F.count(F.lit(1)).alias("n_rows"),
         )
 
@@ -1586,7 +1599,14 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     edges = [
         edge("orders.custkey->customer", orders, "o_custkey", customer, "c_custkey"),
-        edge("lineitem.orderkey->orders", lineitem, "l_orderkey", orders, "o_orderkey"),
+        edge(
+            "lineitem.orderkey->orders",
+            lineitem,
+            "l_orderkey",
+            orders,
+            "o_orderkey",
+            broadcast_dim=False,  # orders is fact-sized
+        ),
         edge("lineitem.partkey->part", lineitem, "l_partkey", part, "p_partkey"),
         edge("lineitem.suppkey->supplier", lineitem, "l_suppkey", supplier, "s_suppkey"),
         edge("customer.nationkey->nation", customer, "c_nationkey", nation, "n_nationkey"),

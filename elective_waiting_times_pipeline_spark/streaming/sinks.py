@@ -253,7 +253,11 @@ def compact_count_min(spark: SparkSession, store_path: str) -> None:
     ``batch=-1`` leaf (cells re-summed — the merge is exact, so the
     collapsed store answers identically). Run when leaf count starts
     to matter; the overwrite replaces the whole store root in one
-    write, and a concurrently-running maintenance stream simply lands
+    write — partitionOverwriteMode pinned STATIC on this write, since
+    the maintenance stream's own sink flips the session-global conf to
+    dynamic mid-write, and a dynamic overwrite here would replace only
+    the batch=-1 leaf while every old leaf silently DOUBLES the
+    counts. A concurrently-running maintenance stream simply lands
     its next batch leaf beside the compacted one (sums still correct —
     batch ids only ever move forward, so no live leaf is lost unless
     compaction races the very batch being written; pause the stream or
@@ -262,6 +266,6 @@ def compact_count_min(spark: SparkSession, store_path: str) -> None:
     # materialize BEFORE the overwrite: the plan reads the same files
     # the write replaces
     rows = cells.collect()  # <= d*w rows by construction
-    spark.createDataFrame(rows, cells.schema).write.mode("overwrite").partitionBy(
-        "batch"
-    ).parquet(store_path)
+    spark.createDataFrame(rows, cells.schema).write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("batch").parquet(store_path)
