@@ -132,6 +132,7 @@ _REGISTERED_AFTER_R3 = {
     "attribution_linear",
     "fk_integrity_audit",
     "decayed_engagement_topk",
+    "log2_value_histogram",
 }
 
 

@@ -1615,3 +1615,39 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for e in edges[1:]:
         out = out.unionByName(e)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Log-scale (powers-of-two) value histogram — money and event values
+# are log-normal-ish, so equal-WIDTH bins waste 90% of their buckets
+# on the tail; the log2 bucket is the right default view. Float-free:
+# the bucket is the BINARY DIGIT COUNT of the cents integer
+# (floor(log2)+1), computed as length(base-2 string) in both engines —
+# no log() call, no boundary ulp. One scan, ~40-bucket agg.
+# ---------------------------------------------------------------------------
+@query(
+    "log2_value_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT length(bin(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))) AS bucket,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_totalprice > 0
+    )
+    SELECT CAST(bucket AS INT) AS log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS DOUBLE) / 100 AS bucket_revenue
+    FROM b GROUP BY bucket
+    """,
+)
+def log2_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    cents = sl2("o_totalprice")
+    bucket = F.length(F.conv(cents.cast("string"), 10, 2)).cast("int")
+    return (
+        orders.select(bucket.alias("log2_bucket"), cents.alias("cents"))
+        .groupBy("log2_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum("cents").cast("double") / 100).alias("bucket_revenue"),
+        )
+    )
