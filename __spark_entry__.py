@@ -133,6 +133,7 @@ _REGISTERED_AFTER_R3 = {
     "fk_integrity_audit",
     "decayed_engagement_topk",
     "log2_value_histogram",
+    "source_language_purity",
 }
 
 

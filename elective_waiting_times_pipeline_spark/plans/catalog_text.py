@@ -2465,3 +2465,48 @@ def dedup_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"),
         F.sum("sz").cast("long").alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source language purity — the mixture-QA diagnostic behind
+# "should this feed be routed through one tokenizer?": each source's
+# dominant language and its exact ppm share. The dominant pick rides
+# a window over the per-(source, lang) cell table (bounded by
+# |sources|·|langs|, never the corpus), tie-broken on the lang name.
+# ---------------------------------------------------------------------------
+@query(
+    "source_language_purity",
+    oracle="""
+    WITH c AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2
+    ), t AS (
+      SELECT source, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1
+    ), r AS (
+      SELECT c.source, lang, n, tot,
+             ROW_NUMBER() OVER (PARTITION BY c.source ORDER BY n DESC, lang) AS rk
+      FROM c JOIN t ON c.source = t.source
+    )
+    SELECT source, lang AS top_lang, tot AS n_docs,
+           CAST(floor(1000000.0 * n / tot + 0.5) AS BIGINT) AS purity_ppm
+    FROM r WHERE rk = 1
+    """,
+)
+def source_language_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy(F.col("source").alias("_s")).agg(F.sum("n").alias("tot"))
+    w = Window.partitionBy("source").orderBy(F.desc("n"), "lang")
+    return (
+        c.join(F.broadcast(t), F.col("source") == F.col("_s"))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "source",
+            F.col("lang").alias("top_lang"),
+            F.col("tot").alias("n_docs"),
+            F.floor(1000000.0 * F.col("n") / F.col("tot") + 0.5).cast("long").alias(
+                "purity_ppm"
+            ),
+        )
+    )
