@@ -134,6 +134,7 @@ _REGISTERED_AFTER_R3 = {
     "decayed_engagement_topk",
     "log2_value_histogram",
     "source_language_purity",
+    "weekend_effect_mwu",
 }
 
 

@@ -2127,3 +2127,59 @@ def decayed_engagement_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("engagement"), "user_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Weekend effect — does the value distribution differ on weekends?
+# The same tie-corrected Mann-Whitney machinery as
+# mann_whitney_value, driven by a DERIVED group axis: the weekend
+# flag comes from epoch-day arithmetic off 2024-01-01 (a Monday) —
+# day_index % 7 in {5, 6} — pure integers both engines repeat, no
+# locale-dependent dayofweek() numbering to reconcile.
+# ---------------------------------------------------------------------------
+@query(
+    "weekend_effect_mwu",
+    oracle="""
+    WITH t AS (
+      SELECT CASE WHEN date_diff('day', TIMESTAMP '2024-01-01 00:00:00',
+                                 date_trunc('day', ts)) % 7 IN (5, 6)
+                  THEN 'weekend' ELSE 'weekday' END AS g,
+             value AS v
+      FROM events WHERE value IS NOT NULL
+    ), r AS (
+      SELECT g, 2 * RANK() OVER (ORDER BY v) + COUNT(*) OVER (PARTITION BY v) - 1 AS r2
+      FROM t
+    ), s AS (
+      SELECT CAST(SUM(CASE WHEN g = 'weekday' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(SUM(CASE WHEN g = 'weekend' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+             SUM(CASE WHEN g = 'weekday' THEN r2 ELSE 0 END) AS r2a
+      FROM r
+    ), ties AS (
+      SELECT SUM(c * c * c - c) AS tsum
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY v)
+    )
+    SELECT na AS n_a, nb AS n_b,
+           (CAST(r2a AS DOUBLE) - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0)) / 2.0
+             AS u_stat,
+           ROUND(((CAST(r2a AS DOUBLE) - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0)) / 2.0
+                  - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0)
+                 / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+                        * ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0)
+                           - CAST(tsum AS DOUBLE)
+                             / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                                * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 1.0)))), 6)
+             AS z_score
+    FROM s, ties
+    """,
+)
+def weekend_effect_mwu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elective_waiting_times_pipeline_spark.operators.rankstats import mann_whitney_u
+
+    ev = load_table(spark, sf_dir, "events")
+    day_idx = F.datediff(
+        F.date_trunc("DAY", "ts"), F.lit("2024-01-01 00:00:00").cast("timestamp")
+    )
+    g = F.when(day_idx % 7 >= 5, "weekend").otherwise("weekday")
+    return mann_whitney_u(
+        ev.withColumn("_g", g), "value", "_g", "weekday", "weekend"
+    )
