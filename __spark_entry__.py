@@ -135,6 +135,7 @@ _REGISTERED_AFTER_R3 = {
     "log2_value_histogram",
     "source_language_purity",
     "weekend_effect_mwu",
+    "supplier_hhi",
 }
 
 

@@ -761,3 +761,47 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("cents").cast("double") / 100).alias("segment_revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Supplier concentration (Herfindahl–Hirschman index) per part type —
+# "is this category single-sourced?": HHI = Σ share_i² over each
+# supplier's revenue share of the type. Exact to the last step:
+# HHI = Σ rev_i² / (Σ rev_i)² with cent-integer revenues, so both
+# engines sum exact decimal(38,0) squares and divide once (the
+# squared total stays a double product of two exact casts, same op
+# order both sides). Two cascaded hash aggs on the bounded
+# (type, supplier) axis.
+# ---------------------------------------------------------------------------
+@query(
+    "supplier_hhi",
+    oracle=f"""
+    WITH ps AS (
+      SELECT p_type, l_suppkey, CAST(SUM({_REV}) AS BIGINT) AS rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2
+    )
+    SELECT p_type,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           ROUND(CAST(SUM(CAST(rev AS HUGEINT) * rev) AS DOUBLE)
+                 / (CAST(SUM(rev) AS DOUBLE) * CAST(SUM(rev) AS DOUBLE)), 6) AS hhi
+    FROM ps GROUP BY p_type
+    """,
+)
+def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    ps = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type", "l_suppkey")
+        .agg(F.sum(_rev_col()).alias("rev"))
+    )
+    rev_d = F.col("rev").cast("decimal(38,0)")
+    return ps.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.round(
+            F.sum(rev_d * F.col("rev")).cast("double")
+            / (F.sum("rev").cast("double") * F.sum("rev").cast("double")),
+            6,
+        ).alias("hhi"),
+    )
