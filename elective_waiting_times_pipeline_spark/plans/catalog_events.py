@@ -2141,8 +2141,8 @@ def decayed_engagement_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "weekend_effect_mwu",
     oracle="""
     WITH t AS (
-      SELECT CASE WHEN date_diff('day', TIMESTAMP '2024-01-01 00:00:00',
-                                 date_trunc('day', ts)) % 7 IN (5, 6)
+      SELECT CASE WHEN ((date_diff('day', TIMESTAMP '2024-01-01 00:00:00',
+                                    date_trunc('day', ts)) % 7) + 7) % 7 IN (5, 6)
                   THEN 'weekend' ELSE 'weekday' END AS g,
              value AS v
       FROM events WHERE value IS NOT NULL
@@ -2179,7 +2179,9 @@ def weekend_effect_mwu(spark: SparkSession, sf_dir: str) -> DataFrame:
     day_idx = F.datediff(
         F.date_trunc("DAY", "ts"), F.lit("2024-01-01 00:00:00").cast("timestamp")
     )
-    g = F.when(day_idx % 7 >= 5, "weekend").otherwise("weekday")
+    # pmod, not %: sign-of-dividend remainder would misclassify every
+    # PRE-anchor weekend (negative day index never tests >= 5)
+    g = F.when(F.pmod(day_idx, 7) >= 5, "weekend").otherwise("weekday")
     return mann_whitney_u(
         ev.withColumn("_g", g), "value", "_g", "weekday", "weekend"
     )

@@ -2495,11 +2495,15 @@ def dedup_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def source_language_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
-    t = c.groupBy(F.col("source").alias("_s")).agg(F.sum("n").alias("tot"))
-    w = Window.partitionBy("source").orderBy(F.desc("n"), "lang")
+    # asc_nulls_last pins the tie-break to DuckDB's default NULL order
+    # (Spark's plain asc sorts NULL langs FIRST and would flip a tied
+    # top_lang across engines); the per-source total rides a window
+    # over the same partition axis — no second aggregate, no join
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc_nulls_last("lang"))
+    tot = F.sum("n").over(Window.partitionBy("source"))
     return (
-        c.join(F.broadcast(t), F.col("source") == F.col("_s"))
-        .withColumn("_rk", F.row_number().over(w))
+        c.withColumn("_rk", F.row_number().over(w))
+        .withColumn("tot", tot)
         .filter(F.col("_rk") == 1)
         .select(
             "source",

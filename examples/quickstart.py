@@ -15,9 +15,10 @@ Everything here is the public API — no test scaffolding.
 
 from __future__ import annotations
 
+import os
 import sys
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from elective_waiting_times_pipeline_spark import get_spark
 from elective_waiting_times_pipeline_spark.plans import catalog
@@ -55,7 +56,7 @@ def main() -> None:
     )
 
     curated = run_curation_available_now(spark, f"{SF}/documents.parquet")
-    print(f"\nstreaming curation survivors: {len(curated.collect())} docs")
+    print(f"\nstreaming curation survivors: {curated.count()} docs")
 
     print("\nFull query census: COVERAGE.md — every oracle-backed entry in")
     print("catalog.SPARK_QUERIES runs as shown above.")
