@@ -136,6 +136,7 @@ _REGISTERED_AFTER_R3 = {
     "source_language_purity",
     "weekend_effect_mwu",
     "supplier_hhi",
+    "price_anova_brand",
 }
 
 

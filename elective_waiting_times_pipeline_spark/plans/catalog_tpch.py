@@ -805,3 +805,77 @@ def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hhi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA across part brands — does brand explain price
+# variance? Between/within decomposition from EXACT integer moments
+# only: per-brand (n_g, S_g, Q_g) as cent sums, then
+#   SSB = Σ S_g²/n_g − S²/N      SSW = Q − Σ S_g²/n_g
+#   η²  = SSB / (SSB + SSW)      F = (SSB/(k−1)) / (SSW/(N−k))
+# — every double op consumes exact integers in one fixed order the
+# oracle repeats, so the rounded statistics hash-match (the one float
+# SUM, Σ S_g²/n_g, runs over the bounded 25-brand axis where a
+# worst-case reordering perturbs the ratio at ~1e-16 relative — far
+# inside the 1e-6 round). One fact agg to the brand axis, one 1-row
+# combine.
+# ---------------------------------------------------------------------------
+@query(
+    "price_anova_brand",
+    oracle="""
+    WITH g AS (
+      SELECT p_brand,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+             SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT)
+                 * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS q
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1
+    ), c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(SUM(s) AS BIGINT) AS ss,
+             CAST(SUM(q) AS DOUBLE) AS qd,
+             SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) AS sb
+      FROM g
+    )
+    SELECT k AS n_groups, nn AS n_rows,
+           ROUND((sb - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / nn)
+                 / (qd - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / nn), 6) AS eta_sq,
+           ROUND(((sb - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / nn) / (k - 1))
+                 / ((qd - sb) / (nn - k)), 6) AS f_stat
+    FROM c
+    """,
+)
+def price_anova_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cents = sl2("l_extendedprice")
+    g = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("s"),
+            F.sum(cents.cast("decimal(38,0)") * cents).alias("q"),
+        )
+    )
+    c = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("ss"),
+        F.sum("q").cast("double").alias("qd"),
+        F.sum(F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")).alias("sb"),
+    )
+    ssd = F.col("ss").cast("double") * F.col("ss").cast("double") / F.col("nn")
+    ssb = F.col("sb") - ssd
+    sst = F.col("qd") - ssd
+    return c.select(
+        F.col("k").alias("n_groups"),
+        F.col("nn").alias("n_rows"),
+        F.round(ssb / sst, 6).alias("eta_sq"),
+        F.round(
+            (ssb / (F.col("k") - 1)) / ((F.col("qd") - F.col("sb")) / (F.col("nn") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+    )
