@@ -137,6 +137,7 @@ _REGISTERED_AFTER_R3 = {
     "weekend_effect_mwu",
     "supplier_hhi",
     "price_anova_brand",
+    "cohort_ltv_matrix",
 }
 
 

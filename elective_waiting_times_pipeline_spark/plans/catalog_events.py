@@ -2185,3 +2185,77 @@ def weekend_effect_mwu(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mann_whitney_u(
         ev.withColumn("_g", g), "value", "_g", "weekday", "weekend"
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV matrix — cumulative purchase revenue per user by signup
+# cohort (week of first event) × weeks-since: retention_curve's
+# revenue sibling and the standard payback-period table. Week indexes
+# are pure integer arithmetic off the 2024-01-01 Monday anchor (pmod
+# epoch-day division — no date_trunc('week') start-of-week semantics
+# to reconcile). The cumulative ride is a window over the bounded
+# per-cohort week axis; revenue stays in exact cents until one final
+# division by the cohort size.
+# ---------------------------------------------------------------------------
+@query(
+    "cohort_ltv_matrix",
+    oracle="""
+    WITH wk AS (
+      -- floor(d/7) IS floor division for negative d too — identical
+      -- to the Spark side's (d - pmod(d,7))/7 for every sign
+      SELECT user_id, event_type, value,
+             CAST(floor(date_diff('day', TIMESTAMP '2024-01-01 00:00:00',
+                                  date_trunc('day', ts)) / 7.0) AS BIGINT) AS w
+      FROM events
+    ), first AS (
+      SELECT user_id, MIN(w) AS cohort_week FROM wk GROUP BY 1
+    ), sizes AS (
+      SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n_users FROM first GROUP BY 1
+    ), rev AS (
+      SELECT f.cohort_week, e.w - f.cohort_week AS age_weeks,
+             SUM(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS cents
+      FROM wk e JOIN first f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2
+    ), cum AS (
+      SELECT cohort_week, age_weeks, n_users,
+             SUM(cents) OVER (PARTITION BY cohort_week ORDER BY age_weeks) AS cum_cents
+      FROM rev JOIN sizes USING (cohort_week)
+    )
+    SELECT CAST(cohort_week AS INT) AS cohort_week,
+           CAST(age_weeks AS INT) AS age_weeks, n_users,
+           ROUND(CAST(cum_cents AS DOUBLE) / 100 / n_users, 6) AS ltv_per_user
+    FROM cum
+    """,
+)
+def cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day_idx = F.datediff(
+        F.date_trunc("DAY", "ts"), F.lit("2024-01-01 00:00:00").cast("timestamp")
+    )
+    # floor-division week index that holds for PRE-anchor days too
+    week = ((day_idx - F.pmod(day_idx, 7)) / 7).cast("long")
+    wk = ev.select("user_id", "event_type", "value", week.alias("w"))
+    first = wk.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
+    sizes = first.groupBy(F.col("cohort_week").alias("_c")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    rev = (
+        wk.filter(F.col("event_type") == "purchase")
+        .join(first, "user_id")
+        .groupBy("cohort_week", (F.col("w") - F.col("cohort_week")).alias("age_weeks"))
+        .agg(F.sum(sl2("value")).alias("cents"))
+    )
+    w = Window.partitionBy("cohort_week").orderBy("age_weeks")
+    return (
+        rev.join(F.broadcast(sizes), F.col("cohort_week") == F.col("_c"))
+        .withColumn("cum_cents", F.sum("cents").over(w))
+        .select(
+            F.col("cohort_week").cast("int"),
+            F.col("age_weeks").cast("int"),
+            "n_users",
+            F.round(F.col("cum_cents").cast("double") / 100 / F.col("n_users"), 6).alias(
+                "ltv_per_user"
+            ),
+        )
+    )
