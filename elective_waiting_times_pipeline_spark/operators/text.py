@@ -110,22 +110,24 @@ def bigrams(toks: Column) -> Column:
     transform(slice, (t, i) -> element_at(toks, i+2)) form is O(L²):
     element_at walks the array per call, and a 10k-token document
     pays 10⁸ steps (measured 13 s vs sub-second for one corpus pass
-    at sf0.1)."""
-    n = F.size(toks)
+    at sf0.1). The slice length is clamped at 0 so empty/one-token
+    arrays yield [] instead of aborting the job (Spark rejects a
+    negative slice length at runtime)."""
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
     return F.zip_with(
-        F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1), lambda a, b: F.concat_ws(" ", a, b)
+        F.slice(toks, 1, m), F.slice(toks, 2, m), lambda a, b: F.concat_ws(" ", a, b)
     )
 
 
 def trigrams(toks: Column) -> Column:
     """Adjacent token triples as "a b c" strings — same O(L) shifted-
-    slice construction as `bigrams`."""
-    n = F.size(toks)
+    slice construction (and 0-clamped slice length) as `bigrams`."""
+    m = F.greatest(F.size(toks) - 2, F.lit(0))
     return F.zip_with(
         F.zip_with(
-            F.slice(toks, 1, n - 2), F.slice(toks, 2, n - 2), lambda a, b: F.concat_ws(" ", a, b)
+            F.slice(toks, 1, m), F.slice(toks, 2, m), lambda a, b: F.concat_ws(" ", a, b)
         ),
-        F.slice(toks, 3, n - 2),
+        F.slice(toks, 3, m),
         lambda ab, c: F.concat_ws(" ", ab, c),
     )
 

@@ -1055,9 +1055,12 @@ def retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mean over converters only is biased). Per user: entry = first view,
 # event = first later purchase (delay in whole hours), censor = last
 # observed activity otherwise. The curve computes over the DISTINCT
-# delay axis (tiny): risk sets from a cumulative window, each
-# factor's ln(1 - d/n) micro-snapped so the product accumulates as an
-# exact integer sum (censored-at-t users remain at risk at t, the
+# delay axis (tiny): risk sets from a cumulative window; the product
+# of (1 - d/n) factors is an ordered left-fold of IEEE doubles
+# (division / multiplication / floor are correctly-rounded and
+# bit-identical on any IEEE-754 engine — unlike ln/exp, whose libm
+# ulp drift flipped a snap boundary at sf0.1 in round 4), reported as
+# an integer ppm (censored-at-t users remain at risk at t, the
 # standard deaths-before-censoring convention).
 # ---------------------------------------------------------------------------
 @query(
@@ -1086,19 +1089,20 @@ def retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pop GROUP BY t_h
     ), risk AS (
       SELECT t_h, d,
-             (SELECT CAST(COUNT(*) AS BIGINT) FROM pop) 
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM pop)
                - COALESCE(SUM(leaving) OVER (ORDER BY t_h
                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
       FROM marks
     ), terms AS (
       SELECT t_h, d, n_risk,
-             CAST(floor(ln(1 - CAST(d AS DOUBLE) / n_risk) * 1000000 + 0.5) AS BIGINT) AS lnm
+             CAST(1 AS DOUBLE) - CAST(d AS DOUBLE) / n_risk AS factor
       FROM risk WHERE d > 0 AND d < n_risk
     )
     SELECT t_h AS delay_hours, n_risk, d AS d_events,
-           ROUND(exp(CAST(SUM(lnm) OVER (ORDER BY t_h
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-                     / 1000000), 6) AS survival
+           CAST(floor(list_reduce(
+                  list(factor) OVER (ORDER BY t_h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  (acc, x) -> acc * x) * 1000000 + 0.5) AS BIGINT) AS survival_ppm
     FROM terms
     """,
 )
@@ -1142,17 +1146,29 @@ def survival_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     terms = risk.filter((F.col("d") > 0) & (F.col("d") < F.col("n_risk"))).withColumn(
-        "lnm",
-        F.floor(F.log(1 - F.col("d").cast("double") / F.col("n_risk")) * 1000000 + 0.5).cast(
-            "long"
-        ),
+        "factor", F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")
     )
+    # Ordered left-fold of the running factor list: ((1.0*f1)*f2)*...*fk.
+    # 1.0*f1 == f1 exactly, so this is bit-identical to DuckDB's
+    # list_reduce fold — every step is a correctly-rounded IEEE multiply,
+    # no transcendental in sight. The window is axis-sized (distinct delay
+    # hours), a whitelisted bounded global window.
     wS = Window.orderBy("t_h").rowsBetween(Window.unboundedPreceding, 0)
     return terms.select(
         F.col("t_h").alias("delay_hours"),
         "n_risk",
         F.col("d").alias("d_events"),
-        F.round(F.exp(F.sum("lnm").over(wS).cast("double") / 1000000), 6).alias("survival"),
+        F.floor(
+            F.aggregate(
+                F.collect_list("factor").over(wS),
+                F.lit(1.0),
+                lambda acc, x: acc * x,
+            )
+            * 1000000
+            + 0.5
+        )
+        .cast("long")
+        .alias("survival_ppm"),
     )
 
 
@@ -1777,8 +1793,8 @@ def mann_whitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily GROUP BY 1
     ), c AS (
       SELECT daily.g, d, nd,
-             nd * SUM(sv) OVER (PARTITION BY daily.g ORDER BY d)
-               - ROW_NUMBER() OVER (PARTITION BY daily.g ORDER BY d) * t AS s2
+             CAST(nd AS HUGEINT) * SUM(CAST(sv AS HUGEINT)) OVER (PARTITION BY daily.g ORDER BY d)
+               - ROW_NUMBER() OVER (PARTITION BY daily.g ORDER BY d) * CAST(t AS HUGEINT) AS s2
       FROM daily JOIN m USING (g)
     )
     SELECT g AS event_type, nd AS n_days, d AS cp_day,
@@ -1797,10 +1813,20 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = daily.join(F.broadcast(m), F.col("g") == F.col("_g"))
     w = Window.partitionBy("g").orderBy("d")
-    run = F.sum("sv").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    # nd·(cumulative cents) can exceed int64 at the 100 TB scale this
+    # targets — carry the combine in decimal(38,0) (HUGEINT on the
+    # oracle side); still exact integers, just wider.
+    run = (
+        F.sum(F.col("sv").cast("decimal(38,0)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("decimal(38,0)")
+    )
     k = F.row_number().over(w)
     c = j.select(
-        "g", "d", "nd", (F.col("nd") * run - k * F.col("t")).alias("s2")
+        "g",
+        "d",
+        "nd",
+        (F.col("nd") * run - k * F.col("t").cast("decimal(38,0)")).alias("s2"),
     )
     pick = Window.partitionBy("g").orderBy(F.abs(F.col("s2")).desc(), F.col("d"))
     return (

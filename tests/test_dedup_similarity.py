@@ -213,6 +213,22 @@ def test_repetition_features_edges(spark):
     assert out[3]["dup_unigram_frac"] == 0.0 and abs(out[3]["top_bigram_frac"] - 1 / 3) < 1e-6
 
 
+def test_ngram_builders_clamp_short_arrays(spark):
+    """bigrams/trigrams must yield [] (not a runtime abort from a
+    negative slice length) on empty and sub-n token arrays — these are
+    public operators and not every caller pre-filters on token_count."""
+    from elective_waiting_times_pipeline_spark.operators.text import bigrams, trigrams
+
+    df = spark.createDataFrame(
+        [([],), (["a"],), (["a", "b"],), (["a", "b", "c"],)], "toks: array<string>"
+    )
+    got = df.select(
+        bigrams(F.col("toks")).alias("bi"), trigrams(F.col("toks")).alias("tri")
+    ).collect()
+    assert [r.bi for r in got] == [[], [], ["a b"], ["a b", "b c"]]
+    assert [r.tri for r in got] == [[], [], [], ["a b c"]]
+
+
 def test_minhash_estimate_jaccard_tracks_exact(spark):
     """The signature-agreement estimator should (a) be exactly 1.0 for
     identical docs, (b) correlate with exact Jaccard on near-dups —
