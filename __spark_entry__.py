@@ -138,6 +138,9 @@ _REGISTERED_AFTER_R3 = {
     "supplier_hhi",
     "price_anova_brand",
     "cohort_ltv_matrix",
+    # round 5
+    "entity_clusters",
+    "seasonal_anomaly_how",
 }
 
 

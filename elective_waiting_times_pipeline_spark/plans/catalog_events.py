@@ -522,6 +522,85 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SEASONALLY-adjusted anomaly detection: hourly event counts scored
+# against their (event_type, hour-of-week) baseline — the standard
+# detrend for strongly-cyclic traffic, where a Monday-9am spike is
+# normal but the same count at Sunday-3am is an incident (the rolling
+# z-score above would flag both or neither). The baseline relation is
+# |event_type|×168 rows — broadcast back onto the hourly series. All
+# moments are exact integer sums; mean/σ/z are the same fixed sequence
+# of correctly-rounded double ops on both engines (no transcendentals)
+# so the rounded z hash-matches. Hour-of-week via pmod off the
+# 2024-01-01 Monday anchor — sign-safe for pre-anchor timestamps.
+# ---------------------------------------------------------------------------
+@query(
+    "seasonal_anomaly_how",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             CAST(((date_diff('day', TIMESTAMP '2024-01-01 00:00:00',
+                              date_trunc('day', ts)) % 7) + 7) % 7 * 24
+                  + hour(ts) AS BIGINT) AS how,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2, 3
+    ), base AS (
+      SELECT event_type, how,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n_events) AS BIGINT) AS s,
+             CAST(SUM(n_events * n_events) AS BIGINT) AS ss
+      FROM hourly GROUP BY 1, 2
+    )
+    SELECT h.event_type, h.bucket, h.n_events,
+           ROUND((h.n_events - CAST(s AS DOUBLE) / k)
+                 / sqrt(CAST(ss AS DOUBLE) / k
+                        - (CAST(s AS DOUBLE) / k) * (CAST(s AS DOUBLE) / k)), 6) AS z_score
+    FROM hourly h JOIN base b USING (event_type, how)
+    WHERE k >= 4
+      AND CAST(ss AS DOUBLE) / k - (CAST(s AS DOUBLE) / k) * (CAST(s AS DOUBLE) / k) > 0
+    ORDER BY abs((h.n_events - CAST(s AS DOUBLE) / k)
+                 / sqrt(CAST(ss AS DOUBLE) / k
+                        - (CAST(s AS DOUBLE) / k) * (CAST(s AS DOUBLE) / k))) DESC,
+             h.event_type, h.bucket
+    LIMIT 20
+    """,
+)
+def seasonal_anomaly_how(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day_idx = F.datediff(
+        F.date_trunc("DAY", "ts"), F.lit("2024-01-01 00:00:00").cast("timestamp")
+    )
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("HOUR", "ts").alias("bucket"),
+            (F.pmod(day_idx, 7) * 24 + F.hour("ts")).cast("long").alias("how"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    base = hourly.groupBy("event_type", "how").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_events").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("ss"),
+    )
+    j = hourly.join(F.broadcast(base), ["event_type", "how"])
+    mean = F.col("s").cast("double") / F.col("k")
+    var = F.col("ss").cast("double") / F.col("k") - mean * mean
+    z = (F.col("n_events") - mean) / F.sqrt(var)
+    # top-20 by |z|: the selection is deterministic because z is the
+    # same fixed op sequence on both engines (bit-identical doubles)
+    # and ties fall through to the (event_type, bucket) key
+    return (
+        j.filter((F.col("k") >= 4) & (var > 0))
+        .select(
+            "event_type", "bucket", "n_events", F.round(z, 6).alias("z_score"), z.alias("_z")
+        )
+        .orderBy(F.abs(F.col("_z")).desc(), "event_type", "bucket")
+        .limit(20)
+        .drop("_z")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Rolling 7-day distinct active users. COUNT(DISTINCT) over a sliding
 # window has no window-function form; the scalable rewrite is the
 # contribution explode: distinct (day, user) pairs each contribute to

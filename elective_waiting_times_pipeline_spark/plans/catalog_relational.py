@@ -1138,6 +1138,65 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Entity resolution END-TO-END: fuzzy_name_pairs' blocked-Levenshtein
+# match graph → transitive closure (operators/cluster.py Hash-Min
+# connected components, the dedup_clusters machinery on a different
+# edge generator) → one entity id (min member key) per supplier, with
+# the resolved-entity size. The composition a master-data build runs:
+# candidate pairs are blocked (hash equi-join, never all-pairs), the
+# closure is iterative-but-bounded (O(log diameter) rounds), and the
+# size ride-along is a window over the entity key — each cluster is a
+# few records, so no partition holds more than one entity's rows per
+# key. Oracle: the same graph closed by a recursive CTE.
+# ---------------------------------------------------------------------------
+@query(
+    "entity_clusters",
+    oracle="""
+    WITH RECURSIVE s AS (
+      SELECT s_suppkey, s_name, length(s_name) AS ln, substr(s_name, 1, 12) AS blk
+      FROM supplier
+    ), pairs AS (
+      SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b
+      FROM s a JOIN s b
+        ON a.ln = b.ln AND a.blk = b.blk AND a.s_suppkey < b.s_suppkey
+      WHERE levenshtein(a.s_name, b.s_name) <= 2
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach(v, l) AS (
+      SELECT s_suppkey, s_suppkey FROM supplier
+      UNION
+      SELECT e.a, r.l FROM edges e JOIN reach r ON e.b = r.v
+    ), lab AS (
+      SELECT v, MIN(l) AS entity_id FROM reach GROUP BY v
+    )
+    SELECT CAST(v AS BIGINT) AS s_suppkey,
+           CAST(entity_id AS BIGINT) AS entity_id,
+           CAST(COUNT(*) OVER (PARTITION BY entity_id) AS BIGINT) AS n_members
+    FROM lab
+    """,
+)
+def entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elective_waiting_times_pipeline_spark.operators.cluster import connected_components
+
+    sup = load_table(spark, sf_dir, "supplier")
+    pairs = fuzzy_name_pairs(spark, sf_dir)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    # singletons (no fuzzy match) resolve to themselves
+    lab = (
+        sup.select(F.col("s_suppkey").cast("long").alias("s_suppkey"))
+        .join(comp.withColumnRenamed("v", "s_suppkey"), "s_suppkey", "left")
+        .select(
+            "s_suppkey",
+            F.coalesce(F.col("label"), F.col("s_suppkey")).cast("long").alias("entity_id"),
+        )
+    )
+    w = Window.partitionBy("entity_id")
+    return lab.withColumn("n_members", F.count(F.lit(1)).over(w).cast("long"))
+
+
+# ---------------------------------------------------------------------------
 # Geometric mean per group (the multiplicative average — price
 # indices, growth rates): exp of the mean of micro-snapped logs, so
 # the accumulation is an exact integer sum (the ln-snap trick).
