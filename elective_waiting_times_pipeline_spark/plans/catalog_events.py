@@ -577,12 +577,16 @@ def seasonal_anomaly_how(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    base = hourly.groupBy("event_type", "how").agg(
-        F.count(F.lit(1)).alias("k"),
-        F.sum("n_events").alias("s"),
-        F.sum(F.col("n_events") * F.col("n_events")).alias("ss"),
+    # baseline moments as window aggregates over the SAME hourly
+    # relation — one raw-log scan, not a second groupBy+join pass
+    # (each (type, hour-of-week) partition holds one row per week:
+    # bounded by the series length, never by event volume)
+    wb = Window.partitionBy("event_type", "how")
+    j = (
+        hourly.withColumn("k", F.count(F.lit(1)).over(wb))
+        .withColumn("s", F.sum("n_events").over(wb))
+        .withColumn("ss", F.sum(F.col("n_events") * F.col("n_events")).over(wb))
     )
-    j = hourly.join(F.broadcast(base), ["event_type", "how"])
     mean = F.col("s").cast("double") / F.col("k")
     var = F.col("ss").cast("double") / F.col("k") - mean * mean
     z = (F.col("n_events") - mean) / F.sqrt(var)
