@@ -141,6 +141,9 @@ _REGISTERED_AFTER_R3 = {
     # round 5
     "entity_clusters",
     "seasonal_anomaly_how",
+    "silhouette_approx",
+    "ann_filtered_topk",
+    "collocation_pmi",
 }
 
 

@@ -394,6 +394,96 @@ def ngram_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Collocation mining: top-20 bigrams by pointwise mutual information
+# (min pair count 5) — frequency alone (ngram_top_bigrams) surfaces
+# "of the"; PMI surfaces the pairs that co-occur far above chance,
+# the standard phrase/term detector for tokenizer vocab building.
+# PMI = ln(c_xy·T_u² / (T_b·c_x·c_y)): every count is an exact
+# integer, the products ride in decimal(38,0)/HUGEINT (c·T² can pass
+# int64), ONE correctly-rounded division feeds ONE micro-snapped ln
+# (the mutual_information discipline — a single snap absorbs libm
+# drift). Plan shape: two corpus explodes → hash aggs; bigram counts
+# join unigram counts ON THE TOKEN KEY (vocab-sized, never
+# broadcast); scalar totals broadcast. Deterministic top-20 on the
+# snapped integer.
+# ---------------------------------------------------------------------------
+@query(
+    "collocation_pmi",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT {_TOKS} AS a FROM documents WHERE {_NTOKS} >= 1
+    ), uc AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cu
+      FROM (SELECT unnest(a) AS tok FROM toks) GROUP BY tok
+    ), tu AS (SELECT CAST(SUM(cu) AS BIGINT) AS t_uni FROM uc
+    ), bc AS (
+      SELECT p['x'] AS x, p['y'] AS y, CAST(COUNT(*) AS BIGINT) AS cb
+      FROM (SELECT unnest(list_transform(a[1:len(a)-1],
+                                         (t, i) -> {{'x': t, 'y': a[i+1]}})) AS p
+            FROM toks WHERE len(a) >= 2)
+      GROUP BY 1, 2
+    ), tb AS (SELECT CAST(SUM(cb) AS BIGINT) AS t_bg FROM bc
+    ), terms AS (
+      SELECT x, y, cb,
+             CAST(floor(ln(CAST(CAST(cb AS HUGEINT) * t_uni * t_uni AS DOUBLE)
+                           / CAST(CAST(t_bg AS HUGEINT) * ux.cu * uy.cu AS DOUBLE))
+                        * 1000000 + 0.5) AS BIGINT) AS pmi_micro
+      FROM bc JOIN uc ux ON bc.x = ux.tok JOIN uc uy ON bc.y = uy.tok, tu, tb
+      WHERE cb >= 5
+    )
+    SELECT x || ' ' || y AS bigram, cb AS n_pairs,
+           ROUND(CAST(pmi_micro AS DOUBLE) / 1000000, 6) AS pmi_nats
+    FROM terms
+    ORDER BY pmi_micro DESC, bigram LIMIT 20
+    """,
+)
+def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    uc = (
+        docs.filter(X.token_count("text") >= 1)
+        .select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    tu = uc.agg(F.sum("cu").alias("t_uni"))
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
+        lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+    )
+    bc_all = (
+        docs.filter(X.token_count("text") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    # t_bg totals ALL bigrams (the PMI denominator's probability
+    # space); the min-count cut applies only to which pairs are scored
+    tb = bc_all.agg(F.sum("cb").alias("t_bg"))
+    bc = bc_all.filter(F.col("cb") >= 5)
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = (d38("cb") * d38("t_uni") * d38("t_uni")).cast("double")
+    den = (d38("t_bg") * d38("cu_x") * d38("cu_y")).cast("double")
+    pmi_micro = F.floor(F.log(num / den) * 1000000 + 0.5).cast("long")
+    return (
+        bc.join(uc.select(F.col("tok").alias("x"), F.col("cu").alias("cu_x")), "x")
+        .join(uc.select(F.col("tok").alias("y"), F.col("cu").alias("cu_y")), "y")
+        .crossJoin(F.broadcast(tu))
+        .crossJoin(F.broadcast(tb))
+        .select(
+            F.concat_ws(" ", "x", "y").alias("bigram"),
+            F.col("cb").alias("n_pairs"),
+            pmi_micro.alias("_pm"),
+        )
+        .orderBy(F.col("_pm").desc(), "bigram")
+        .limit(20)
+        .select("bigram", "n_pairs", F.round(F.col("_pm").cast("double") / 1000000, 6).alias("pmi_nats"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic train/val/test split (md5 hex-prefix threshold; see
 # operators/sampling.py). Exactly replayed by the DuckDB oracle —
 # row-order/partitioning independent by construction.

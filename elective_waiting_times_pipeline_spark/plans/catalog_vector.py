@@ -35,6 +35,34 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# FILTERED vector search: top-k cosine restricted to a metadata
+# predicate (label = 2) — the vector-DB operation behind "search only
+# docs matching this filter". Strategy is PRE-filtering: the predicate
+# is applied before scoring, so recall within the filtered set is
+# exact (post-filtering a global top-k can starve the result), and the
+# predicate reaches the parquet scan as a pushed filter — on a
+# label-partitioned/bucketed store at 100 TB this prunes row groups
+# before a single distance is computed.
+# ---------------------------------------------------------------------------
+@query(
+    "ann_filtered_topk",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6) AS cosine_sim
+    FROM embeddings, q
+    WHERE label = 2
+    ORDER BY cosine_sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") == 0)
+    return S.cosine_topk(emb.filter(F.col("label") == 2), qdf, k=10)
+
+
+# ---------------------------------------------------------------------------
 # Embedding near-dup pairs (brute force on a vec_id<150 slice so the
 # oracle's quadratic join stays small; lsh_near_dup_pairs is the
 # corpus-scale variant).
@@ -562,20 +590,12 @@ def knn_pagerank_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# Deterministic k-means over the embedding corpus (k=4, 2 Lloyd
-# rounds, seeds = 4 smallest vec_ids) — the clustering stage of
-# cluster-then-sample curation. All math in micro-scaled longs
-# (operators/kmeans.py), so the DuckDB oracle replays the identical
-# integer iterations: distances are exact BIGINT folds, centroids
-# re-snap via floor(sum/n + 0.5), argmin ties go to the smaller
-# cluster id. Scale: assignment is a broadcast map pass; recompute
-# exchanges k*dim rows per round.
-# ---------------------------------------------------------------------------
-@query(
-    "kmeans_clusters",
-    oracle="""
-    WITH v AS (
+# Shared integer k-means oracle chain (k=4, 2 Lloyd rounds): v (micro-
+# snapped vectors) -> seeds -> c0 -> d1/a1 (round-1 assign) -> m1/c1
+# (round-1 recompute) -> d2 (round-2 distances). Consumers pick their
+# final select: kmeans_clusters takes the argmin, cluster_balanced_
+# sample caps per cluster, silhouette_approx scores the assignment.
+_KMEANS_D2 = """WITH v AS (
       SELECT vec_id,
              list_transform(CAST(embedding AS DOUBLE[]),
                             x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS xv
@@ -606,7 +626,23 @@ def knn_pagerank_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT v.vec_id, c.cid,
              list_sum(list_transform(v.xv, (x, i) -> (x - c.cv[i]) * (x - c.cv[i]))) AS d
       FROM v CROSS JOIN c1 c
-    )
+    )"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic k-means over the embedding corpus (k=4, 2 Lloyd
+# rounds, seeds = 4 smallest vec_ids) — the clustering stage of
+# cluster-then-sample curation. All math in micro-scaled longs
+# (operators/kmeans.py), so the DuckDB oracle replays the identical
+# integer iterations: distances are exact BIGINT folds, centroids
+# re-snap via floor(sum/n + 0.5), argmin ties go to the smaller
+# cluster id. Scale: assignment is a broadcast map pass; recompute
+# exchanges k*dim rows per round.
+# ---------------------------------------------------------------------------
+@query(
+    "kmeans_clusters",
+    oracle=_KMEANS_D2
+    + """
     SELECT vec_id, cid AS cluster FROM (
       SELECT vec_id, cid,
              row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
@@ -632,39 +668,8 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "cluster_balanced_sample",
-    oracle="""
-    WITH v AS (
-      SELECT vec_id,
-             list_transform(CAST(embedding AS DOUBLE[]),
-                            x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS xv
-      FROM embeddings
-    ), seeds AS (
-      SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
-      FROM v ORDER BY vec_id LIMIT 4
-    ), c0 AS (
-      SELECT s.cid, v.xv AS cv FROM seeds s JOIN v USING (vec_id)
-    ), d1 AS (
-      SELECT v.vec_id, v.xv, c.cid,
-             list_sum(list_transform(v.xv, (x, i) -> (x - c.cv[i]) * (x - c.cv[i]))) AS d
-      FROM v CROSS JOIN c0 c
-    ), a1 AS (
-      SELECT vec_id, xv, cid FROM (
-        SELECT vec_id, xv, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
-        FROM d1) WHERE rk = 1
-    ), e1 AS (
-      SELECT cid, unnest(list_transform(xv, (x, i) -> {'i': i, 'x': x})) AS u FROM a1
-    ), m1 AS (
-      SELECT cid, u.i AS pos,
-             CAST(floor(CAST(SUM(u.x) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS m
-      FROM e1 GROUP BY cid, u.i
-    ), c1 AS (
-      SELECT cid, list(m ORDER BY pos) AS cv FROM m1 GROUP BY cid
-    ), d2 AS (
-      SELECT v.vec_id, c.cid,
-             list_sum(list_transform(v.xv, (x, i) -> (x - c.cv[i]) * (x - c.cv[i]))) AS d
-      FROM v CROSS JOIN c1 c
-    ), clusters AS (
+    oracle=_KMEANS_D2
+    + """, clusters AS (
       SELECT vec_id, cid AS cluster FROM (
         SELECT vec_id, cid,
                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
@@ -688,6 +693,102 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = kmeans_lloyd(emb, k=4, iters=2)
     return cap_per_group(clusters, "vec_id", ["cluster"], max_rows=40, salt="cbal").select(
         "vec_id", "cluster", "position"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Clustering QUALITY: centroid-based (simplified) silhouette per
+# cluster over the k-means assignment — the go/no-go gauge for
+# cluster-then-sample curation (a mixture built on clusters with
+# silhouette ≈ 0 is noise, not structure). Per point: a = distance to
+# own centroid, b = nearest other centroid, s = (b−a)/max(a,b) — the
+# classic O(n²) pairwise silhouette collapsed to O(n·k), the standard
+# approximation at corpus scale. One corpus scan against the
+# BROADCAST k-row centroid table; per-point distances are exact
+# BIGINT folds (order-free), s is a fixed sequence of correctly-
+# rounded double ops (sqrt included — IEEE-exact, no transcendental),
+# micro-snapped so the per-cluster mean accumulates as an exact
+# integer sum. Oracle replays the integer k-means chain, then scores
+# d2 — the same all-(point, centroid) distance relation.
+# ---------------------------------------------------------------------------
+@query(
+    "silhouette_approx",
+    oracle=_KMEANS_D2
+    + """
+    , a2 AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+        FROM d2) WHERE rk = 1
+    ), ab AS (
+      SELECT d2.vec_id, a2.cluster,
+             MIN(CASE WHEN d2.cid = a2.cluster THEN d2.d END) AS da,
+             MIN(CASE WHEN d2.cid <> a2.cluster THEN d2.d END) AS db
+      FROM d2 JOIN a2 USING (vec_id) GROUP BY 1, 2
+    ), s AS (
+      SELECT cluster,
+             CAST(floor(CASE WHEN greatest(sqrt(CAST(da AS DOUBLE)), sqrt(CAST(db AS DOUBLE))) = 0
+                             THEN 0.0
+                             ELSE (sqrt(CAST(db AS DOUBLE)) - sqrt(CAST(da AS DOUBLE)))
+                                  / greatest(sqrt(CAST(da AS DOUBLE)), sqrt(CAST(db AS DOUBLE)))
+                        END * 1000000 + 0.5) AS BIGINT) AS sppm
+      FROM ab
+    )
+    SELECT CAST(cluster AS INT) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           ROUND(CAST(SUM(sppm) AS DOUBLE) / COUNT(*) / 1000000, 6) AS mean_silhouette
+    FROM s GROUP BY cluster
+    """,
+)
+def silhouette_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elective_waiting_times_pipeline_spark.operators.kmeans import (
+        _sq_dist,
+        assign_clusters,
+        recompute_centroids,
+        snap_micros,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = snap_micros(emb.select("vec_id", "embedding"))
+    # round-1 centroids exactly as kmeans_lloyd(k=4, iters=2) derives
+    # them: smallest-id seeds -> assign -> recompute
+    seed_rows = emb.select("vec_id").orderBy("vec_id").limit(4).collect()
+    seed_map = spark.createDataFrame(
+        [(r[0], i) for i, r in enumerate(seed_rows)], "vec_id long, cid int"
+    )
+    c0 = vecs.join(F.broadcast(seed_map), "vec_id").select("cid", F.col("xv").alias("cv"))
+    c1 = recompute_centroids(assign_clusters(vecs, c0))
+    # all (point, centroid) exact distances in one broadcast pass; the
+    # per-point k-struct array is bounded (k=4) so argmin + runner-up
+    # resolve in codegen'd array ops, no second aggregation
+    per = vecs.crossJoin(F.broadcast(c1)).select(
+        "vec_id",
+        F.struct(_sq_dist(F.col("xv"), F.col("cv")).alias("d"), F.col("cid").alias("cid")).alias(
+            "dc"
+        ),
+    )
+    agg = per.groupBy("vec_id").agg(F.array_sort(F.collect_list("dc")).alias("ds"))
+    best = F.element_at("ds", 1)
+    cluster = best["cid"]
+    da = F.sqrt(best["d"].cast("double"))
+    db = F.sqrt(
+        F.array_min(F.filter(F.col("ds"), lambda s: s["cid"] != cluster))["d"].cast("double")
+    )
+    sil = F.when(F.greatest(da, db) == 0, F.lit(0.0)).otherwise(
+        (db - da) / F.greatest(da, db)
+    )
+    return (
+        agg.select(
+            cluster.alias("cluster"),
+            F.floor(sil * 1000000 + 0.5).cast("long").alias("sppm"),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.sum("sppm").cast("double") / F.count(F.lit(1)) / 1000000, 6).alias(
+                "mean_silhouette"
+            ),
+        )
     )
 
 
