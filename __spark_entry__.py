@@ -144,6 +144,7 @@ _REGISTERED_AFTER_R3 = {
     "silhouette_approx",
     "ann_filtered_topk",
     "collocation_pmi",
+    "mmr_diversified_topk",
 }
 
 

@@ -63,6 +63,102 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Diversified retrieval: Maximal Marginal Relevance re-rank of the
+# cosine top-30 pool (λ=0.7, k=10) — "relevant but not redundant",
+# the standard answer to a near-dup-heavy corpus flooding a top-k
+# with copies. The DISTRIBUTED work is the corpus-wide pool scoring
+# (one scan + TakeOrdered) and the pool's pairwise similarities; the
+# greedy selection itself is inherently sequential and runs on the
+# driver over the BOUNDED 30-row pool (the kmeans-seed-collect class
+# of driver step — O(pool²) = 900 doubles, constant in corpus size).
+# Every similarity is snapped to 6dp before the greedy, and the MMR
+# score is one fixed multiply/subtract sequence on those snapped
+# doubles, so selection order is engine-independent; the oracle
+# replays the greedy as 10 unrolled argmax CTE steps.
+# ---------------------------------------------------------------------------
+_MMR_K, _MMR_POOL, _MMR_LAM = 10, 30, 0.7
+
+
+def _mmr_oracle(k: int = _MMR_K, pool: int = _MMR_POOL, lam: float = _MMR_LAM) -> str:
+    sql = f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    pool AS MATERIALIZED (
+      SELECT vec_id,
+             ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6) AS rel
+      FROM embeddings, q ORDER BY rel DESC, vec_id LIMIT {pool}
+    ), pv AS MATERIALIZED (
+      SELECT p.vec_id, p.rel, CAST(e.embedding AS DOUBLE[]) AS v
+      FROM pool p JOIN embeddings e USING (vec_id)
+    ), ps AS MATERIALIZED (
+      SELECT a.vec_id AS ca, b.vec_id AS cb,
+             ROUND(list_cosine_similarity(a.v, b.v), 6) AS s
+      FROM pv a JOIN pv b ON a.vec_id <> b.vec_id
+    ), sel1 AS MATERIALIZED (
+      SELECT vec_id, rel, 1 AS mmr_rank, {lam} * rel - {1 - lam} * 0.0 AS score
+      FROM pool ORDER BY {lam} * rel - {1 - lam} * 0.0 DESC, vec_id LIMIT 1
+    )"""
+    for i in range(2, k + 1):
+        sql += f""", sel{i} AS MATERIALIZED (
+      SELECT * FROM sel{i - 1}
+      UNION ALL
+      SELECT vec_id, rel, {i} AS mmr_rank, score FROM (
+        SELECT p.vec_id, p.rel,
+               {lam} * p.rel - {1 - lam} * COALESCE(
+                 (SELECT MAX(s) FROM ps
+                  WHERE ps.ca = p.vec_id
+                    AND ps.cb IN (SELECT vec_id FROM sel{i - 1})), 0.0) AS score
+        FROM pool p WHERE p.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+        ORDER BY score DESC, p.vec_id LIMIT 1
+      )
+    )"""
+    sql += f"""
+    SELECT CAST(mmr_rank AS INT) AS mmr_rank, vec_id,
+           CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS mmr_score_ppm
+    FROM sel{k}
+    """
+    return sql
+
+
+@query("mmr_diversified_topk", oracle=_mmr_oracle())
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") == 0)
+    pool = S.cosine_topk(emb, qdf, k=_MMR_POOL)
+    pv = pool.join(emb.select("vec_id", "embedding"), "vec_id")
+    a, b = pv.alias("a"), pv.alias("b")
+    ps = (
+        a.crossJoin(b)
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("ca"),
+            F.col("b.vec_id").alias("cb"),
+            F.round(S.cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias("s"),
+        )
+    )
+    rel = {r["vec_id"]: r["cosine_sim"] for r in pool.collect()}  # bounded: pool rows
+    sims = {(r["ca"], r["cb"]): r["s"] for r in ps.collect()}  # bounded: pool²
+    selected: list[int] = []
+    remaining = set(rel)
+    rows = []
+    for rank in range(1, _MMR_K + 1):
+        best = None
+        for v in remaining:
+            vals = [sims[(v, u)] for u in selected if sims.get((v, u)) is not None]
+            maxsim = max(vals) if vals else 0.0
+            score = _MMR_LAM * rel[v] - (1 - _MMR_LAM) * maxsim
+            key = (-score, v)
+            if best is None or key < best[0]:
+                best = (key, v, score)
+        _, v, score = best
+        selected.append(v)
+        remaining.remove(v)
+        rows.append((rank, v, int(math.floor(score * 1000000 + 0.5))))
+    return spark.createDataFrame(rows, "mmr_rank int, vec_id long, mmr_score_ppm long")
+
+
+# ---------------------------------------------------------------------------
 # Embedding near-dup pairs (brute force on a vec_id<150 slice so the
 # oracle's quadratic join stays small; lsh_near_dup_pairs is the
 # corpus-scale variant).
