@@ -145,6 +145,7 @@ _REGISTERED_AFTER_R3 = {
     "ann_filtered_topk",
     "collocation_pmi",
     "mmr_diversified_topk",
+    "pit_feature_join",
 }
 
 

@@ -22,12 +22,19 @@ def asof_join_backward(
     by: str,
     ts: str,
     value_cols: list[str],
+    value_types: dict[str, str] | None = None,
 ) -> DataFrame:
     """For each left row, attach the most recent right-side value_cols
     at or before its timestamp within the same `by` key (NULL if no
-    prior right row). Output: left columns + value_cols."""
+    prior right row). Output: left columns + value_cols.
+
+    `value_types` maps payload column -> Spark type string; columns not
+    listed keep the historical default of double (numeric telemetry),
+    so existing callers are unchanged while string/date payloads (e.g.
+    SCD2 attributes in a point-in-time join) ride through losslessly."""
+    tmap = {c: (value_types or {}).get(c, "double") for c in value_cols}
     l_tag = left.withColumn("_side", F.lit(1)).withColumn("_vals", F.lit(None).cast(
-        "struct<" + ", ".join(f"{c}: double" for c in value_cols) + ">"
+        "struct<" + ", ".join(f"{c}: {t}" for c, t in tmap.items()) + ">"
     ))
     # a right row with NULL ts has no time position — ascending windows
     # would sort it FIRST (nulls-first) and carry its payload into
@@ -36,7 +43,7 @@ def asof_join_backward(
         by,
         ts,
         F.lit(0).alias("_side"),
-        F.struct(*[F.col(c).cast("double").alias(c) for c in value_cols]).alias("_vals"),
+        F.struct(*[F.col(c).cast(t).alias(c) for c, t in tmap.items()]).alias("_vals"),
     )
     unioned = l_tag.select(by, ts, "_side", "_vals", *[c for c in left.columns if c not in (by, ts)]).unionByName(
         r_tag, allowMissingColumns=True

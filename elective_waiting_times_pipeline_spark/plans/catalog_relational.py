@@ -886,6 +886,74 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Point-in-time (feature-store) join: each order looks up the SCD2
+# segment its customer was in 90 DAYS BEFORE the order — the
+# leakage-safe "features as of t−Δ" join every training-data build
+# needs (joining the current version leaks the future). Composition:
+# scd2_history's validity intervals, minus zero-length same-day
+# versions (invisible to any point-in-time query, and dropping them
+# leaves exactly one version per (key, valid_from) so the as-of match
+# is unambiguous on both engines), then the union-carry as-of kernel
+# (operators/asof.py) with a STRING payload — one key-partitioned
+# window, no interval cross join. Orders whose lookup date precedes
+# the customer's first version keep NULL (left semantics).
+# ---------------------------------------------------------------------------
+@query(
+    "pit_feature_join",
+    oracle="""
+    WITH obs AS (
+      SELECT o_custkey AS custkey, o_orderpriority AS attr,
+             o_orderdate AS eff, o_orderkey AS tie
+      FROM orders
+    ), runs AS (
+      SELECT custkey, attr, eff, tie,
+             CASE WHEN LAG(attr) OVER w IS DISTINCT FROM attr THEN 1 ELSE 0 END AS chg
+      FROM obs WINDOW w AS (PARTITION BY custkey ORDER BY eff, tie)
+    ), grp AS (
+      SELECT custkey, attr, eff, tie,
+             SUM(chg) OVER (PARTITION BY custkey ORDER BY eff, tie
+                            ROWS UNBOUNDED PRECEDING) AS ver
+      FROM runs
+    ), spans AS (
+      SELECT custkey, attr, ver, MIN(eff) AS valid_from
+      FROM grp GROUP BY 1, 2, 3
+    ), dim AS (
+      SELECT custkey, attr, valid_from, valid_to FROM (
+        SELECT custkey, attr, valid_from,
+               LEAD(valid_from) OVER (PARTITION BY custkey ORDER BY ver) AS valid_to
+        FROM spans)
+      WHERE valid_to IS NULL OR valid_to > valid_from
+    ), facts AS (
+      SELECT o_orderkey, o_custkey AS custkey,
+             o_orderdate - INTERVAL 90 DAY AS pit_date
+      FROM orders
+    )
+    SELECT f.o_orderkey, f.custkey, f.pit_date, d.attr AS segment_at_pit
+    FROM facts f
+    ASOF LEFT JOIN dim d
+      ON f.custkey = d.custkey AND f.pit_date >= d.valid_from
+    """,
+)
+def pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elective_waiting_times_pipeline_spark.operators.asof import asof_join_backward
+
+    dim = (
+        scd2_history(spark, sf_dir)
+        .filter(F.col("valid_to").isNull() | (F.col("valid_to") > F.col("valid_from")))
+        .select("custkey", F.col("valid_from").alias("pit_date"), "attr")
+    )
+    facts = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("custkey"),
+        (F.col("o_orderdate") - F.expr("INTERVAL 90 DAYS")).alias("pit_date"),
+    )
+    return asof_join_backward(
+        facts, dim, by="custkey", ts="pit_date", value_cols=["attr"],
+        value_types={"attr": "string"},
+    ).select("o_orderkey", "custkey", "pit_date", F.col("attr").alias("segment_at_pit"))
+
+
+# ---------------------------------------------------------------------------
 # Welch's t-test between two event populations (§2.10 stats family,
 # the A/B-comparison form): group moments from exact scaled integer
 # sums, accumulated as DECIMAL(38,0)/HUGEINT (the sum of squares
