@@ -134,6 +134,35 @@ def write_jsonl(
     w.json(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    compression: str = "zstd",
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink — the columnar interchange format of the Hive/Trino
+    side of a lake (Spark ships the reader/writer built in). Same
+    scale contract as the parquet sink: executors write their own
+    parts, `partition_by` lays out directory partitions so downstream
+    scans prune, and zstd keeps the stripe size honest."""
+    w = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark, path: str, schema=None, **options):
+    """ORC scan. ORC carries its schema, so unlike `read_jsonl` an
+    explicit schema is optional — pass one to pin column types across
+    writer versions. Predicate pushdown and partition pruning work as
+    for parquet (the test asserts PushedFilters reaches the scan)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path, **options)
+
+
 def sanitize_output_names(df: DataFrame) -> DataFrame:
     """Rename columns to the reference's golden CSV form (dots kept;
     anything Spark-illegal is already legal since we use backticks) —

@@ -140,6 +140,38 @@ def test_write_jsonl_roundtrip_and_shard_cap(spark, tmp_path):
     assert read_jsonl(spark, str(gz_out), "doc_id long, text string").count() == 100
 
 
+def test_orc_roundtrip_partition_pruning_and_pushdown(spark, tmp_path):
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from elective_waiting_times_pipeline_spark.sources.edges import read_orc, write_orc
+
+    df = spark.range(200).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("int").alias("part"),
+        F.concat(F.lit("v"), F.col("id")).alias("val"),
+    )
+    out = tmp_path / "lake_orc"
+    write_orc(df, str(out), partition_by=["part"])
+    # directory partitions exist
+    assert sorted(p.name for p in out.iterdir() if p.name.startswith("part=")) == [
+        "part=0", "part=1", "part=2", "part=3",
+    ]
+    back = read_orc(spark, str(out))
+    assert back.count() == 200
+    assert {r.val for r in back.filter(F.col("k") == 7).collect()} == {"v7"}
+    # pruning + pushdown are visible in the plan, as for parquet
+    q = back.filter((F.col("part") == 2) & (F.col("k") > 100)).select("k")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain()
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "part" in plan
+    assert "PushedFilters" in plan and "GreaterThan(k,100)" in plan
+
+
 def test_write_training_shards_contiguous_runs(spark, tmp_path):
     from pyspark.sql import functions as F
 
