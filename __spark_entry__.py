@@ -146,6 +146,7 @@ _REGISTERED_AFTER_R3 = {
     "collocation_pmi",
     "mmr_diversified_topk",
     "pit_feature_join",
+    "golden_record_merge",
 }
 
 

@@ -1265,6 +1265,91 @@ def entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SURVIVORSHIP on the resolved entities (the golden-record build MDM
+# pipelines run after entity_clusters): one row per entity with
+# field-level merge rules — canonical name from the ANCHOR (min
+# member, the entity id itself), nation from the most-active member
+# (max acctbal, ties to the smaller key — picked via one max(struct)
+# aggregation, no window), lexicographic-min member name, and the exact
+# cents-snapped balance total. All rules are deterministic
+# aggregations over the member set, so the merge is one groupBy after
+# the closure — no per-entity iteration.
+# ---------------------------------------------------------------------------
+@query(
+    "golden_record_merge",
+    oracle="""
+    WITH RECURSIVE s AS (
+      SELECT s_suppkey, s_name, length(s_name) AS ln, substr(s_name, 1, 12) AS blk
+      FROM supplier
+    ), pairs AS (
+      SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b
+      FROM s a JOIN s b
+        ON a.ln = b.ln AND a.blk = b.blk AND a.s_suppkey < b.s_suppkey
+      WHERE levenshtein(a.s_name, b.s_name) <= 2
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach(v, l) AS (
+      SELECT s_suppkey, s_suppkey FROM supplier
+      UNION
+      SELECT e.a, r.l FROM edges e JOIN reach r ON e.b = r.v
+    ), lab AS (
+      SELECT v AS s_suppkey, CAST(MIN(l) AS BIGINT) AS entity_id FROM reach GROUP BY v
+    ), merged AS (
+      SELECT entity_id,
+             CAST(COUNT(*) AS BIGINT) AS n_members,
+             first(sp.s_nationkey ORDER BY sp.s_acctbal DESC, sp.s_suppkey)
+               AS nation_best,
+             MAX(sp.s_acctbal) AS best_acctbal,
+             MIN(sp.s_name) AS name_min,
+             CAST(SUM(CAST(floor(sp.s_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
+               AS total_acctbal
+      FROM lab JOIN supplier sp USING (s_suppkey)
+      GROUP BY entity_id
+    )
+    SELECT m.entity_id, m.n_members, a.s_name AS canonical_name,
+           CAST(m.nation_best AS BIGINT) AS nation_best,
+           m.best_acctbal, m.name_min, m.total_acctbal
+    FROM merged m JOIN supplier a ON a.s_suppkey = m.entity_id
+    """,
+)
+def golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier")
+    lab = entity_clusters(spark, sf_dir).select("s_suppkey", "entity_id")
+    j = lab.join(sup.withColumn("s_suppkey", F.col("s_suppkey").cast("long")), "s_suppkey")
+    # max(struct(acctbal, -key, nation)) == "first nation ORDER BY
+    # acctbal DESC, key ASC": ties on acctbal fall to the larger -key,
+    # i.e. the smaller member key — deterministic on both engines
+    best = F.max(
+        F.struct(
+            F.col("s_acctbal").alias("a"),
+            (-F.col("s_suppkey")).alias("negk"),
+            F.col("s_nationkey").alias("n"),
+        )
+    )
+    merged = j.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        best.alias("_best"),
+        F.min("s_name").alias("name_min"),
+        sum2("s_acctbal", "total_acctbal"),
+    )
+    anchor = sup.select(
+        F.col("s_suppkey").cast("long").alias("entity_id"),
+        F.col("s_name").alias("canonical_name"),
+    )
+    return merged.join(anchor, "entity_id").select(
+        "entity_id",
+        "n_members",
+        "canonical_name",
+        F.col("_best.n").cast("long").alias("nation_best"),
+        F.col("_best.a").alias("best_acctbal"),
+        "name_min",
+        "total_acctbal",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Geometric mean per group (the multiplicative average — price
 # indices, growth rates): exp of the mean of micro-snapped logs, so
 # the accumulation is an exact integer sum (the ln-snap trick).
