@@ -900,6 +900,7 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "pit_feature_join",
+    headline=True,
     oracle="""
     WITH obs AS (
       SELECT o_custkey AS custkey, o_orderpriority AS attr,

@@ -409,6 +409,7 @@ def ngram_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "collocation_pmi",
+    headline=True,
     oracle=rf"""
     WITH toks AS (
       SELECT {_TOKS} AS a FROM documents WHERE {_NTOKS} >= 1

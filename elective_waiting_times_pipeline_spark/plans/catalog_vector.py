@@ -809,6 +809,7 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "silhouette_approx",
+    headline=True,
     oracle=_KMEANS_D2
     + """
     , a2 AS (
