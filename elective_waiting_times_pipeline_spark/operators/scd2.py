@@ -1,0 +1,88 @@
+"""SCD Type 2 dimension maintenance — the warehouse versioning kernel
+(build validity intervals from attribute observations) plus its
+incremental form (rebuild only the key-buckets a new batch touches).
+
+Design mirrors operators/rollup.py: the store is a PURE FUNCTION of
+the observation lake, refreshed per partition — never merged deltas.
+A key's entire history is tiny (its change count), so recomputing the
+touched buckets from the lake is one key-partitioned window pass over
+a bucket-pruned scan, and the swap (dynamic partition overwrite) is
+idempotent: checkpoint replays and duplicate batches recompute the
+same buckets to the same content.
+
+Reference parallel: the reference rebuilds its whole monthly extract
+CSV to restate history (`1b.R:383-392`); the SCD2 store makes the
+restatement a bucket-partition swap instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from elective_waiting_times_pipeline_spark.sources.readers import overwrite_partitions
+
+
+def build_scd2(
+    obs: DataFrame,
+    key: str = "custkey",
+    attr: str = "attr",
+    eff: str = "eff",
+    tie: str = "tie",
+) -> DataFrame:
+    """Collapse attribute observations into SCD2 validity intervals:
+    (key, attr, valid_from, valid_to, is_current), one row per
+    consecutive-run version. valid_to = next version's valid_from
+    (half-open intervals); NULL valid_to marks the current version.
+    One key-partitioned window pass; same-timestamp observations are
+    pinned by `tie` so versioning is deterministic (SURVEY §7.5)."""
+    w = Window.partitionBy(key).orderBy(eff, tie)
+    chg = F.when(~F.lag(attr).over(w).eqNullSafe(F.col(attr)), 1).otherwise(0)
+    grp = obs.withColumn("_chg", chg).withColumn(
+        "_ver", F.sum("_chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    spans = grp.groupBy(key, attr, "_ver").agg(F.min(eff).alias("valid_from"))
+    wv = Window.partitionBy(key).orderBy("_ver")
+    return spans.select(
+        key,
+        attr,
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        F.lead("valid_from").over(wv).isNull().alias("is_current"),
+    )
+
+
+def key_bucket(key_col: str, n_buckets: int) -> F.Column:
+    """Deterministic bucket of a key — pmod so negative keys land in
+    [0, n). The store's partition column; pruning on it turns a
+    refresh into a scan of exactly the touched buckets."""
+    return F.pmod(F.col(key_col).cast("long"), F.lit(n_buckets)).cast("int")
+
+
+def refresh_scd2(
+    obs_lake: DataFrame,
+    store_path: str,
+    buckets: Iterable[int],
+    key: str = "custkey",
+    attr: str = "attr",
+    eff: str = "eff",
+    tie: str = "tie",
+    n_buckets: int = 16,
+) -> None:
+    """Recompute the given key-buckets of the SCD2 store from the base
+    observation lake and swap them in (dynamic partition overwrite).
+    Untouched buckets keep their files byte-for-byte. A restatement
+    that empties a bucket entirely (every key's observations deleted)
+    leaves a stale bucket partition — drop it out-of-band, exactly as
+    refresh_hourly_rollup documents for purged days."""
+    buckets = sorted({int(b) for b in buckets})
+    if not buckets:
+        return
+    bcol = key_bucket(key, n_buckets)
+    slice_df = obs_lake.filter(bcol.isin(buckets))
+    fresh = build_scd2(slice_df, key=key, attr=attr, eff=eff, tie=tie).withColumn(
+        "bucket", key_bucket(key, n_buckets)
+    )
+    overwrite_partitions(fresh, store_path, partition_cols=("bucket",))

@@ -863,26 +863,15 @@ def dq_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elective_waiting_times_pipeline_spark.operators.scd2 import build_scd2
+
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("custkey"),
         F.col("o_orderpriority").alias("attr"),
         F.col("o_orderdate").alias("eff"),
         F.col("o_orderkey").alias("tie"),
     )
-    w = Window.partitionBy("custkey").orderBy("eff", "tie")
-    chg = F.when(~F.lag("attr").over(w).eqNullSafe(F.col("attr")), 1).otherwise(0)
-    grp = o.withColumn("chg", chg).withColumn(
-        "ver", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    )
-    spans = grp.groupBy("custkey", "attr", "ver").agg(F.min("eff").alias("valid_from"))
-    wv = Window.partitionBy("custkey").orderBy("ver")
-    return spans.select(
-        "custkey",
-        "attr",
-        "valid_from",
-        F.lead("valid_from").over(wv).alias("valid_to"),
-        F.lead("valid_from").over(wv).isNull().alias("is_current"),
-    )
+    return build_scd2(o, key="custkey", attr="attr", eff="eff", tie="tie")
 
 
 # ---------------------------------------------------------------------------

@@ -269,3 +269,59 @@ def compact_count_min(spark: SparkSession, store_path: str) -> None:
     spark.createDataFrame(rows, cells.schema).write.mode("overwrite").option(
         "partitionOverwriteMode", "static"
     ).partitionBy("batch").parquet(store_path)
+
+
+def stream_refresh_scd2(
+    source: DataFrame,
+    obs_lake_provider,
+    store_path: str,
+    checkpoint_path: str,
+    key: str = "custkey",
+    attr: str = "attr",
+    eff: str = "eff",
+    tie: str = "tie",
+    n_buckets: int = 16,
+    query_name: str = "scd2_refresh",
+) -> StreamingQuery:
+    """Streaming SCD2 dimension maintenance: each micro-batch of
+    attribute observations names the key-BUCKETS it touches, and those
+    buckets' histories are rebuilt from the BASE observation lake
+    (operators/scd2.py::refresh_scd2 — the store stays a pure function
+    of the lake, never merged deltas; late/out-of-order observations
+    therefore re-version correctly instead of appending a wrong
+    tail). The swap is an idempotent dynamic partition overwrite, so
+    checkpoint replays and duplicate batches converge.
+
+    Same ORDERING CONSTRAINT as stream_refresh_hourly_rollup: run this
+    downstream of the landed lake (source = the lake itself), or drive
+    landing and refresh from one foreachBatch, so a bucket is never
+    rebuilt from a lake that does not yet hold the batch's rows."""
+    from elective_waiting_times_pipeline_spark.operators.scd2 import (
+        key_bucket,
+        refresh_scd2,
+    )
+
+    def refresh(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        touched = [
+            r.b for r in batch.select(key_bucket(key, n_buckets).alias("b")).distinct().collect()
+        ]
+        refresh_scd2(
+            obs_lake_provider(),
+            store_path,
+            touched,
+            key=key,
+            attr=attr,
+            eff=eff,
+            tie=tie,
+            n_buckets=n_buckets,
+        )
+
+    return (
+        source.writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", checkpoint_path)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
