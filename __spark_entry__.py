@@ -147,6 +147,7 @@ _REGISTERED_AFTER_R3 = {
     "mmr_diversified_topk",
     "pit_feature_join",
     "golden_record_merge",
+    "multimodal_image_profile",
 }
 
 

@@ -2605,3 +2605,31 @@ def source_language_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing, driver-visible: treat each document's UTF-8
+# bytes as an opaque BINARY payload (the image/audio column shape),
+# run the Arrow-batched mapInPandas decode (operators/multimodal.py —
+# deterministic stub codec; swap in PIL/ffmpeg without touching the
+# plan), and profile the decoded metadata per format. Rows-only check
+# by design: the stub hashes with sha1, which DuckDB lacks — the
+# decode path itself is pinned by golden unit tests
+# (tests/test_multimodal_enrichment.py). Scale: decode is a
+# shuffle-free batch map; only the tiny (format)-keyed profile
+# aggregates.
+# ---------------------------------------------------------------------------
+@query("multimodal_image_profile")
+def multimodal_image_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elective_waiting_times_pipeline_spark.operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), F.encode("text", "UTF-8").alias("payload")
+    )
+    meta = MM.decode_image_metadata(docs, id_col="id", bin_col="payload")
+    return meta.groupBy("format").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.round(F.sum("width").cast("double") / F.count(F.lit(1)), 4).alias("avg_width"),
+        F.round(F.sum("height").cast("double") / F.count(F.lit(1)), 4).alias("avg_height"),
+        F.max("byte_len").alias("max_bytes"),
+    )
