@@ -148,6 +148,7 @@ _REGISTERED_AFTER_R3 = {
     "pit_feature_join",
     "golden_record_merge",
     "multimodal_image_profile",
+    "hier_share_of_parent",
 }
 
 

@@ -879,3 +879,63 @@ def price_anova_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical ratio-to-parent report: supplier revenue by region →
+# nation, with each nation's share of its region and each row's share
+# of the grand total — the percent-of-parent drill-down every BI
+# rollup renders. One fact scan (all dims broadcast) reduces to the
+# ≤|nations| relation; both share denominators are window sums over
+# that BOUNDED axis (25 rows — the benign global-window class the
+# plan lint whitelists), so no second scan and no driver math. Exact
+# cents accumulation; each share is ONE division of exact integers —
+# IEEE-identical on both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "hier_share_of_parent",
+    oracle=f"""
+    WITH rev AS (
+      SELECT r_name AS region, n_name AS nation,
+             CAST(SUM({_REV}) AS BIGINT) AS rev
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT region, nation,
+           CAST(rev AS DOUBLE) / 10000 AS revenue,
+           ROUND(CAST(rev AS DOUBLE) / SUM(rev) OVER (PARTITION BY region), 6)
+             AS share_of_region,
+           ROUND(CAST(rev AS DOUBLE) / SUM(rev) OVER (), 6) AS share_of_total
+    FROM rev
+    """,
+)
+def hier_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region")
+    rev = (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(_rev_col()).alias("rev"))
+    )
+    wreg = Window.partitionBy("region")
+    wall = Window.partitionBy()
+    return rev.select(
+        "region",
+        "nation",
+        (F.col("rev").cast("double") / 10000).alias("revenue"),
+        F.round(F.col("rev").cast("double") / F.sum("rev").over(wreg), 6).alias(
+            "share_of_region"
+        ),
+        F.round(F.col("rev").cast("double") / F.sum("rev").over(wall), 6).alias(
+            "share_of_total"
+        ),
+    )

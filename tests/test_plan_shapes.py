@@ -191,6 +191,7 @@ _UNPARTITIONED_WINDOW_WHITELIST = {
     "lag_delta": (1, "calendar-month axis (<= months in the data)"),
     "survival_conversion": (2, "delay-hour axis (bounded grid of lag hours)"),
     "daily_autocorrelation": (1, "calendar-day axis (one row per day after the corpus agg)"),
+    "hier_share_of_parent": (1, "nation axis (<= 25 rows after the fact agg)"),
 }
 
 
