@@ -29,17 +29,59 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _union_find_labels(sym: DataFrame) -> DataFrame:
+    """Driver-side closure for the small-graph fast path: union-find
+    with path compression over the collected symmetric edge list,
+    labeling every vertex with the MIN member of its component — the
+    exact semantics of the distributed Hash-Min loop. Input size is
+    already bounded by the caller's threshold check."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in sym.collect():
+        ra, rb = find(r.a), find(r.b)
+        if ra != rb:
+            # larger root attaches UNDER the smaller: every tree's
+            # root is therefore the component's min member, so the
+            # final label is simply find(v)
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = [(v, find(v)) for v in list(parent)]
+    return sym.sparkSession.createDataFrame(rows, "v long, label long")
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    small_graph_edges: int = 200_000,
 ) -> DataFrame:
     """(vertex, component) for every vertex appearing in `edges`,
     where component = min vertex id reachable in the undirected graph.
     Deterministic regardless of partitioning (min is order-free).
     Converges in O(log diameter) rounds; raises if `max_iter` rounds
-    don't reach a fixpoint (pathological only: 2^max_iter diameter)."""
+    don't reach a fixpoint (pathological only: 2^max_iter diameter).
+
+    ADAPTIVE STRATEGY: after blocking/LSH, real dedup graphs are often
+    tiny relative to the corpus (the corpus-sized work already
+    happened in pair generation). A distributed fixpoint on a
+    10k-edge graph still pays 3-5 Spark jobs PER ROUND — measured
+    ~4-5 s of pure scheduling at any input size. So when the
+    (deduplicated, symmetric) edge list holds at most
+    `small_graph_edges` rows AND both endpoints are integral types,
+    the closure runs as a driver-side union-find over the collected
+    edges — the broadcast-equivalent move, bounded at ~2·threshold
+    longs — and returns the identical min-reachable labeling. Larger
+    graphs take the distributed Hash-Min loop unchanged. Equivalence
+    of the two paths is property-tested (tests/test_cluster_properties
+    .py); pass small_graph_edges=0 to force the distributed path."""
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = (
         sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -47,6 +89,14 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # long-only: the fast path emits `v long, label long`, and a
+    # narrower input would silently widen its output dtype vs the
+    # distributed path (which preserves the input type)
+    integral = all(sym.schema[c].dataType.typeName() == "long" for c in ("a", "b"))
+    # the count also materializes the checkpoint the distributed path
+    # would pay for anyway — one small job either way
+    if integral and small_graph_edges > 0 and sym.count() <= small_graph_edges:
+        return _union_find_labels(sym)
     # Seed labels with round 1's output directly: starting from
     # label(v)=v, the first propagation round computes exactly
     # min({v} ∪ neighbors(v)) (the label-of-label join is the identity

@@ -48,3 +48,29 @@ def test_collapse_invariant_under_random_corpora(spark, corpus):
         for r in assign_clusters(docs.select("doc_id"), pairs).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# Adaptive CC strategy: the small-graph driver union-find must label
+# identically to the distributed Hash-Min fixpoint on random graphs
+# (including multi-hop chains, where min-reachable != min-neighbor).
+# --------------------------------------------------------------------------
+edge_list = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=30), st.integers(min_value=0, max_value=30)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(edge_list)
+def test_union_find_fast_path_equals_distributed(spark, edges):
+    from elective_waiting_times_pipeline_spark.operators.cluster import connected_components
+
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "id_a long, id_b long"
+    )
+    fast = connected_components(df)  # default threshold -> union-find
+    slow = connected_components(df, small_graph_edges=0)  # forced distributed
+    as_map = lambda d: {r.v: r.label for r in d.collect()}  # noqa: E731
+    assert as_map(fast) == as_map(slow)
