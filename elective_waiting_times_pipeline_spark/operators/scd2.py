@@ -6,7 +6,9 @@ Design mirrors operators/rollup.py: the store is a PURE FUNCTION of
 the observation lake, refreshed per partition — never merged deltas.
 A key's entire history is tiny (its change count), so recomputing the
 touched buckets from the lake is one key-partitioned window pass over
-a bucket-pruned scan, and the swap (dynamic partition overwrite) is
+a bucket-filtered scan — PRUNED to the touched buckets when the lake
+materializes the bucket as a column/partition (`bucket_col`), a full
+scan otherwise — and the swap (dynamic partition overwrite) is
 idempotent: checkpoint replays and duplicate batches recompute the
 same buckets to the same content.
 
@@ -56,9 +58,13 @@ def build_scd2(
 
 def key_bucket(key_col: str, n_buckets: int) -> F.Column:
     """Deterministic bucket of a key — pmod so negative keys land in
-    [0, n). The store's partition column; pruning on it turns a
-    refresh into a scan of exactly the touched buckets."""
-    return F.pmod(F.col(key_col).cast("long"), F.lit(n_buckets)).cast("int")
+    [0, n), and NULL keys land in bucket 0 (pmod(NULL) is NULL, which
+    would otherwise make NULL-key observations unrepresentable in the
+    store and crash the touched-bucket computation). The store's
+    partition column."""
+    return F.coalesce(
+        F.pmod(F.col(key_col).cast("long"), F.lit(n_buckets)), F.lit(0)
+    ).cast("int")
 
 
 def refresh_scd2(
@@ -70,17 +76,26 @@ def refresh_scd2(
     eff: str = "eff",
     tie: str = "tie",
     n_buckets: int = 16,
+    bucket_col: str | None = None,
 ) -> None:
     """Recompute the given key-buckets of the SCD2 store from the base
     observation lake and swap them in (dynamic partition overwrite).
     Untouched buckets keep their files byte-for-byte. A restatement
     that empties a bucket entirely (every key's observations deleted)
     leaves a stale bucket partition — drop it out-of-band, exactly as
-    refresh_hourly_rollup documents for purged days."""
-    buckets = sorted({int(b) for b in buckets})
+    refresh_hourly_rollup documents for purged days.
+
+    PRUNING: pass `bucket_col` when the lake carries a MATERIALIZED
+    bucket column (ideally its partition column) — the isin filter
+    then prunes the scan to exactly the touched buckets, the
+    refresh_hourly_rollup contract. Without it the filter is a derived
+    pmod expression, which is correct but scans the whole lake (no
+    partition pruning or row-group skipping on a computed value) —
+    fine for small lakes, wrong at 100 TB."""
+    buckets = sorted({int(b) for b in buckets if b is not None})
     if not buckets:
         return
-    bcol = key_bucket(key, n_buckets)
+    bcol = F.col(bucket_col) if bucket_col else key_bucket(key, n_buckets)
     slice_df = obs_lake.filter(bcol.isin(buckets))
     fresh = build_scd2(slice_df, key=key, attr=attr, eff=eff, tie=tie).withColumn(
         "bucket", key_bucket(key, n_buckets)

@@ -104,19 +104,30 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col)).cast("int")
 
 
-def bigrams(toks: Column) -> Column:
-    """Adjacent token pairs as "a b" strings — zip_with over two
-    shifted slices, O(L) per document. The tempting
-    transform(slice, (t, i) -> element_at(toks, i+2)) form is O(L²):
-    element_at walks the array per call, and a 10k-token document
-    pays 10⁸ steps (measured 13 s vs sub-second for one corpus pass
-    at sf0.1). The slice length is clamped at 0 so empty/one-token
-    arrays yield [] instead of aborting the job (Spark rejects a
-    negative slice length at runtime)."""
+def bigram_pairs(toks: Column) -> Column:
+    """Adjacent token pairs as struct(x, y) — the one audited home of
+    the O(L) shifted-slice construction: zip_with over two shifted
+    slices. The tempting transform(slice, (t, i) ->
+    element_at(toks, i+2)) form is O(L²): element_at walks the array
+    per call, and a 10k-token document pays 10⁸ steps (measured 13 s
+    vs sub-second for one corpus pass at sf0.1). The slice length is
+    clamped at 0 so empty/one-token arrays yield [] instead of
+    aborting the job (Spark rejects a negative slice length at
+    runtime). Consumers needing "a b" strings wrap with `bigrams`;
+    consumers needing the tokens themselves (collocation PMI's
+    per-token count joins) take the struct directly."""
     m = F.greatest(F.size(toks) - 1, F.lit(0))
     return F.zip_with(
-        F.slice(toks, 1, m), F.slice(toks, 2, m), lambda a, b: F.concat_ws(" ", a, b)
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
+        lambda a, b: F.struct(a.alias("x"), b.alias("y")),
     )
+
+
+def bigrams(toks: Column) -> Column:
+    """Adjacent token pairs as "a b" strings (see `bigram_pairs` for
+    the construction and its clamp/complexity notes)."""
+    return F.transform(bigram_pairs(toks), lambda p: F.concat_ws(" ", p["x"], p["y"]))
 
 
 def trigrams(toks: Column) -> Column:

@@ -448,15 +448,9 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cu"))
     )
     tu = uc.agg(F.sum("cu").alias("t_uni"))
-    m = F.greatest(F.size(toks) - 1, F.lit(0))
-    pairs = F.zip_with(
-        F.slice(toks, 1, m),
-        F.slice(toks, 2, m),
-        lambda a, b: F.struct(a.alias("x"), b.alias("y")),
-    )
     bc_all = (
         docs.filter(X.token_count("text") >= 2)
-        .select(F.explode(pairs).alias("p"))
+        .select(F.explode(X.bigram_pairs(toks)).alias("p"))
         .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
         .agg(F.count(F.lit(1)).alias("cb"))
     )

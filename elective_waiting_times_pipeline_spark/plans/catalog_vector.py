@@ -83,9 +83,14 @@ def _mmr_oracle(k: int = _MMR_K, pool: int = _MMR_POOL, lam: float = _MMR_LAM) -
     sql = f"""
     WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
     pool AS MATERIALIZED (
-      SELECT vec_id,
-             ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6) AS rel
-      FROM embeddings, q ORDER BY rel DESC, vec_id LIMIT {pool}
+      -- NULL similarities (zero-norm vectors) are dropped AFTER the
+      -- top-k cut, mirroring the Spark side: they sort last under
+      -- DESC on both engines, so the surviving set is identical
+      SELECT * FROM (
+        SELECT vec_id,
+               ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6) AS rel
+        FROM embeddings, q ORDER BY rel DESC, vec_id LIMIT {pool}
+      ) WHERE rel IS NOT NULL
     ), pv AS MATERIALIZED (
       SELECT p.vec_id, p.rel, CAST(e.embedding AS DOUBLE[]) AS v
       FROM pool p JOIN embeddings e USING (vec_id)
@@ -125,7 +130,10 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     qdf = emb.filter(F.col("vec_id") == 0)
-    pool = S.cosine_topk(emb, qdf, k=_MMR_POOL)
+    # drop NULL similarities (zero-norm query/candidates) after the
+    # top-k cut — they sort last under DESC on both engines, and a
+    # None relevance would crash the driver greedy's arithmetic
+    pool = S.cosine_topk(emb, qdf, k=_MMR_POOL).filter(F.col("cosine_sim").isNotNull())
     pv = pool.join(emb.select("vec_id", "embedding"), "vec_id")
     a, b = pv.alias("a"), pv.alias("b")
     ps = (
@@ -143,6 +151,8 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     remaining = set(rel)
     rows = []
     for rank in range(1, _MMR_K + 1):
+        if not remaining:  # pool smaller than k (heavily filtered corpus)
+            break
         best = None
         for v in remaining:
             vals = [sims[(v, u)] for u in selected if sims.get((v, u)) is not None]

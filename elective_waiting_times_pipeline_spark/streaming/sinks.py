@@ -281,6 +281,7 @@ def stream_refresh_scd2(
     eff: str = "eff",
     tie: str = "tie",
     n_buckets: int = 16,
+    bucket_col: str | None = None,
     query_name: str = "scd2_refresh",
 ) -> StreamingQuery:
     """Streaming SCD2 dimension maintenance: each micro-batch of
@@ -316,6 +317,7 @@ def stream_refresh_scd2(
             eff=eff,
             tie=tie,
             n_buckets=n_buckets,
+            bucket_col=bucket_col,
         )
 
     return (
