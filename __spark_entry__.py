@@ -149,6 +149,7 @@ _REGISTERED_AFTER_R3 = {
     "golden_record_merge",
     "multimodal_image_profile",
     "hier_share_of_parent",
+    "bpe_learn_merges",
 }
 
 

@@ -2627,3 +2627,23 @@ def multimodal_image_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("height").cast("double") / F.count(F.lit(1)), 4).alias("avg_height"),
         F.max("byte_len").alias("max_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer training: learn the first 8 BPE merges from the corpus
+# (operators/bpe.py — classic Sennrich BPE as an iterative DataFrame
+# program: weighted pair counts over the DISTINCT-word table, a 1-row
+# deterministic argmax per round, and a codegen'd leftmost-greedy
+# fold applying the merge; localCheckpoint keeps the round chain
+# flat). Rows-only check BY DESIGN: each round's tokenization depends
+# on the previous round's merge, so there is no tractable SQL
+# unrolling — golden unit tests pin the classic low/lower/newest/
+# widest merge sequence and the per-round symbol-shrink invariant
+# (tests/test_bpe.py).
+# ---------------------------------------------------------------------------
+@query("bpe_learn_merges")
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elective_waiting_times_pipeline_spark.operators.bpe import learn_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return learn_bpe_merges(docs, n_merges=8)
