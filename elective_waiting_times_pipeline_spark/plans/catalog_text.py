@@ -441,11 +441,15 @@ def ngram_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = X.tokens("text")
+    # vocab-sized; checkpointed because THREE consumers reference it
+    # (the two per-token joins + the total) — without it each consumer
+    # re-runs the corpus explode (plan audit read 4 parquet scans)
     uc = (
         docs.filter(X.token_count("text") >= 1)
         .select(F.explode(toks).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cu"))
+        .localCheckpoint(eager=False)
     )
     tu = uc.agg(F.sum("cu").alias("t_uni"))
     bc_all = (
@@ -453,6 +457,7 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(X.bigram_pairs(toks)).alias("p"))
         .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
         .agg(F.count(F.lit(1)).alias("cb"))
+        .localCheckpoint(eager=False)  # two consumers: total + min-count cut
     )
     # t_bg totals ALL bigrams (the PMI denominator's probability
     # space); the min-count cut applies only to which pairs are scored
