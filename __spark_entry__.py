@@ -150,6 +150,7 @@ _REGISTERED_AFTER_R3 = {
     "multimodal_image_profile",
     "hier_share_of_parent",
     "bpe_learn_merges",
+    "stl_decompose_daily",
 }
 
 

@@ -522,6 +522,81 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# STL-lite decomposition of the daily revenue series: trend = centered
+# 7-day moving average (full windows only), seasonal = day-of-week
+# mean of the detrended series, remainder = the rest — the classic
+# additive decomposition a forecasting pipeline runs before modeling.
+# Exactness: daily revenue is cents (yc); the detrended value rides as
+# the EXACT integer 7·yc − Σ₇yc (avoiding an order-sensitive double
+# sum in the seasonal mean), so every emitted double is a fixed
+# sequence of correctly-rounded divisions of exact integers. The
+# rolling window is over the bounded calendar-day axis
+# (lint-whitelisted); the seasonal join is a broadcast of ≤7 rows.
+# ---------------------------------------------------------------------------
+@query(
+    "stl_decompose_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(((date_diff('day', TIMESTAMP '2024-01-01 00:00:00',
+                              date_trunc('day', ts)) % 7) + 7) % 7 AS BIGINT) AS dow,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS yc
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ), roll AS (
+      SELECT day, dow, yc,
+             CASE WHEN COUNT(*) OVER w = 7 THEN SUM(yc) OVER w END AS t7
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), seas AS (
+      SELECT dow,
+             CAST(SUM(7 * yc - t7) AS BIGINT) AS s_sum,
+             CAST(COUNT(*) AS BIGINT) AS s_cnt
+      FROM roll WHERE t7 IS NOT NULL GROUP BY dow
+    )
+    SELECT r.day,
+           CAST(r.yc AS DOUBLE) / 100 AS revenue,
+           ROUND(CAST(r.t7 AS DOUBLE) / 7 / 100, 6) AS trend,
+           ROUND(CAST(s.s_sum AS DOUBLE) / s.s_cnt / 7 / 100, 6) AS seasonal,
+           ROUND(CAST(7 * r.yc - r.t7 AS DOUBLE) / 7 / 100
+                 - CAST(s.s_sum AS DOUBLE) / s.s_cnt / 7 / 100, 6) AS remainder
+    FROM roll r JOIN seas s USING (dow)
+    WHERE r.t7 IS NOT NULL
+    """,
+)
+def stl_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    day_idx = F.datediff(
+        F.date_trunc("DAY", "ts"), F.lit("2024-01-01 00:00:00").cast("timestamp")
+    )
+    daily = ev.groupBy(
+        F.date_trunc("DAY", "ts").alias("day"),
+        F.pmod(day_idx, 7).cast("long").alias("dow"),
+    ).agg(F.sum(sl2("value")).alias("yc"))
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    roll = daily.select(
+        "day",
+        "dow",
+        "yc",
+        F.when(F.count(F.lit(1)).over(w) == 7, F.sum("yc").over(w)).alias("t7"),
+    ).filter(F.col("t7").isNotNull())
+    seas = roll.groupBy("dow").agg(
+        F.sum(7 * F.col("yc") - F.col("t7")).alias("s_sum"),
+        F.count(F.lit(1)).alias("s_cnt"),
+    )
+    trend = F.col("t7").cast("double") / 7 / 100
+    seasonal = F.col("s_sum").cast("double") / F.col("s_cnt") / 7 / 100
+    detr = (7 * F.col("yc") - F.col("t7")).cast("double") / 7 / 100
+    return roll.join(F.broadcast(seas), "dow").select(
+        "day",
+        (F.col("yc").cast("double") / 100).alias("revenue"),
+        F.round(trend, 6).alias("trend"),
+        F.round(seasonal, 6).alias("seasonal"),
+        F.round(detr - seasonal, 6).alias("remainder"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # SEASONALLY-adjusted anomaly detection: hourly event counts scored
 # against their (event_type, hour-of-week) baseline — the standard
 # detrend for strongly-cyclic traffic, where a Monday-9am spike is
