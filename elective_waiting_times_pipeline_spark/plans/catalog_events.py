@@ -574,12 +574,19 @@ def stl_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(day_idx, 7).cast("long").alias("dow"),
     ).agg(F.sum(sl2("value")).alias("yc"))
     w = Window.orderBy("day").rowsBetween(-3, 3)
-    roll = daily.select(
-        "day",
-        "dow",
-        "yc",
-        F.when(F.count(F.lit(1)).over(w) == 7, F.sum("yc").over(w)).alias("t7"),
-    ).filter(F.col("t7").isNotNull())
+    # day-axis-sized; checkpointed because TWO consumers (the seasonal
+    # agg and the final join) would otherwise each re-run the corpus
+    # agg + rolling window
+    roll = (
+        daily.select(
+            "day",
+            "dow",
+            "yc",
+            F.when(F.count(F.lit(1)).over(w) == 7, F.sum("yc").over(w)).alias("t7"),
+        )
+        .filter(F.col("t7").isNotNull())
+        .localCheckpoint(eager=False)
+    )
     seas = roll.groupBy("dow").agg(
         F.sum(7 * F.col("yc") - F.col("t7")).alias("s_sum"),
         F.count(F.lit(1)).alias("s_cnt"),
