@@ -134,6 +134,21 @@ def write_jsonl(
     w.json(path)
 
 
+def read_parquet_evolving(spark, path: str, schema=None, **options):
+    """Parquet scan across SCHEMA GENERATIONS — a lake whose later
+    partitions added columns. With an explicit `schema` (the current,
+    widest one) Spark projects every file onto it, NULL-backfilling
+    columns a generation lacks — the O(1)-planning form, right at
+    100 TB. Without one, `mergeSchema=true` unions the schemas from
+    file footers — convenient for exploration, but the footer merge
+    touches every file at planning time, so prefer the explicit form
+    in production (mirrors `read_jsonl`'s never-infer rule)."""
+    r = spark.read
+    if schema is not None:
+        return r.schema(schema).parquet(path, **options)
+    return r.option("mergeSchema", True).parquet(path, **options)
+
+
 def write_orc(
     df: DataFrame,
     path: str,

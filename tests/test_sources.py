@@ -140,6 +140,34 @@ def test_write_jsonl_roundtrip_and_shard_cap(spark, tmp_path):
     assert read_jsonl(spark, str(gz_out), "doc_id long, text string").count() == 100
 
 
+def test_read_parquet_evolving_schema_generations(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from elective_waiting_times_pipeline_spark.sources.edges import read_parquet_evolving
+
+    lake = tmp_path / "lake"
+    # generation 1: (k, v); generation 2 adds quality
+    spark.range(5).selectExpr("id AS k", "id * 2 AS v").write.parquet(str(lake / "g=1"))
+    spark.range(5, 10).selectExpr(
+        "id AS k", "id * 2 AS v", "cast(id as double) / 10 AS quality"
+    ).write.parquet(str(lake / "g=2"))
+
+    # footer-merge form: union schema, old generation NULL-backfilled
+    merged = read_parquet_evolving(spark, str(lake))
+    assert {f.name for f in merged.schema} >= {"k", "v", "quality"}
+    assert merged.count() == 10
+    assert merged.filter(F.col("quality").isNull()).count() == 5
+
+    # explicit-schema form (the production path): same result, no
+    # footer sweep
+    explicit = read_parquet_evolving(
+        spark, str(lake), schema="k long, v long, quality double, g int"
+    )
+    assert explicit.count() == 10
+    assert explicit.filter(F.col("quality").isNotNull()).count() == 5
+    assert {r.k for r in explicit.filter(F.col("quality").isNull()).collect()} == set(range(5))
+
+
 def test_orc_roundtrip_partition_pruning_and_pushdown(spark, tmp_path):
     import contextlib
     import io
