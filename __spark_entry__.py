@@ -151,6 +151,7 @@ _REGISTERED_AFTER_R3 = {
     "hier_share_of_parent",
     "bpe_learn_merges",
     "stl_decompose_daily",
+    "corr_matrix",
 }
 
 

@@ -2652,3 +2652,99 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return learn_bpe_merges(docs, n_merges=8)
+
+
+# ---------------------------------------------------------------------------
+# One-pass correlation MATRIX: pairwise Pearson over four integer
+# document metrics (chars, tokens, vowels, spaces) from a SINGLE
+# aggregation — the moment-matrix pattern (all first/second moments in
+# one map-side-combined pass) that a feature-engineering pipeline uses
+# instead of k² separate corr() scans. Counts are exact; second
+# moments ride in decimal(38,0)/HUGEINT (metric² × corpus rows passes
+# int64 at 100 TB); each r is the textbook combine of exact sums in
+# doubles, same op order both engines (the spearman_corr discipline).
+# ---------------------------------------------------------------------------
+def _corr_pair(a: str, b: str):
+    n = F.col("n").cast("double")
+    s = lambda c: F.col(f"s_{c}").cast("double")  # noqa: E731
+    q = lambda i, j: F.col(f"q_{min(i,j)}{max(i,j)}").cast("double")  # noqa: E731
+    names = {"chars": 1, "tokens": 2, "vowels": 3, "spaces": 4}
+    i, j = names[a], names[b]
+    num = n * q(i, j) - s(a) * s(b)
+    den = F.sqrt(n * q(i, i) - s(a) * s(a)) * F.sqrt(n * q(j, j) - s(b) * s(b))
+    # try_divide: a zero-variance metric yields NULL, which the oracle's
+    # 0/0 NaN normalizes to under the comparator
+    return F.round(F.try_divide(num, den), 6).alias(f"r_{a}_{b}")
+
+
+@query(
+    "corr_matrix",
+    oracle=rf"""
+    WITH m AS (
+      SELECT CAST(length(text) AS BIGINT) AS x1,
+             CAST({_NTOKS} AS BIGINT) AS x2,
+             CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT) AS x3,
+             CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS x4
+      FROM documents
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x1) AS BIGINT) AS s_chars, CAST(SUM(x2) AS BIGINT) AS s_tokens,
+             CAST(SUM(x3) AS BIGINT) AS s_vowels, CAST(SUM(x4) AS BIGINT) AS s_spaces,
+             SUM(CAST(x1 AS HUGEINT) * x1) AS q_11, SUM(CAST(x1 AS HUGEINT) * x2) AS q_12,
+             SUM(CAST(x1 AS HUGEINT) * x3) AS q_13, SUM(CAST(x1 AS HUGEINT) * x4) AS q_14,
+             SUM(CAST(x2 AS HUGEINT) * x2) AS q_22, SUM(CAST(x2 AS HUGEINT) * x3) AS q_23,
+             SUM(CAST(x2 AS HUGEINT) * x4) AS q_24, SUM(CAST(x3 AS HUGEINT) * x3) AS q_33,
+             SUM(CAST(x3 AS HUGEINT) * x4) AS q_34, SUM(CAST(x4 AS HUGEINT) * x4) AS q_44
+      FROM m
+    )
+    SELECT n,
+      ROUND((CAST(n AS DOUBLE) * CAST(q_12 AS DOUBLE) - CAST(s_chars AS DOUBLE) * CAST(s_tokens AS DOUBLE))
+        / (sqrt(CAST(n AS DOUBLE) * CAST(q_11 AS DOUBLE) - CAST(s_chars AS DOUBLE) * CAST(s_chars AS DOUBLE))
+           * sqrt(CAST(n AS DOUBLE) * CAST(q_22 AS DOUBLE) - CAST(s_tokens AS DOUBLE) * CAST(s_tokens AS DOUBLE))), 6) AS r_chars_tokens,
+      ROUND((CAST(n AS DOUBLE) * CAST(q_13 AS DOUBLE) - CAST(s_chars AS DOUBLE) * CAST(s_vowels AS DOUBLE))
+        / (sqrt(CAST(n AS DOUBLE) * CAST(q_11 AS DOUBLE) - CAST(s_chars AS DOUBLE) * CAST(s_chars AS DOUBLE))
+           * sqrt(CAST(n AS DOUBLE) * CAST(q_33 AS DOUBLE) - CAST(s_vowels AS DOUBLE) * CAST(s_vowels AS DOUBLE))), 6) AS r_chars_vowels,
+      ROUND((CAST(n AS DOUBLE) * CAST(q_14 AS DOUBLE) - CAST(s_chars AS DOUBLE) * CAST(s_spaces AS DOUBLE))
+        / (sqrt(CAST(n AS DOUBLE) * CAST(q_11 AS DOUBLE) - CAST(s_chars AS DOUBLE) * CAST(s_chars AS DOUBLE))
+           * sqrt(CAST(n AS DOUBLE) * CAST(q_44 AS DOUBLE) - CAST(s_spaces AS DOUBLE) * CAST(s_spaces AS DOUBLE))), 6) AS r_chars_spaces,
+      ROUND((CAST(n AS DOUBLE) * CAST(q_23 AS DOUBLE) - CAST(s_tokens AS DOUBLE) * CAST(s_vowels AS DOUBLE))
+        / (sqrt(CAST(n AS DOUBLE) * CAST(q_22 AS DOUBLE) - CAST(s_tokens AS DOUBLE) * CAST(s_tokens AS DOUBLE))
+           * sqrt(CAST(n AS DOUBLE) * CAST(q_33 AS DOUBLE) - CAST(s_vowels AS DOUBLE) * CAST(s_vowels AS DOUBLE))), 6) AS r_tokens_vowels,
+      ROUND((CAST(n AS DOUBLE) * CAST(q_24 AS DOUBLE) - CAST(s_tokens AS DOUBLE) * CAST(s_spaces AS DOUBLE))
+        / (sqrt(CAST(n AS DOUBLE) * CAST(q_22 AS DOUBLE) - CAST(s_tokens AS DOUBLE) * CAST(s_tokens AS DOUBLE))
+           * sqrt(CAST(n AS DOUBLE) * CAST(q_44 AS DOUBLE) - CAST(s_spaces AS DOUBLE) * CAST(s_spaces AS DOUBLE))), 6) AS r_tokens_spaces,
+      ROUND((CAST(n AS DOUBLE) * CAST(q_34 AS DOUBLE) - CAST(s_vowels AS DOUBLE) * CAST(s_spaces AS DOUBLE))
+        / (sqrt(CAST(n AS DOUBLE) * CAST(q_33 AS DOUBLE) - CAST(s_vowels AS DOUBLE) * CAST(s_vowels AS DOUBLE))
+           * sqrt(CAST(n AS DOUBLE) * CAST(q_44 AS DOUBLE) - CAST(s_spaces AS DOUBLE) * CAST(s_spaces AS DOUBLE))), 6) AS r_vowels_spaces
+    FROM agg
+    """,
+)
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    x1 = F.length("text").cast("long")
+    x2 = X.token_count("text").cast("long")
+    x3 = (F.length("text") - F.length(F.regexp_replace("text", "[aeiou]", ""))).cast("long")
+    x4 = (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" ")))).cast("long")
+    m = docs.select(x1.alias("x1"), x2.alias("x2"), x3.alias("x3"), x4.alias("x4"))
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    agg = m.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s_chars"),
+        F.sum("x2").alias("s_tokens"),
+        F.sum("x3").alias("s_vowels"),
+        F.sum("x4").alias("s_spaces"),
+        *[
+            F.sum(d38(f"x{i}") * d38(f"x{j}")).alias(f"q_{i}{j}")
+            for i in range(1, 5)
+            for j in range(i, 5)
+        ],
+    )
+    return agg.select(
+        "n",
+        _corr_pair("chars", "tokens"),
+        _corr_pair("chars", "vowels"),
+        _corr_pair("chars", "spaces"),
+        _corr_pair("tokens", "vowels"),
+        _corr_pair("tokens", "spaces"),
+        _corr_pair("vowels", "spaces"),
+    )
