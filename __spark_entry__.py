@@ -152,6 +152,7 @@ _REGISTERED_AFTER_R3 = {
     "bpe_learn_merges",
     "stl_decompose_daily",
     "corr_matrix",
+    "bpe_token_stats",
 }
 
 

@@ -2748,3 +2748,34 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         _corr_pair("tokens", "spaces"),
         _corr_pair("vowels", "spaces"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer ENCODE at corpus scale: learn 8 BPE merges, apply them to
+# every document (codegen'd fold chain — operators/bpe.py::apply_bpe,
+# no shuffle), and report per-source token economics: mean BPE tokens
+# per doc vs whitespace tokens, and the fertility ratio (BPE tokens
+# per word — the number tokenizer evaluations quote). Rows-only (the
+# learned-merge chain has no SQL unrolling); the learn step's merges
+# arrive as a bounded driver list, exactly like a production encode
+# ships a vocab file. Ratios are single divisions of exact counts.
+# ---------------------------------------------------------------------------
+@query("bpe_token_stats")
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elective_waiting_times_pipeline_spark.operators.bpe import apply_bpe, learn_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r.left, r.right) for r in learn_bpe_merges(docs, n_merges=8).collect()
+    ]  # bounded: n_merges rows — the "vocab file"
+    enc = apply_bpe(docs, merges).select(
+        "source",
+        F.size("bpe_tokens").cast("long").alias("n_bpe"),
+        X.token_count("text").cast("long").alias("n_ws"),
+    )
+    return enc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("n_bpe").cast("double") / F.count(F.lit(1)), 4).alias("bpe_per_doc"),
+        F.round(F.sum("n_ws").cast("double") / F.count(F.lit(1)), 4).alias("words_per_doc"),
+        F.round(F.sum("n_bpe").cast("double") / F.sum("n_ws"), 4).alias("fertility"),
+    )
