@@ -22,14 +22,18 @@ everywhere, leftmost-first within a word. Each round here is:
 rule — see operators/cluster.py). Rounds are a small constant
 (vocab-size budget), so total cost is n_merges corpus scans; at
 100 TB you run this on a sample or a count-table, which this operator
-also supports by feeding it pre-weighted words (`weight_col`).
+also supports via the pre-weighted `vocab` parameter.
 
 No DuckDB oracle: the per-round argmax + fold chain has no tractable
 SQL unrolling (each round's tokenization depends on the previous
 round's merge). Correctness is pinned by golden unit tests on the
 classic "low/lower/newest/widest" corpus whose merge sequence is
-known, plus invariants (symbol count shrinks by exactly the winning
-pair's occurrence count each round).
+known, plus invariants. NOTE on counts: pair counting is positional and
+therefore OVERLAPPING for same-symbol runs ("aaa" counts (a,a) twice)
+— exactly the published algorithm's get_stats behavior — while the
+greedy application merges leftmost-first, so the applied-merge count
+can be LOWER than pair_count on runs (the shrink invariant is
+shrink <= pair_count, with equality on run-free corpora).
 """
 
 from __future__ import annotations
@@ -38,6 +42,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 EOW = "</w>"  # end-of-word marker, per the classic formulation
+
+
+def _char_syms(word: Column) -> Column:
+    """The ONE symbolization rule (characters + end-of-word marker) —
+    shared by the learn side (words_to_symbols) and the encode side
+    (apply_bpe) so a vocabulary is always applied under the symbol
+    rules it was learned with."""
+    return F.concat(F.split(word, ""), F.array(F.lit(EOW)))
 
 
 def words_to_symbols(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -51,8 +63,7 @@ def words_to_symbols(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.length("word") > 0
     )
     wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("weight"))
-    syms = F.concat(F.split(F.col("word"), ""), F.array(F.lit(EOW)))
-    return wc.select("word", "weight", syms.alias("syms"))
+    return wc.select("word", "weight", _char_syms(F.col("word")).alias("syms"))
 
 
 def _pair_counts(vocab: DataFrame) -> DataFrame:
@@ -109,7 +120,9 @@ def learn_bpe_merges(
     """Learn `n_merges` BPE merges from a corpus (or a pre-built
     (word, weight, syms) `vocab` table). Returns one row per merge:
     (merge_rank, left, right, pair_count) in learned order —
-    deterministic by the (count DESC, left, right) argmax tie-break."""
+    deterministic by the (count DESC, left, right) argmax tie-break.
+    pair_count is the POSITIONAL (overlapping) count the argmax ranks
+    by, matching the classic get_stats; see the module note."""
     if vocab is None:
         vocab = words_to_symbols(df, text_col)
     vocab = vocab.localCheckpoint(eager=False)
@@ -146,10 +159,7 @@ def apply_bpe(
     driver-side constant (the vocabulary budget)."""
     from elective_waiting_times_pipeline_spark.operators.text import tokens
 
-    word_syms = F.transform(
-        tokens(text_col),
-        lambda w: F.concat(F.split(w, ""), F.array(F.lit(EOW))),
-    )
+    word_syms = F.transform(tokens(text_col), _char_syms)
     def encode_word(syms: Column) -> Column:
         for x, y in merges:
             syms = _apply_merge(syms, x, y)

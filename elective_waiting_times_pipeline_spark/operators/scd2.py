@@ -91,13 +91,39 @@ def refresh_scd2(
     refresh_hourly_rollup contract. Without it the filter is a derived
     pmod expression, which is correct but scans the whole lake (no
     partition pruning or row-group skipping on a computed value) —
-    fine for small lakes, wrong at 100 TB."""
+    fine for small lakes, wrong at 100 TB.
+
+    CONSISTENCY: with `bucket_col`, the rebuilt partitions are taken
+    from the LAKE's own column (per-key), never recomputed — so the
+    store layout always agrees with the lake layout even if the lake
+    was bucketed with a different n or hash. A key observed in two
+    lake buckets means the lake itself is corrupt: that would rebuild
+    a PARTIAL history, so this raises instead. NULL lake buckets are
+    invalid by the same logic (isin never matches NULL, silently
+    dropping those keys) — materialize the column with `key_bucket`,
+    which maps NULL keys to bucket 0."""
     buckets = sorted({int(b) for b in buckets if b is not None})
     if not buckets:
         return
-    bcol = F.col(bucket_col) if bucket_col else key_bucket(key, n_buckets)
-    slice_df = obs_lake.filter(bcol.isin(buckets))
-    fresh = build_scd2(slice_df, key=key, attr=attr, eff=eff, tie=tie).withColumn(
-        "bucket", key_bucket(key, n_buckets)
-    )
+    if bucket_col is None:
+        slice_df = obs_lake.filter(key_bucket(key, n_buckets).isin(buckets))
+        fresh = build_scd2(slice_df, key=key, attr=attr, eff=eff, tie=tie).withColumn(
+            "bucket", key_bucket(key, n_buckets)
+        )
+    else:
+        slice_df = obs_lake.filter(F.col(bucket_col).isin(buckets))
+        key_map = slice_df.select(key, F.col(bucket_col).alias("bucket")).distinct()
+        multi = (
+            key_map.groupBy(key).agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1)
+        )
+        bad = multi.limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"refresh_scd2: key {bad[0][0]!r} appears in multiple lake "
+                f"'{bucket_col}' buckets — the lake bucketing is inconsistent; "
+                "rebuilding would write a partial history"
+            )
+        fresh = build_scd2(slice_df, key=key, attr=attr, eff=eff, tie=tie).join(
+            key_map, key
+        )
     overwrite_partitions(fresh, store_path, partition_cols=("bucket",))

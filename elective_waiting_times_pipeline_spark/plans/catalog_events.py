@@ -544,8 +544,13 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE value IS NOT NULL
       GROUP BY 1, 2
     ), roll AS (
+      -- full-window guard checks CALENDAR span, not just row count: a
+      -- missing day would otherwise let 7 rows straddle 8 days and
+      -- silently misalign the MA
       SELECT day, dow, yc,
-             CASE WHEN COUNT(*) OVER w = 7 THEN SUM(yc) OVER w END AS t7
+             CASE WHEN COUNT(*) OVER w = 7
+                   AND date_diff('day', MIN(day) OVER w, MAX(day) OVER w) = 6
+                  THEN SUM(yc) OVER w END AS t7
       FROM daily
       WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
     ), seas AS (
@@ -577,12 +582,17 @@ def stl_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     # day-axis-sized; checkpointed because TWO consumers (the seasonal
     # agg and the final join) would otherwise each re-run the corpus
     # agg + rolling window
+    # full-window guard checks the CALENDAR span too: 7 rows around a
+    # missing day straddle 8 days and must not pass as a 7-day MA
+    full = (F.count(F.lit(1)).over(w) == 7) & (
+        F.datediff(F.max("day").over(w), F.min("day").over(w)) == 6
+    )
     roll = (
         daily.select(
             "day",
             "dow",
             "yc",
-            F.when(F.count(F.lit(1)).over(w) == 7, F.sum("yc").over(w)).alias("t7"),
+            F.when(full, F.sum("yc").over(w)).alias("t7"),
         )
         .filter(F.col("t7").isNotNull())
         .localCheckpoint(eager=False)

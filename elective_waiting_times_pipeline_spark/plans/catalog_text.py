@@ -2664,12 +2664,16 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # int64 at 100 TB); each r is the textbook combine of exact sums in
 # doubles, same op order both engines (the spearman_corr discipline).
 # ---------------------------------------------------------------------------
+# the ONE ordered metric list: corr_matrix's x1..x4 select, the q_{ij}
+# alias loop, and _corr_pair's index lookup all derive from it
+_CORR_METRICS = ["chars", "tokens", "vowels", "spaces"]
+
+
 def _corr_pair(a: str, b: str):
     n = F.col("n").cast("double")
     s = lambda c: F.col(f"s_{c}").cast("double")  # noqa: E731
     q = lambda i, j: F.col(f"q_{min(i,j)}{max(i,j)}").cast("double")  # noqa: E731
-    names = {"chars": 1, "tokens": 2, "vowels": 3, "spaces": 4}
-    i, j = names[a], names[b]
+    i, j = _CORR_METRICS.index(a) + 1, _CORR_METRICS.index(b) + 1
     num = n * q(i, j) - s(a) * s(b)
     den = F.sqrt(n * q(i, i) - s(a) * s(a)) * F.sqrt(n * q(j, j) - s(b) * s(b))
     # try_divide: a zero-variance metric yields NULL, which the oracle's
@@ -2729,10 +2733,7 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     agg = m.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x1").alias("s_chars"),
-        F.sum("x2").alias("s_tokens"),
-        F.sum("x3").alias("s_vowels"),
-        F.sum("x4").alias("s_spaces"),
+        *[F.sum(f"x{i+1}").alias(f"s_{name}") for i, name in enumerate(_CORR_METRICS)],
         *[
             F.sum(d38(f"x{i}") * d38(f"x{j}")).alias(f"q_{i}{j}")
             for i in range(1, 5)

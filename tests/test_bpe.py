@@ -55,8 +55,10 @@ def test_merge_is_leftmost_greedy(spark):
 
 
 def test_each_round_shrinks_symbol_mass_by_pair_count(spark):
-    """Invariant: applying a merge with weighted pair-count n removes
-    exactly n symbols from the weighted corpus."""
+    """Invariant: applying a merge removes shrink <= pair_count
+    symbols, with EQUALITY on a run-free corpus (pair counting is
+    positional/overlapping like the classic get_stats, while the
+    greedy application merges leftmost-first — see the module note)."""
     df = _classic(spark)
     vocab = words_to_symbols(df)
     mass = lambda v: v.select(  # noqa: E731
@@ -69,7 +71,25 @@ def test_each_round_shrinks_symbol_mass_by_pair_count(spark):
     for m in merges:
         before = mass(cur)
         cur = cur.withColumn("syms", _apply_merge(F.col("syms"), m.left, m.right))
-        assert before - mass(cur) == m.pair_count
+        assert before - mass(cur) == m.pair_count  # classic corpus is run-free
+
+
+def test_run_pair_counts_overlap_but_application_is_greedy(spark):
+    """'aaa aaa' counts (a,a) positionally (2 per word -> 4) but the
+    leftmost-first application merges once per word (shrink 2) — the
+    documented shrink <= pair_count case."""
+    from elective_waiting_times_pipeline_spark.operators.bpe import _apply_merge
+
+    df = spark.createDataFrame([("aaa aaa",)], "text string")
+    m = learn_bpe_merges(df, n_merges=1).collect()[0]
+    assert (m.left, m.right, m.pair_count) == ("a", "a", 4)
+    vocab = words_to_symbols(df)
+    mass = lambda v: v.select(  # noqa: E731
+        F.sum(F.size("syms") * F.col("weight")).alias("m")
+    ).first()[0]
+    before = mass(vocab)
+    after = mass(vocab.withColumn("syms", _apply_merge(F.col("syms"), m.left, m.right)))
+    assert before - after == 2  # one merge per 'aaa', not two
 
 
 def test_empty_and_exhausted_corpora(spark):

@@ -57,6 +57,32 @@ def test_refresh_scd2_touches_only_named_buckets(spark, tmp_path):
     assert _snapshot(back) == want
 
 
+def test_refresh_scd2_bucket_col_uses_lake_layout_and_detects_corruption(spark, tmp_path):
+    """With a MATERIALIZED lake bucket column the store partitions come
+    from the lake's own layout (here 4 buckets, not the default pmod
+    16), and a key straddling two lake buckets raises instead of
+    writing a partial history."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    lake_path = str(tmp_path / "obs")
+    obs = _obs(spark, lake_path).withColumn(
+        "bk", F.pmod(F.col("custkey"), F.lit(4)).cast("int")
+    )
+    store = str(tmp_path / "scd2")
+    refresh_scd2(obs, store, buckets=[1], n_buckets=999, bucket_col="bk")
+    back = spark.read.parquet(store)
+    assert [r.bucket for r in back.select("bucket").distinct().collect()] == [1]
+    want = _snapshot(build_scd2(obs.filter(F.col("bk") == 1)))
+    assert _snapshot(back) == want
+
+    corrupt = obs.withColumn(
+        "bk", F.when(F.col("tie") % 2 == 0, F.lit(1)).otherwise(F.lit(2))
+    )
+    with pytest.raises(ValueError, match="multiple lake"):
+        refresh_scd2(corrupt, store, buckets=[1, 2], bucket_col="bk")
+
+
 def test_streaming_scd2_matches_batch_and_replays_idempotently(spark, tmp_path):
     from elective_waiting_times_pipeline_spark.streaming.sinks import stream_refresh_scd2
 
