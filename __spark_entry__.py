@@ -153,6 +153,7 @@ _REGISTERED_AFTER_R3 = {
     "stl_decompose_daily",
     "corr_matrix",
     "bpe_token_stats",
+    "cdc_extract",
 }
 
 

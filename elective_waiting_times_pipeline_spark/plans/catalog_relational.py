@@ -1680,6 +1680,76 @@ def table_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Row-level CDC extract — table_diff_summary's actionable complement:
+# instead of counting change classes, EMIT the change rows (op I/U/D
+# with before/after values) that a downstream merge/upsert applies —
+# the derive-a-changefeed-from-snapshots primitive for lakes without
+# a transaction log. Same deterministic snapshot pair as the summary;
+# one full-outer sort-merge join on the key (bucket both snapshots on
+# the key at 100 TB and the exchange disappears), unchanged rows
+# filtered before anything leaves the join.
+# ---------------------------------------------------------------------------
+@query(
+    "cdc_extract",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey AS k, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+      FROM orders
+    ), b AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+               + CASE WHEN o_orderkey % 101 = 0 THEN 500 ELSE 0 END AS v
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000 AS k, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+      FROM orders WHERE o_orderkey % 103 = 0
+    )
+    SELECT COALESCE(a.k, b.k) AS k,
+           CASE WHEN a.k IS NULL THEN 'I'
+                WHEN b.k IS NULL THEN 'D'
+                ELSE 'U' END AS op,
+           a.v AS old_cents, b.v AS new_cents
+    FROM a FULL OUTER JOIN b ON a.k = b.k
+    WHERE a.k IS NULL OR b.k IS NULL OR NOT (a.v IS NOT DISTINCT FROM b.v)
+    """,
+)
+def cdc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.select(F.col("o_orderkey").alias("ka"), sl2("o_totalprice").alias("va"))
+    b = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        F.col("o_orderkey").alias("kb"),
+        (
+            sl2("o_totalprice")
+            + F.when(F.col("o_orderkey") % 101 == 0, 500).otherwise(0)
+        ).alias("vb"),
+    ).unionByName(
+        orders.filter(F.col("o_orderkey") % 103 == 0).select(
+            (F.col("o_orderkey") + 10000000).alias("kb"),
+            sl2("o_totalprice").alias("vb"),
+        )
+    )
+    op = (
+        F.when(F.col("ka").isNull(), "I")
+        .when(F.col("kb").isNull(), "D")
+        .otherwise("U")
+    )
+    return (
+        a.join(b, F.col("ka") == F.col("kb"), "full_outer")
+        .filter(
+            F.col("ka").isNull()
+            | F.col("kb").isNull()
+            | ~F.col("va").eqNullSafe(F.col("vb"))
+        )
+        .select(
+            F.coalesce(F.col("ka"), F.col("kb")).alias("k"),
+            op.alias("op"),
+            F.col("va").alias("old_cents"),
+            F.col("vb").alias("new_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Order-independent table checksum — the migration-validation op: one
 # (row_count, checksum) pair per table snapshot that any engine can
 # reproduce, so "did the copy arrive intact" is a 2-value comparison
