@@ -57,6 +57,32 @@ def test_pit_join_covers_every_order_and_never_leaks_future(spark):
     assert bad.count() == 0
 
 
+def test_pit_zero_length_versions_are_invisible(spark):
+    """Two attribute changes on one day create a zero-length version
+    (valid_from == valid_to); the PIT dim filter must keep exactly ONE
+    version per (key, valid_from) — the end-of-day state — so as-of
+    matches are unambiguous."""
+    from elective_waiting_times_pipeline_spark.operators.scd2 import build_scd2
+
+    rows = [
+        (1, "A", "2024-01-01", 1),
+        (1, "B", "2024-01-05", 2),  # B starts and ends on Jan 5
+        (1, "C", "2024-01-05", 3),
+        (1, "C", "2024-02-01", 4),
+    ]
+    obs = spark.createDataFrame(rows, "custkey long, attr string, eff string, tie long").select(
+        "custkey", "attr", F.col("eff").cast("timestamp").alias("eff"), "tie"
+    )
+    hist = build_scd2(obs)
+    assert hist.count() == 3  # A, B (zero-length), C
+    dim = hist.filter(F.col("valid_to").isNull() | (F.col("valid_to") > F.col("valid_from")))
+    got = {(r.attr, str(r.valid_from)[:10]) for r in dim.collect()}
+    # B's zero-length version is gone; Jan 5's surviving state is C
+    assert got == {("A", "2024-01-01"), ("C", "2024-01-05")}
+    per_start = dim.groupBy("custkey", "valid_from").count().filter(F.col("count") > 1)
+    assert per_start.count() == 0
+
+
 def test_mmr_first_pick_is_relevance_argmax_and_ranks_unique(spark):
     out = sorted(
         catalog.SPARK_QUERIES["mmr_diversified_topk"](spark, SF).collect(),
