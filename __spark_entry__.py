@@ -154,6 +154,7 @@ _REGISTERED_AFTER_R3 = {
     "corr_matrix",
     "bpe_token_stats",
     "cdc_extract",
+    "cume_dist_daily_revenue",
 }
 
 

@@ -2460,3 +2460,40 @@ def cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution position (cume_dist) of each day's revenue WITHIN its
+# event type — "was Tuesday a top-decile day for purchases?" — the
+# remaining member of the window-rank family (ntile / rank /
+# percent_rank siblings are already covered). Window is partitioned by
+# event_type over the bounded day axis; cume_dist is a rank ratio of
+# exact integers, so the rounded double hash-matches.
+# ---------------------------------------------------------------------------
+@query(
+    "cume_dist_daily_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS yc
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT event_type, day, CAST(yc AS DOUBLE) / 100 AS revenue,
+           ROUND(cume_dist() OVER (PARTITION BY event_type ORDER BY yc), 6)
+             AS revenue_cume_dist
+    FROM daily
+    """,
+)
+def cume_dist_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy("event_type", F.date_trunc("DAY", "ts").alias("day")).agg(
+        F.sum(sl2("value")).alias("yc")
+    )
+    w = Window.partitionBy("event_type").orderBy("yc")
+    return daily.select(
+        "event_type",
+        "day",
+        (F.col("yc").cast("double") / 100).alias("revenue"),
+        F.round(F.cume_dist().over(w), 6).alias("revenue_cume_dist"),
+    )
