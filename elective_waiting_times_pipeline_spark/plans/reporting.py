@@ -93,6 +93,32 @@ def double_pivot(
     return out
 
 
+def deprivation_quintile_chart(
+    extract: DataFrame,
+    specialty: str,
+    sector: str = "Independent Sector",
+    measure: str = "Inpatient admissions",
+) -> DataFrame:
+    """Deprivation-quintile share table (Charts.R:212-251, chart4a/4b):
+    from a long national extract (der_activity_month, var_1 =
+    IMD quintile, name, prop, sector, value), keep one sector+measure,
+    pivot the quintile wide with `prop` as values, stamp the specialty
+    literal, and rename the edge quintiles to the reference's display
+    headers. One groupBy+pivot pass; callers stack specialties like
+    plyr::rbind.fill (union_by_name)."""
+    wide = (
+        extract.filter((F.col("sector") == sector) & (F.col("name") == measure))
+        .groupBy(F.lit(specialty).alias("specialty"), "der_activity_month")
+        .pivot("var_1", [1, 2, 3, 4, 5])
+        # max, not first: the cell is unique in the committed extracts,
+        # but max keeps the pivot deterministic if a feed ever dupes
+        .agg(F.max("prop"))
+    )
+    return wide.withColumnsRenamed(
+        {"1": "1 (most deprived)", "5": "5 (least deprived)"}
+    )
+
+
 def is_share_chart(extract: DataFrame, measure: str = "Inpatient admissions") -> DataFrame:
     """Independent-sector share chart table (Charts.R:39-102, chart2a/
     chart2b): from a long national extract (der_activity_month, type,

@@ -244,3 +244,108 @@ def test_chart3_monthyear_label_spot_value(chart3):
     assert len(row) == 1
     assert row[0].monthyear == "Feb 18"
     assert abs(row[0].prop - 10.5207600281492) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Chart 4 (Charts.R:212-251): deprivation-quintile proportion table —
+# filter to Independent Sector inpatient admissions, pivot the IMD
+# quintile wide with prop values, stack ophthalmology over
+# orthopaedics. A fourth REAL committed extract pair through the
+# engine's reader + pivot plan, checked against DuckDB on the same
+# files and a literal spot value off the raw CSV.
+# ---------------------------------------------------------------------------
+DEPRIV_EXTRACTS = [
+    (f"{REF_DATA}/4-2-3 National trends in independent sector trends in provision of elective care.csv",
+     "Ophthalmology"),
+    (f"{REF_DATA}/4-1-3 National trends in independent sector trends in provision of elective care.csv",
+     "Orthopaedics"),
+]
+
+DEPRIV_SCHEMA = T.StructType(
+    [
+        T.StructField("", T.IntegerType()),
+        T.StructField("der_activity_month", T.DateType()),
+        T.StructField("var_1", T.IntegerType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("prop", T.DoubleType()),
+        T.StructField("sector", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+_DUCK_CHART4 = """
+WITH raw AS (
+  SELECT der_activity_month, CAST(var_1 AS INT) AS q,
+         name, CAST(prop AS DOUBLE) AS prop, sector
+  FROM read_csv(?, header=true)
+)
+SELECT ? AS specialty, der_activity_month,
+       MAX(CASE WHEN q = 1 THEN prop END) AS "1 (most deprived)",
+       MAX(CASE WHEN q = 2 THEN prop END) AS "2",
+       MAX(CASE WHEN q = 3 THEN prop END) AS "3",
+       MAX(CASE WHEN q = 4 THEN prop END) AS "4",
+       MAX(CASE WHEN q = 5 THEN prop END) AS "5 (least deprived)"
+FROM raw
+WHERE sector = 'Independent Sector' AND name = 'Inpatient admissions'
+GROUP BY 1, 2
+"""
+
+
+@pytest.fixture(scope="module")
+def chart4(spark):
+    from elective_waiting_times_pipeline_spark.plans.reporting import (
+        deprivation_quintile_chart,
+    )
+
+    parts = [
+        deprivation_quintile_chart(
+            read_csv_checked(spark, path, schema=DEPRIV_SCHEMA).drop("X"), spec
+        )
+        for path, spec in DEPRIV_EXTRACTS
+    ]
+    return parts[0].unionByName(parts[1])
+
+
+def test_chart4_matches_independent_engine(chart4):
+    got = _normalize(chart4.toPandas())
+    con = duckdb.connect()
+    import pandas as pd
+
+    want = _normalize(
+        pd.concat(
+            [con.execute(_DUCK_CHART4, [path, spec]).fetchdf() for path, spec in DEPRIV_EXTRACTS],
+            ignore_index=True,
+        )
+    )
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want) > 0
+    for c in got.columns:
+        g, w = got[c], want[c]
+        if g.dtype.kind == "f":
+            assert ((g - w).abs().fillna(0) < 1e-12).all(), c
+        else:
+            assert (g.astype(str) == w.astype(str)).all(), c
+
+
+def test_chart4_spot_value_from_raw_csv(chart4):
+    """Literal anchor: the committed 4-2-3 file's first data row is
+    2018-02-01, quintile 1, Inpatient admissions, prop
+    15.8467168123602 — that exact double must surface in the
+    ophthalmology row for that month."""
+    row = chart4.filter(
+        (F.col("specialty") == "Ophthalmology")
+        & (F.col("der_activity_month") == F.lit("2018-02-01").cast("date"))
+    ).collect()
+    assert len(row) == 1
+    assert abs(row[0]["1 (most deprived)"] - 15.8467168123602) < 1e-12
+
+
+def test_chart4_grid_shape(chart4):
+    rows = chart4.collect()
+    assert {r.specialty for r in rows} == {"Ophthalmology", "Orthopaedics"}
+    # one row per (specialty, month), all five quintile columns present
+    assert len(rows) == len({(r.specialty, r.der_activity_month) for r in rows})
+    assert set(chart4.columns) == {
+        "specialty", "der_activity_month",
+        "1 (most deprived)", "2", "3", "4", "5 (least deprived)",
+    }
