@@ -307,24 +307,28 @@ def chart4(spark):
 
 
 def test_chart4_matches_independent_engine(chart4):
-    got = _normalize(chart4.toPandas())
-    con = duckdb.connect()
+    import numpy as np
     import pandas as pd
 
-    want = _normalize(
-        pd.concat(
-            [con.execute(_DUCK_CHART4, [path, spec]).fetchdf() for path, spec in DEPRIV_EXTRACTS],
-            ignore_index=True,
-        )
+    con = duckdb.connect()
+    want = pd.concat(
+        [con.execute(_DUCK_CHART4, [path, spec]).fetchdf() for path, spec in DEPRIV_EXTRACTS],
+        ignore_index=True,
     )
+    got = chart4.toPandas()
+    for frame in (want, got):  # Spark DateType arrives as object; unify
+        frame["der_activity_month"] = pd.to_datetime(frame["der_activity_month"])
+    want, got = _normalize(want), _normalize(got)
     assert list(got.columns) == list(want.columns)
     assert len(got) == len(want) > 0
     for c in got.columns:
         g, w = got[c], want[c]
         if g.dtype.kind == "f":
-            assert ((g - w).abs().fillna(0) < 1e-12).all(), c
+            # fillna sentinel BEFORE the compare: NULL-vs-value must
+            # fail, not vanish into NaN arithmetic
+            assert np.allclose(g.fillna(-1), w.fillna(-1), rtol=0, atol=1e-12), c
         else:
-            assert (g.astype(str) == w.astype(str)).all(), c
+            assert g.equals(w), c
 
 
 def test_chart4_spot_value_from_raw_csv(chart4):
@@ -343,9 +347,24 @@ def test_chart4_spot_value_from_raw_csv(chart4):
 def test_chart4_grid_shape(chart4):
     rows = chart4.collect()
     assert {r.specialty for r in rows} == {"Ophthalmology", "Orthopaedics"}
-    # one row per (specialty, month), all five quintile columns present
-    assert len(rows) == len({(r.specialty, r.der_activity_month) for r in rows})
     assert set(chart4.columns) == {
         "specialty", "der_activity_month",
         "1 (most deprived)", "2", "3", "4", "5 (least deprived)",
     }
+    # row count per specialty must equal the RAW extract's distinct
+    # filtered months (pivot collapsing or over-filtering would shrink
+    # it; a broken filter would inflate it)
+    con = duckdb.connect()
+    by_spec = {r.specialty: 0 for r in rows}
+    for r in rows:
+        by_spec[r.specialty] += 1
+    for path, spec in DEPRIV_EXTRACTS:
+        want_months = con.execute(
+            """
+            SELECT COUNT(DISTINCT der_activity_month)
+            FROM read_csv(?, header=true)
+            WHERE sector = 'Independent Sector' AND name = 'Inpatient admissions'
+            """,
+            [path],
+        ).fetchone()[0]
+        assert by_spec[spec] == want_months > 0
