@@ -155,6 +155,7 @@ _REGISTERED_AFTER_R3 = {
     "bpe_token_stats",
     "cdc_extract",
     "cume_dist_daily_revenue",
+    "session_duration_stats",
 }
 
 

@@ -2497,3 +2497,73 @@ def cume_dist_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("yc").cast("double") / 100).alias("revenue"),
         F.round(F.cume_dist().over(w), 6).alias("revenue_cume_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Session economics: duration percentiles + events-per-session over
+# the 30-minute-gap sessionization (the same session definition as
+# `sessionize`) — the engagement summary next to the session COUNTS
+# that query reports. Durations are exact epoch-microsecond integers
+# per session (one groupBy after the per-user gap window); the
+# percentile is Spark F.percentile == DuckDB quantile_cont (linear
+# interpolation both sides, the corpus_profile-proven pairing).
+# ---------------------------------------------------------------------------
+@query(
+    "session_duration_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                  THEN 1 ELSE 0 END AS ns
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gaps
+    ), per AS (
+      SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS dur_us
+      FROM s GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           ROUND(quantile_cont(CAST(dur_us AS DOUBLE), 0.5) / 1000000, 4)
+             AS p50_duration_s,
+           ROUND(quantile_cont(CAST(dur_us AS DOUBLE), 0.9) / 1000000, 4)
+             AS p90_duration_s,
+           ROUND(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 4) AS events_per_session
+    FROM per
+    """,
+)
+def session_duration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gaps = ev.select(
+        "user_id",
+        "ts",
+        F.when(us - F.lag(us).over(w) > 1_800_000_000, 1).otherwise(0).alias("ns"),
+        "event_id",
+    )
+    s = gaps.select(
+        "user_id",
+        "ts",
+        F.sum("ns").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("sid"),
+    )
+    per = s.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(F.percentile(F.col("dur_us").cast("double"), F.lit(0.5)) / 1000000, 4).alias(
+            "p50_duration_s"
+        ),
+        F.round(F.percentile(F.col("dur_us").cast("double"), F.lit(0.9)) / 1000000, 4).alias(
+            "p90_duration_s"
+        ),
+        F.round(F.sum("n_events").cast("double") / F.count(F.lit(1)), 4).alias(
+            "events_per_session"
+        ),
+    )
