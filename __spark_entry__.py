@@ -156,6 +156,7 @@ _REGISTERED_AFTER_R3 = {
     "cdc_extract",
     "cume_dist_daily_revenue",
     "session_duration_stats",
+    "ols_trend_by_type",
 }
 
 

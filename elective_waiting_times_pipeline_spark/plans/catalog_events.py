@@ -2567,3 +2567,83 @@ def session_duration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "events_per_session"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group OLS trend: daily revenue regressed on the day index,
+# per event_type — the parametric slope/intercept/R² next to the
+# nonparametric trend_mann_kendall and theil_sen_trend. One daily agg
+# then one group agg of exact integer moments (x = epoch-day index,
+# y = cents; cross-products in decimal(38,0)/HUGEINT — day·cents sums
+# pass int64 at 100 TB); every output is the textbook combine of
+# those sums in doubles, same op order both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "ols_trend_by_type",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_diff('day', TIMESTAMP '2024-01-01 00:00:00',
+                            date_trunc('day', ts)) AS BIGINT) AS x,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ), m AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy
+      FROM daily GROUP BY 1
+    )
+    SELECT event_type, n,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / 100, 6) AS slope_per_day,
+           ROUND((CAST(sy AS DOUBLE)
+                  - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) / 100, 6) AS intercept,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS r2
+    FROM m WHERE n >= 3
+    """,
+)
+def ols_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    day_idx = F.datediff(
+        F.date_trunc("DAY", "ts"), F.lit("2024-01-01 00:00:00").cast("timestamp")
+    ).cast("long")
+    daily = ev.groupBy("event_type", day_idx.alias("x")).agg(F.sum(sl2("value")).alias("y"))
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(d38("x") * d38("y")).alias("sxy"),
+        F.sum(d38("x") * d38("x")).alias("sxx"),
+        F.sum(d38("y") * d38("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.filter(F.col("n") >= 3).select(
+        "event_type",
+        "n",
+        F.round(slope / 100, 6).alias("slope_per_day"),
+        F.round((sy - slope * sx) / n / 100, 6).alias("intercept"),
+        F.round(
+            (n * sxy - sx * sy) * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )
