@@ -157,6 +157,7 @@ _REGISTERED_AFTER_R3 = {
     "cume_dist_daily_revenue",
     "session_duration_stats",
     "ols_trend_by_type",
+    "revenue_bridge",
 }
 
 

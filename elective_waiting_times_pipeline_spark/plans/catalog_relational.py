@@ -1923,3 +1923,63 @@ def log2_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("cents").cast("double") / 100).alias("bucket_revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Revenue BRIDGE (price/volume decomposition): month-over-month
+# Δrevenue split into a volume effect (Δqty at last month's price)
+# and a price effect (Δprice at this month's volume) — the standard
+# finance walk, per return-flag segment. Monthly qty/revenue are
+# exact integer sums; prices are single divisions of those integers;
+# the lag rides a (segment)-partitioned window over the bounded month
+# axis. Identity: volume_effect + price_effect == Δrevenue exactly in
+# real arithmetic — the test checks it to rounding.
+# ---------------------------------------------------------------------------
+@query(
+    "revenue_bridge",
+    oracle="""
+    WITH monthly AS (
+      SELECT l_returnflag AS seg, date_trunc('month', l_shipdate) AS mon,
+             CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qc,
+             CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rc
+      FROM lineitem GROUP BY 1, 2
+    ), lagged AS (
+      SELECT seg, mon, qc, rc,
+             LAG(qc) OVER (PARTITION BY seg ORDER BY mon) AS pqc,
+             LAG(rc) OVER (PARTITION BY seg ORDER BY mon) AS prc
+      FROM monthly
+    )
+    SELECT seg AS segment, mon AS month,
+           ROUND((CAST(rc AS DOUBLE) - CAST(prc AS DOUBLE)) / 100, 6) AS delta_revenue,
+           ROUND((CAST(qc AS DOUBLE) - CAST(pqc AS DOUBLE))
+                 * (CAST(prc AS DOUBLE) / CAST(pqc AS DOUBLE)) / 100, 6) AS volume_effect,
+           ROUND((CAST(rc AS DOUBLE) / CAST(qc AS DOUBLE)
+                  - CAST(prc AS DOUBLE) / CAST(pqc AS DOUBLE))
+                 * CAST(qc AS DOUBLE) / 100, 6) AS price_effect
+    FROM lagged WHERE pqc IS NOT NULL AND pqc > 0 AND qc > 0
+    """,
+)
+def revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.col("l_returnflag").alias("seg"),
+        F.date_trunc("MONTH", "l_shipdate").alias("mon"),
+    ).agg(F.sum(sl2("l_quantity")).alias("qc"), F.sum(sl2("l_extendedprice")).alias("rc"))
+    w = Window.partitionBy("seg").orderBy("mon")
+    lagged = monthly.select(
+        "seg",
+        "mon",
+        "qc",
+        "rc",
+        F.lag("qc").over(w).alias("pqc"),
+        F.lag("rc").over(w).alias("prc"),
+    ).filter(F.col("pqc").isNotNull() & (F.col("pqc") > 0) & (F.col("qc") > 0))
+    qc, rc = F.col("qc").cast("double"), F.col("rc").cast("double")
+    pqc, prc = F.col("pqc").cast("double"), F.col("prc").cast("double")
+    return lagged.select(
+        F.col("seg").alias("segment"),
+        F.col("mon").alias("month"),
+        F.round((rc - prc) / 100, 6).alias("delta_revenue"),
+        F.round((qc - pqc) * (prc / pqc) / 100, 6).alias("volume_effect"),
+        F.round((rc / qc - prc / pqc) * qc / 100, 6).alias("price_effect"),
+    )

@@ -108,6 +108,15 @@ def test_stl_components_reassemble(spark):
         assert abs(r.revenue - (r.trend + r.seasonal + r.remainder)) < 5e-6
 
 
+def test_revenue_bridge_effects_reassemble_delta(spark):
+    """Identity: volume_effect + price_effect == delta_revenue (exact
+    in real arithmetic; to component rounding here)."""
+    rows = catalog.SPARK_QUERIES["revenue_bridge"](spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert abs(r.delta_revenue - (r.volume_effect + r.price_effect)) < 5e-6
+
+
 def test_seasonal_anomaly_rows_ranked_by_abs_z(spark):
     out = catalog.SPARK_QUERIES["seasonal_anomaly_how"](spark, SF).collect()
     zs = [abs(r.z_score) for r in out]
