@@ -158,6 +158,7 @@ _REGISTERED_AFTER_R3 = {
     "session_duration_stats",
     "ols_trend_by_type",
     "revenue_bridge",
+    "fulfillment_lag_percentiles",
 }
 
 

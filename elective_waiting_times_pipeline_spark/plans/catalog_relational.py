@@ -1983,3 +1983,42 @@ def revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((qc - pqc) * (prc / pqc) / 100, 6).alias("volume_effect"),
         F.round((rc / qc - prc / pqc) * qc / 100, 6).alias("price_effect"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fulfillment-lag percentiles: order date → line-item ship date, p50/
+# p90/max days per order priority — the SLA view of the order
+# pipeline. One fact-fact join on the order key (both sides shuffle
+# on it; bucket both at 100 TB and the exchange disappears), lags as
+# exact integer day counts, percentiles via the proven
+# F.percentile == quantile_cont pairing.
+# ---------------------------------------------------------------------------
+@query(
+    "fulfillment_lag_percentiles",
+    oracle="""
+    WITH lag_days AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT) AS d
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(quantile_cont(CAST(d AS DOUBLE), 0.5), 4) AS p50_days,
+           ROUND(quantile_cont(CAST(d AS DOUBLE), 0.9), 4) AS p90_days,
+           CAST(MAX(d) AS BIGINT) AS max_days
+    FROM lag_days GROUP BY priority
+    """,
+)
+def fulfillment_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    j = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias("d"),
+    )
+    return j.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.percentile(F.col("d").cast("double"), F.lit(0.5)), 4).alias("p50_days"),
+        F.round(F.percentile(F.col("d").cast("double"), F.lit(0.9)), 4).alias("p90_days"),
+        F.max("d").alias("max_days"),
+    )
