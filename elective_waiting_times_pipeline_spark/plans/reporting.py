@@ -119,6 +119,26 @@ def deprivation_quintile_chart(
     )
 
 
+def category_share_chart(
+    extract: DataFrame,
+    specialty: str,
+    sector: str = "Independent Sector",
+    measure: str = "Inpatient admissions",
+) -> DataFrame:
+    """Ethnicity share table (Charts.R:257-291, chart5a/5b): the
+    deprivation chart's DYNAMIC-pivot sibling — var_1 here is a
+    data-driven category set (ethnic groups), so the pivot discovers
+    its columns (Spark runs the distinct-values pass internally and
+    sorts them; at scale pass an explicit list to skip that job).
+    Same filter + prop values + specialty stamp; no column renames."""
+    return (
+        extract.filter((F.col("sector") == sector) & (F.col("name") == measure))
+        .groupBy(F.lit(specialty).alias("specialty"), "der_activity_month")
+        .pivot("var_1")
+        .agg(F.max("prop"))
+    )
+
+
 def is_share_chart(extract: DataFrame, measure: str = "Inpatient admissions") -> DataFrame:
     """Independent-sector share chart table (Charts.R:39-102, chart2a/
     chart2b): from a long national extract (der_activity_month, type,

@@ -368,3 +368,111 @@ def test_chart4_grid_shape(chart4):
             [path],
         ).fetchone()[0]
         assert by_spec[spec] == want_months > 0
+
+
+# ---------------------------------------------------------------------------
+# Chart 5 (Charts.R:257-291): ethnicity proportion table — the chart4
+# pivot with a DATA-DRIVEN category set (the pivot discovers its
+# columns). Fifth committed-extract anchor.
+# ---------------------------------------------------------------------------
+ETHNICITY_EXTRACTS = [
+    (f"{REF_DATA}/4-2-2 National trends in independent sector trends in provision of elective care.csv",
+     "Ophthalmology"),
+    (f"{REF_DATA}/4-1-2 National trends in independent sector trends in provision of elective care.csv",
+     "Orthopaedic"),
+]
+
+_ETH_COLS = [
+    "Asian or Asian British", "Black or Black British", "Mixed",
+    "Other Ethnic Groups", "White",
+]
+
+_DUCK_CHART5 = """
+WITH raw AS (
+  SELECT der_activity_month, var_1, name, CAST(prop AS DOUBLE) AS prop, sector
+  FROM read_csv(?, header=true)
+)
+SELECT ? AS specialty, der_activity_month,
+       MAX(CASE WHEN var_1 = 'Asian or Asian British' THEN prop END) AS "Asian or Asian British",
+       MAX(CASE WHEN var_1 = 'Black or Black British' THEN prop END) AS "Black or Black British",
+       MAX(CASE WHEN var_1 = 'Mixed' THEN prop END) AS "Mixed",
+       MAX(CASE WHEN var_1 = 'Other Ethnic Groups' THEN prop END) AS "Other Ethnic Groups",
+       MAX(CASE WHEN var_1 = 'White' THEN prop END) AS "White"
+FROM raw
+WHERE sector = 'Independent Sector' AND name = 'Inpatient admissions'
+GROUP BY 1, 2
+"""
+
+ETH_SCHEMA = T.StructType(
+    [
+        T.StructField("", T.IntegerType()),
+        T.StructField("der_activity_month", T.DateType()),
+        T.StructField("var_1", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("prop", T.DoubleType()),
+        T.StructField("sector", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def chart5(spark):
+    from elective_waiting_times_pipeline_spark.plans.reporting import category_share_chart
+
+    parts = [
+        category_share_chart(
+            read_csv_checked(spark, path, schema=ETH_SCHEMA).drop("X"), spec
+        )
+        for path, spec in ETHNICITY_EXTRACTS
+    ]
+    return parts[0].unionByName(parts[1])
+
+
+def test_chart5_dynamic_pivot_discovers_categories(chart5):
+    assert set(chart5.columns) == {"specialty", "der_activity_month", *_ETH_COLS}
+
+
+def test_chart5_matches_independent_engine(chart5):
+    import numpy as np
+    import pandas as pd
+
+    con = duckdb.connect()
+    want = pd.concat(
+        [con.execute(_DUCK_CHART5, [path, spec]).fetchdf() for path, spec in ETHNICITY_EXTRACTS],
+        ignore_index=True,
+    )
+    got = chart5.toPandas()
+    for frame in (want, got):
+        frame["der_activity_month"] = pd.to_datetime(frame["der_activity_month"])
+    want, got = _normalize(want), _normalize(got)
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want) > 0
+    for c in got.columns:
+        g, w = got[c], want[c]
+        if g.dtype.kind == "f":
+            assert np.allclose(g.fillna(-1), w.fillna(-1), rtol=0, atol=1e-12), c
+        else:
+            assert g.equals(w), c
+
+
+def test_chart5_spot_value_from_raw_csv(chart5):
+    """The committed 4-2-2 file's first data row: 2018-02-01, Asian or
+    Asian British, prop 7.76053215077605 — but that row is NHS sector;
+    the IS row for the same month must match the raw CSV's IS value."""
+    con = duckdb.connect()
+    want = con.execute(
+        """
+        SELECT CAST(prop AS DOUBLE) FROM read_csv(?, header=true)
+        WHERE sector = 'Independent Sector' AND name = 'Inpatient admissions'
+          AND var_1 = 'Asian or Asian British'
+          AND der_activity_month = DATE '2018-02-01'
+        """,
+        [ETHNICITY_EXTRACTS[0][0]],
+    ).fetchone()[0]
+    row = chart5.filter(
+        (F.col("specialty") == "Ophthalmology")
+        & (F.col("der_activity_month") == F.lit("2018-02-01").cast("date"))
+    ).collect()
+    assert len(row) == 1
+    assert abs(row[0]["Asian or Asian British"] - want) < 1e-12
