@@ -154,9 +154,16 @@ def is_share_chart(extract: DataFrame, measure: str = "Inpatient admissions") ->
         .pivot("type", ["Independent Sector", "NHS"])
         .agg(F.first("value"))
     )
+    return _two_panel_grid(wide, "speciality")
+
+
+def _two_panel_grid(wide: DataFrame, key_col: str) -> DataFrame:
+    """The reference's two-panel chart stack (chart2/6/7): a counts
+    grid (share NULL) over a share grid (counts NULL), keyed by
+    `key_col` + month, from a wide (Independent Sector, NHS) table."""
     share_col = "Independent sector share of total treatments (%)"
     part_a = wide.select(
-        "speciality",
+        key_col,
         "der_activity_month",
         F.lit("Number of treatments").alias("Grid"),
         F.lit(None).cast("double").alias(share_col),
@@ -164,7 +171,7 @@ def is_share_chart(extract: DataFrame, measure: str = "Inpatient admissions") ->
         F.col("NHS"),
     )
     part_b = wide.select(
-        "speciality",
+        key_col,
         "der_activity_month",
         F.lit("Independent sector share of total treatments (%)").alias("Grid"),
         # try_divide: a zero-treatment month is a NULL share, not an
@@ -179,6 +186,29 @@ def is_share_chart(extract: DataFrame, measure: str = "Inpatient admissions") ->
         F.lit(None).cast("double").alias("NHS"),
     )
     return part_a.unionByName(part_b)
+
+
+def procedure_share_chart(
+    extract: DataFrame,
+    specialty: str,
+    procedures: list[str],
+) -> DataFrame:
+    """Procedure-level two-panel grid (Charts.R:296-357, chart6ab/
+    chart7abc): from a procedure-grain extract (speciality,
+    procedure_desc_short, der_activity_month, type, n_spells_IP ...),
+    keep one specialty's named procedures (the %in% filter), pivot
+    provider `type` wide on inpatient spells, and stack the same
+    counts-over-share panels as chart2 — keyed by procedure."""
+    wide = (
+        extract.filter(
+            (F.col("speciality") == specialty)
+            & F.col("procedure_desc_short").isin(procedures)
+        )
+        .groupBy("procedure_desc_short", "der_activity_month")
+        .pivot("type", ["Independent Sector", "NHS"])
+        .agg(F.max("n_spells_IP"))
+    )
+    return _two_panel_grid(wide, "procedure_desc_short")
 
 
 def per_capita(

@@ -476,3 +476,106 @@ def test_chart5_spot_value_from_raw_csv(chart5):
     ).collect()
     assert len(row) == 1
     assert abs(row[0]["Asian or Asian British"] - want) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Charts 6/7 (Charts.R:296-357): procedure-level two-panel grids —
+# the chart2 stack keyed by procedure with an %in% procedure filter,
+# over the committed procedure-grain extracts. Sixth/seventh real
+# consumers; the two-panel builder is now shared (_two_panel_grid).
+# ---------------------------------------------------------------------------
+PROC_EXTRACTS = [
+    (f"{REF_DATA}/3-2-1-1 National trends in independent sector trends in provision of elective care.csv",
+     "Ophthalmology", ["Cataract", "Vitreous Retinal"]),
+    (f"{REF_DATA}/3-1-1-1 National trends in independent sector trends in provision of elective care.csv",
+     "Orthopaedic", ["Hip", "Knee", "Hand"]),
+]
+
+PROC_SCHEMA = T.StructType(
+    [
+        T.StructField("", T.IntegerType()),
+        T.StructField("der_activity_month", T.DateType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("speciality", T.StringType()),
+        T.StructField("procedure_desc_short", T.StringType()),
+        T.StructField("n_spells_IP", T.DoubleType()),
+        T.StructField("n_spells_OP", T.DoubleType()),
+        T.StructField("all_activity", T.DoubleType()),
+    ]
+)
+
+_DUCK_CHART67 = """
+WITH wide AS (
+  SELECT procedure_desc_short, der_activity_month,
+         MAX(CASE WHEN type = 'Independent Sector' THEN CAST(n_spells_IP AS DOUBLE) END) AS ind,
+         MAX(CASE WHEN type = 'NHS' THEN CAST(n_spells_IP AS DOUBLE) END) AS nhs
+  FROM read_csv(?, header=true)
+  WHERE speciality = ? AND list_contains(?, procedure_desc_short)
+  GROUP BY 1, 2
+)
+SELECT procedure_desc_short, der_activity_month, 'Number of treatments' AS "Grid",
+       CAST(NULL AS DOUBLE) AS "Independent sector share of total treatments (%)",
+       ind AS "Independent Sector", nhs AS "NHS"
+FROM wide
+UNION ALL
+SELECT procedure_desc_short, der_activity_month,
+       'Independent sector share of total treatments (%)',
+       ind / (ind + nhs) * 100, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM wide
+"""
+
+
+@pytest.fixture(scope="module")
+def chart67(spark):
+    from elective_waiting_times_pipeline_spark.plans.reporting import procedure_share_chart
+
+    parts = [
+        procedure_share_chart(
+            read_csv_checked(spark, path, schema=PROC_SCHEMA).drop("X"), spec, procs
+        )
+        for path, spec, procs in PROC_EXTRACTS
+    ]
+    return parts[0].unionByName(parts[1])
+
+
+def test_chart67_matches_independent_engine(chart67):
+    import numpy as np
+    import pandas as pd
+
+    con = duckdb.connect()
+    want = pd.concat(
+        [
+            con.execute(_DUCK_CHART67, [path, spec, procs]).fetchdf()
+            for path, spec, procs in PROC_EXTRACTS
+        ],
+        ignore_index=True,
+    )
+    got = chart67.toPandas()
+    for frame in (want, got):
+        frame["der_activity_month"] = pd.to_datetime(frame["der_activity_month"])
+    want, got = _normalize(want), _normalize(got)
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want) > 0
+    for c in got.columns:
+        g, w = got[c], want[c]
+        if g.dtype.kind == "f":
+            assert np.allclose(g.fillna(-1), w.fillna(-1), rtol=0, atol=1e-9), c
+        else:
+            assert g.equals(w), c
+
+
+def test_chart67_spot_value_from_raw_csv(chart67):
+    """Committed 3-2-1-1 first rows: 2018-02-01 Cataract — IS 7153
+    inpatient spells; the NHS row follows in the raw file."""
+    rows = chart67.filter(
+        (F.col("procedure_desc_short") == "Cataract")
+        & (F.col("der_activity_month") == F.lit("2018-02-01").cast("date"))
+        & (F.col("Grid") == "Number of treatments")
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["Independent Sector"] == 7153.0
+
+
+def test_chart67_procedures_filtered(chart67):
+    got = {r.procedure_desc_short for r in chart67.select("procedure_desc_short").distinct().collect()}
+    assert got == {"Cataract", "Vitreous Retinal", "Hip", "Knee", "Hand"}
