@@ -139,6 +139,38 @@ def category_share_chart(
     )
 
 
+_UNDER_3M_BANDS = ["0-50", "50-100"]
+
+
+def waitband_3m_chart(
+    extract: DataFrame,
+    specialty: str,
+    measure: str = "Inpatient admissions",
+) -> DataFrame:
+    """Waiting-band rollup share (Charts.R:405-447, chart8 dynamic):
+    from a banded yearly extract (year, var_1 = day band, sector,
+    prop), bucket the bands into Under/Over 3 months (the reference's
+    case_when), SUM the proportions per (year, sector) bucket
+    (na.rm ≡ Spark's null-skipping sum), keep the under-3m bucket, and
+    pivot the sector wide — the "share of patients treated within 3
+    months" trend per sector."""
+    bucket = F.when(F.col("var_1").isin(_UNDER_3M_BANDS), "Under 3m").otherwise("Over 3m")
+    return (
+        extract.filter(F.col("name") == measure)
+        .groupBy(
+            "year",
+            F.lit(specialty).alias("specialty"),
+            "sector",
+            bucket.alias("time_3m"),
+        )
+        .agg(F.sum("prop").alias("prop"))
+        .filter(F.col("time_3m") == "Under 3m")
+        .groupBy("year", "specialty", "time_3m")
+        .pivot("sector", ["Independent Sector", "NHS"])
+        .agg(F.max("prop"))
+    )
+
+
 def is_share_chart(extract: DataFrame, measure: str = "Inpatient admissions") -> DataFrame:
     """Independent-sector share chart table (Charts.R:39-102, chart2a/
     chart2b): from a long national extract (der_activity_month, type,

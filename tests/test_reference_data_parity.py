@@ -579,3 +579,91 @@ def test_chart67_spot_value_from_raw_csv(chart67):
 def test_chart67_procedures_filtered(chart67):
     got = {r.procedure_desc_short for r in chart67.select("procedure_desc_short").distinct().collect()}
     assert got == {"Cataract", "Vitreous Retinal", "Hip", "Knee", "Hand"}
+
+
+# ---------------------------------------------------------------------------
+# Chart 8 dynamic (Charts.R:405-447): waiting-band → under-3-months
+# rollup share per sector/year. The under-3m bucket sums exactly TWO
+# band proportions (one addition — bit-identical on both engines), so
+# the comparison needs no tolerance loosening. Seventh real consumer.
+# ---------------------------------------------------------------------------
+BAND_EXTRACTS = [
+    (f"{REF_DATA}/5-2 National trends in independent sector trends in provision of elective care.csv",
+     "Ophthalmology"),
+    (f"{REF_DATA}/5-1 National trends in independent sector trends in provision of elective care.csv",
+     "Orthopaedic"),
+]
+
+BAND_SCHEMA = T.StructType(
+    [
+        T.StructField("", T.IntegerType()),
+        T.StructField("year", T.IntegerType()),
+        T.StructField("var_1", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("sector", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("prop", T.DoubleType()),
+    ]
+)
+
+_DUCK_CHART8 = """
+SELECT CAST(year AS INT) AS year, ? AS specialty, 'Under 3m' AS time_3m,
+       SUM(CASE WHEN sector = 'Independent Sector' THEN CAST(prop AS DOUBLE) END)
+         AS "Independent Sector",
+       SUM(CASE WHEN sector = 'NHS' THEN CAST(prop AS DOUBLE) END) AS "NHS"
+FROM read_csv(?, header=true)
+WHERE name = 'Inpatient admissions' AND var_1 IN ('0-50', '50-100')
+GROUP BY 1
+"""
+
+
+@pytest.fixture(scope="module")
+def chart8(spark):
+    from elective_waiting_times_pipeline_spark.plans.reporting import waitband_3m_chart
+
+    parts = [
+        waitband_3m_chart(read_csv_checked(spark, path, schema=BAND_SCHEMA).drop("X"), spec)
+        for path, spec in BAND_EXTRACTS
+    ]
+    return parts[0].unionByName(parts[1])
+
+
+def test_chart8_matches_independent_engine(chart8):
+    import numpy as np
+    import pandas as pd
+
+    con = duckdb.connect()
+    want = pd.concat(
+        [con.execute(_DUCK_CHART8, [spec, path]).fetchdf() for path, spec in BAND_EXTRACTS],
+        ignore_index=True,
+    )
+    got = chart8.toPandas()
+    want, got = _normalize(want), _normalize(got)
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want) > 0
+    for c in got.columns:
+        g, w = got[c], want[c]
+        if g.dtype.kind == "f":
+            assert np.allclose(g.fillna(-1), w.fillna(-1), rtol=0, atol=1e-12), c
+        else:
+            assert (g == w).all(), c
+
+
+def test_chart8_spot_value_from_raw_csv(chart8):
+    """Committed 5-2 rows for 2018: IS 0-50 = 41.107755085712 plus the
+    raw 50-100 IS prop must equal the under-3m share."""
+    con = duckdb.connect()
+    want = con.execute(
+        """
+        SELECT SUM(CAST(prop AS DOUBLE)) FROM read_csv(?, header=true)
+        WHERE name = 'Inpatient admissions' AND sector = 'Independent Sector'
+          AND CAST(year AS INT) = 2018 AND var_1 IN ('0-50', '50-100')
+        """,
+        [BAND_EXTRACTS[0][0]],
+    ).fetchone()[0]
+    row = chart8.filter(
+        (F.col("specialty") == "Ophthalmology") & (F.col("year") == 2018)
+    ).collect()
+    assert len(row) == 1
+    assert abs(row[0]["Independent Sector"] - want) < 1e-12
+    assert row[0]["Independent Sector"] > 41.1  # includes the literal 0-50 band
