@@ -76,6 +76,21 @@ def main() -> None:
             timings[name] = min(timings.get(name, dt), dt)
             errors.pop(name, None)
     total = round(sum(timings.values()), 3)
+    # Machine-speed calibration: a fixed, data-independent JVM job
+    # (codegen'd sum over a synthetic range). Same-code bench totals
+    # drift ±30% across host boots (documented in SCALE.md); dividing
+    # by calib_sec normalizes cross-boot comparisons. min-of-2 after a
+    # warmup, like the queries themselves.
+    calib = None
+    for i in range(3):
+        t0 = time.perf_counter()
+        # pmod keeps the running sum far below int64 under ANSI mode
+        spark.range(200_000_000).selectExpr(
+            "sum(pmod(id * 2654435761, 1000000007)) AS s"
+        ).collect()
+        dt = time.perf_counter() - t0
+        if i > 0:  # first pass is warmup
+            calib = dt if calib is None else min(calib, dt)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)
@@ -89,6 +104,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 **({"errors": errors} if errors else {}),
+                **({"calib_sec": round(calib, 3)} if calib is not None else {}),
                 **_continuity(timings, sf_val),
                 "sf": sf_val,
             }
