@@ -77,6 +77,7 @@ def refresh_scd2(
     tie: str = "tie",
     n_buckets: int = 16,
     bucket_col: str | None = None,
+    verify_full_lake: bool = False,
 ) -> None:
     """Recompute the given key-buckets of the SCD2 store from the base
     observation lake and swap them in (dynamic partition overwrite).
@@ -101,7 +102,19 @@ def refresh_scd2(
     a PARTIAL history, so this raises instead. NULL lake buckets are
     invalid by the same logic (isin never matches NULL, silently
     dropping those keys) — materialize the column with `key_bucket`,
-    which maps NULL keys to bucket 0."""
+    which maps NULL keys to bucket 0.
+
+    SCOPE of the straddle check: by default it sees only the
+    touched-bucket SLICE — a key observed in one touched and one
+    UNTOUCHED bucket is not caught, because catching it requires
+    scanning the complement of the lake, which would defeat the
+    pruning this function exists for. Pass `verify_full_lake=True`
+    to close that gap: one extra column-pruned pass over the
+    complement's (key, bucket) pairs, semi-joined against the slice's
+    keys — raises if any refreshed key also lives outside the
+    refreshed buckets. Use it on audit/backfill runs; leave it off on
+    the hot incremental path where the lake's bucketing is enforced
+    at write time by `key_bucket`."""
     buckets = sorted({int(b) for b in buckets if b is not None})
     if not buckets:
         return
@@ -123,6 +136,22 @@ def refresh_scd2(
                 f"'{bucket_col}' buckets — the lake bucketing is inconsistent; "
                 "rebuilding would write a partial history"
             )
+        if verify_full_lake:
+            other = obs_lake.filter(
+                ~F.col(bucket_col).isin(buckets) | F.col(bucket_col).isNull()
+            ).select(key)
+            straddle = (
+                other.join(key_map.select(key).distinct(), key, "left_semi")
+                .limit(1)
+                .collect()
+            )
+            if straddle:
+                raise ValueError(
+                    f"refresh_scd2: key {straddle[0][0]!r} has observations in "
+                    f"an untouched lake '{bucket_col}' bucket as well as a "
+                    "refreshed one — the lake bucketing is inconsistent; "
+                    "rebuilding would write a partial history"
+                )
         fresh = build_scd2(slice_df, key=key, attr=attr, eff=eff, tie=tie).join(
             key_map, key
         )

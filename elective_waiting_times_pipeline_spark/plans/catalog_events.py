@@ -1237,11 +1237,23 @@ def retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ulp drift flipped a snap boundary at sf0.1 in round 4), reported as
 # an integer ppm (censored-at-t users remain at risk at t, the
 # standard deaths-before-censoring convention).
+#
+# Fold-order hardening (round 6): the oracle previously built the
+# factor sequence with `list(...) OVER` + `list_reduce`, whose
+# within-frame list ordering is not contractually guaranteed across
+# DuckDB versions (the driver's engine hash-mismatched at sf0.01
+# while DuckDB 1.0.0 locally agreed at every sf). Both sides now make
+# the multiply order EXPLICIT: the oracle folds via a recursive CTE
+# over row_number-ordered terms (a strict sequential left-fold on any
+# SQL engine), and the Spark side folds an `array_sort`ed
+# (t_h, factor) struct array instead of trusting collect_list's frame
+# order. Same sequence of correctly-rounded multiplies on both
+# engines, no version-sensitive construct left.
 # ---------------------------------------------------------------------------
 @query(
     "survival_conversion",
     oracle="""
-    WITH u AS (
+    WITH RECURSIVE u AS (
       SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t0,
              MAX(ts) AS t_last
       FROM events GROUP BY 1
@@ -1272,13 +1284,19 @@ def retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT t_h, d, n_risk,
              CAST(1 AS DOUBLE) - CAST(d AS DOUBLE) / n_risk AS factor
       FROM risk WHERE d > 0 AND d < n_risk
+    ), ord AS (
+      SELECT t_h, d, n_risk, factor,
+             ROW_NUMBER() OVER (ORDER BY t_h) AS rn
+      FROM terms
+    ), fold AS (
+      SELECT rn, t_h, d, n_risk, factor AS surv FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.rn, o.t_h, o.d, o.n_risk, f.surv * o.factor
+      FROM fold f JOIN ord o ON o.rn = f.rn + 1
     )
     SELECT t_h AS delay_hours, n_risk, d AS d_events,
-           CAST(floor(list_reduce(
-                  list(factor) OVER (ORDER BY t_h
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-                  (acc, x) -> acc * x) * 1000000 + 0.5) AS BIGINT) AS survival_ppm
-    FROM terms
+           CAST(floor(surv * 1000000 + 0.5) AS BIGINT) AS survival_ppm
+    FROM fold
     """,
 )
 def survival_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1324,10 +1342,13 @@ def survival_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "factor", F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")
     )
     # Ordered left-fold of the running factor list: ((1.0*f1)*f2)*...*fk.
-    # 1.0*f1 == f1 exactly, so this is bit-identical to DuckDB's
-    # list_reduce fold — every step is a correctly-rounded IEEE multiply,
-    # no transcendental in sight. The window is axis-sized (distinct delay
-    # hours), a whitelisted bounded global window.
+    # 1.0*f1 == f1 exactly, so the sequence of correctly-rounded IEEE
+    # multiplies is identical to the oracle's recursive-CTE fold. The
+    # fold order is made explicit with array_sort over (t_h, factor)
+    # structs (t_h is distinct per row, so the sort is total) rather
+    # than trusting collect_list's frame order. The window is
+    # axis-sized (distinct delay hours), a whitelisted bounded global
+    # window.
     wS = Window.orderBy("t_h").rowsBetween(Window.unboundedPreceding, 0)
     return terms.select(
         F.col("t_h").alias("delay_hours"),
@@ -1335,7 +1356,12 @@ def survival_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("d_events"),
         F.floor(
             F.aggregate(
-                F.collect_list("factor").over(wS),
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("t_h", "factor")).over(wS)
+                    ),
+                    lambda s: s["factor"],
+                ),
                 F.lit(1.0),
                 lambda acc, x: acc * x,
             )

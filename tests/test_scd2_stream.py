@@ -83,6 +83,41 @@ def test_refresh_scd2_bucket_col_uses_lake_layout_and_detects_corruption(spark, 
         refresh_scd2(corrupt, store, buckets=[1, 2], bucket_col="bk")
 
 
+def test_refresh_scd2_straddle_across_untouched_bucket(spark, tmp_path):
+    """A key whose observations straddle a TOUCHED and an UNTOUCHED
+    lake bucket is invisible to the slice-scoped check (documented
+    scope: the refresh stays green but rebuilds only the touched
+    bucket's share of that key's history) and is caught by the opt-in
+    full-lake verification."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    lake_path = str(tmp_path / "obs")
+    obs = _obs(spark, lake_path)
+    # pick one real key and split its rows: even ties → bucket 1
+    # (touched), odd ties → bucket 3 (untouched); all other keys get a
+    # consistent per-key bucket that never collides with 1.
+    victim = obs.select("custkey").limit(1).collect()[0][0]
+    straddled = obs.withColumn(
+        "bk",
+        F.when(
+            F.col("custkey") == victim,
+            F.when(F.col("tie") % 2 == 0, F.lit(1)).otherwise(F.lit(3)),
+        ).otherwise(F.pmod(F.col("custkey"), F.lit(2)).cast("int")),
+    )
+    store = str(tmp_path / "scd2")
+    # default scope: passes (the slice only sees bucket 1)
+    refresh_scd2(straddled, store, buckets=[1], bucket_col="bk")
+    # full-lake verification: raises before writing anything
+    with pytest.raises(ValueError, match="untouched lake"):
+        refresh_scd2(
+            straddled, store, buckets=[1], bucket_col="bk", verify_full_lake=True
+        )
+    # a clean lake passes the full check too
+    clean = obs.withColumn("bk", F.pmod(F.col("custkey"), F.lit(4)).cast("int"))
+    refresh_scd2(clean, store, buckets=[1], bucket_col="bk", verify_full_lake=True)
+
+
 def test_streaming_scd2_matches_batch_and_replays_idempotently(spark, tmp_path):
     from elective_waiting_times_pipeline_spark.streaming.sinks import stream_refresh_scd2
 
