@@ -39,14 +39,25 @@ def build_scd2(
     consecutive-run version. valid_to = next version's valid_from
     (half-open intervals); NULL valid_to marks the current version.
     One key-partitioned window pass; same-timestamp observations are
-    pinned by `tie` so versioning is deterministic (SURVEY §7.5)."""
+    pinned by `tie` so versioning is deterministic (SURVEY §7.5).
+
+    Shuffle shape: everything is keyed by `key`. A run's valid_from
+    is the `eff` of its FIRST row (rows are ordered by (eff, tie)
+    inside the window), so the spans come from a FILTER on the
+    run-boundary flag — not a groupBy(key, attr, ver), whose
+    different grouping key would force a second full shuffle between
+    the change-detection window and the valid_to window. One Exchange
+    on `key` serves all three window passes."""
     w = Window.partitionBy(key).orderBy(eff, tie)
     chg = F.when(~F.lag(attr).over(w).eqNullSafe(F.col(attr)), 1).otherwise(0)
-    grp = obs.withColumn("_chg", chg).withColumn(
-        "_ver", F.sum("_chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    grp = obs.withColumn("_chg", chg).withColumn("_rn", F.row_number().over(w))
+    # run starts where the attr changed OR at the key's first row (the
+    # first row's _chg is 0 when attr is NULL — lag NULL eqNullSafe
+    # NULL — so _rn==1 is required, not redundant)
+    spans = grp.filter((F.col("_chg") == 1) | (F.col("_rn") == 1)).select(
+        key, attr, F.col(eff).alias("valid_from"), F.col("_rn").alias("_ord")
     )
-    spans = grp.groupBy(key, attr, "_ver").agg(F.min(eff).alias("valid_from"))
-    wv = Window.partitionBy(key).orderBy("_ver")
+    wv = Window.partitionBy(key).orderBy("_ord")
     return spans.select(
         key,
         attr,
