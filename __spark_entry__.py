@@ -159,6 +159,16 @@ _REGISTERED_AFTER_R3 = {
     "ols_trend_by_type",
     "revenue_bridge",
     "fulfillment_lag_percentiles",
+    # round 6
+    "tumbling_ohlc",
+    "interval_union_length",
+    "rolling_median_7d",
+    "weighted_median_value",
+    "pareto_front_2d",
+    "duplicate_ngram_coverage",
+    "readability_score",
+    "target_encode_smoothed",
+    "bot_regularity_flags",
 }
 
 

@@ -143,6 +143,20 @@ def trigrams(toks: Column) -> Column:
     )
 
 
+def wordgrams(toks: Column, n: int) -> Column:
+    """Adjacent n-token windows as space-joined strings — the general
+    form of `bigrams`/`trigrams`, built by folding the same O(L)
+    shifted-slice zip (never per-element element_at, which is O(L²));
+    slice length clamps at 0 so short arrays yield []."""
+    if n < 2:
+        raise ValueError("wordgrams needs n >= 2")
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    acc = F.slice(toks, 1, m)
+    for i in range(2, n + 1):
+        acc = F.zip_with(acc, F.slice(toks, i, m), lambda a, b: F.concat_ws(" ", a, b))
+    return acc
+
+
 # GPT-2-style pre-tokenizer pattern (contractions | space?-letter-run |
 # space?-digit-run | space?-punct-run), with the original's trailing
 # `\s+(?!\S)` lookahead dropped: RE2 (DuckDB's engine) has no

@@ -2673,3 +2673,124 @@ def ols_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hourly OHLC bars (open/high/low/close) per event type — the
+# financial-series rollup form of the tumbling window: open/close are
+# the values at the window's FIRST/LAST event. Deterministic pin: the
+# (ts, event_id) order is encoded as ONE integer key
+# epoch_us(ts)·10^10 + event_id (event_id is unique and < 10^10, so
+# the encoding is order-isomorphic to the pair), carried as
+# decimal(38,0) on Spark / HUGEINT on DuckDB — arg-min/max over a
+# plain integer ordering, no engine-specific struct comparison.
+# Values snap to exact cents. One scan, one hash agg; min_by/max_by
+# fold map-side like any other agg — scales.
+# ---------------------------------------------------------------------------
+@query(
+    "tumbling_ohlc",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(arg_min(CAST(floor(value * 100 + 0.5) AS BIGINT),
+                        CAST(epoch_us(ts) AS HUGEINT) * 10000000000 + event_id)
+                AS DOUBLE) / 100 AS open,
+           CAST(MAX(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS high,
+           CAST(MIN(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS low,
+           CAST(arg_max(CAST(floor(value * 100 + 0.5) AS BIGINT),
+                        CAST(epoch_us(ts) AS HUGEINT) * 10000000000 + event_id)
+                AS DOUBLE) / 100 AS close
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    vc = sl2("value")
+    okey = (
+        F.unix_micros("ts").cast("decimal(38,0)") * F.lit(10_000_000_000).cast("decimal(38,0)")
+        + F.col("event_id").cast("decimal(38,0)")
+    )
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.min_by(vc, okey).cast("double") / 100).alias("open"),
+            (F.max(vc).cast("double") / 100).alias("high"),
+            (F.min(vc).cast("double") / 100).alias("low"),
+            (F.max_by(vc, okey).cast("double") / 100).alias("close"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n_events", "open", "high", "low", "close",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval-union coverage per user: each event opens a 5-minute
+# activity interval [ts, ts+300s); overlapping intervals merge, and
+# the metric is the total UNION length — "how long was the user
+# actually active", the dual of peak_concurrency's "how many were
+# active at once". Classic sweep-line gaps-and-islands: within each
+# user (per-key partitioned windows — never corpus-sized), a new
+# island starts where the interval's start exceeds the running max of
+# previous ends; island id is the cumulative count of starts; island
+# length is max(end) − min(start). All math in integer epoch-micros.
+# ---------------------------------------------------------------------------
+@query(
+    "interval_union_length",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+      FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                                    -1) THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ), islands AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS island_id
+      FROM flagged
+    ), spans AS (
+      SELECT user_id, island_id, MAX(e) - MIN(s) AS len_us
+      FROM islands GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(len_us) AS BIGINT) AS covered_us
+    FROM spans GROUP BY user_id
+    """,
+)
+def interval_union_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = F.unix_micros("ts")
+    iv = ev.select("user_id", "event_id", s.alias("s"), (s + 300_000_000).alias("e"))
+    wprev = Window.partitionBy("user_id").orderBy("s", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    flagged = iv.select(
+        "user_id",
+        "event_id",
+        "s",
+        "e",
+        F.when(F.col("s") > F.coalesce(F.max("e").over(wprev), F.lit(-1)), 1)
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    # cumsum under the SAME total order (s, event_id) as the flag
+    # window — a tie-permuted cumsum could split equal-(s,e) rows
+    # across adjacent island ids and bridge a genuine gap
+    wcum = Window.partitionBy("user_id").orderBy("s", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    islands = flagged.withColumn("island_id", F.sum("new_island").over(wcum))
+    spans = islands.groupBy("user_id", "island_id").agg(
+        (F.max("e") - F.min("s")).alias("len_us")
+    )
+    return spans.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("len_us").cast("long").alias("covered_us"),
+    )

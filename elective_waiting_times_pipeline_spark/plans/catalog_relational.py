@@ -2022,3 +2022,300 @@ def fulfillment_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile(F.col("d").cast("double"), F.lit(0.9)), 4).alias("p90_days"),
         F.max("d").alias("max_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day median of daily revenue — the windowed-QUANTILE form
+# of rolling_mean_1h (means compose map-side; medians don't, so the
+# rolling frame materializes as a sorted array). The corpus collapses
+# to ONE ROW PER DAY first, so the unpartitioned range window runs on
+# the bounded calendar-day axis (whitelisted in the plan lint), never
+# on raw orders. Day revenues are exact cent sums; the median of an
+# even frame is (a+b)/2 — a+b is an exact long, /2.0 and /100 are two
+# correctly-rounded double ops both engines replay. Oracle avoids
+# window-list ordering (version-sensitive, see survival_conversion)
+# by building each frame with a 7-day self-join + ORDER BY inside the
+# list aggregate — ordering guaranteed by SQL semantics.
+# ---------------------------------------------------------------------------
+@query(
+    "rolling_median_7d",
+    oracle="""
+    WITH d AS (
+      SELECT date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS day_idx,
+             MIN(CAST(o_orderdate AS DATE)) AS day,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1
+    ), frames AS (
+      SELECT d1.day_idx, MIN(d1.day) AS day,
+             list(d2.rev_c ORDER BY d2.rev_c) AS vs
+      FROM d d1 JOIN d d2 ON d2.day_idx BETWEEN d1.day_idx - 6 AND d1.day_idx
+      GROUP BY d1.day_idx
+    )
+    SELECT day, CAST(len(vs) AS BIGINT) AS n_days,
+           CASE WHEN len(vs) % 2 = 1 THEN CAST(vs[(len(vs) + 1) // 2] AS DOUBLE) / 100
+                ELSE (CAST(vs[len(vs) // 2] AS DOUBLE) + vs[len(vs) // 2 + 1]) / 2 / 100
+           END AS median_rev
+    FROM frames
+    """,
+)
+def rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    day = F.to_date("o_orderdate")
+    d = o.groupBy(F.datediff(day, F.lit("1990-01-01")).alias("day_idx")).agg(
+        F.min(day).alias("day"), F.sum(sl2("o_totalprice")).alias("rev_c")
+    )
+    w = Window.orderBy("day_idx").rangeBetween(-6, 0)
+    vs = F.array_sort(F.collect_list("rev_c").over(w))
+    n = F.size(vs)
+    med = F.when(
+        n % 2 == 1, F.element_at(vs, ((n + 1) / 2).cast("int")).cast("double") / 100
+    ).otherwise(
+        (
+            F.element_at(vs, (n / 2).cast("int")).cast("double")
+            + F.element_at(vs, (n / 2).cast("int") + 1)
+        )
+        / 2
+        / 100
+    )
+    return d.select("day", n.cast("long").alias("n_days"), med.alias("median_rev"))
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted median (lower) of line price weighted by quantity,
+# per return flag — the robust per-group location statistic
+# weighted.mean can't give you. Scale-safe shape: collapse to the
+# DISTINCT (flag, price) axis with summed weights (one hash agg),
+# then the range-bucketed running weight (sampling.ordered_prefix —
+# per-bucket windows + broadcast offsets, never a group-sized
+# window); the median is the smallest value whose doubled cumulative
+# weight reaches the group total. All comparisons on exact integers.
+# ---------------------------------------------------------------------------
+@query(
+    "weighted_median_value",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag AS flag,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS val,
+             CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2
+    ), c AS (
+      SELECT flag, val, w,
+             SUM(w) OVER (PARTITION BY flag ORDER BY val
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(w) OVER (PARTITION BY flag) AS tw
+      FROM v
+    )
+    SELECT flag,
+           CAST(MIN(CASE WHEN 2 * cw >= tw THEN val END) AS DOUBLE) / 100
+             AS weighted_median,
+           CAST(MAX(tw) AS BIGINT) AS total_weight
+    FROM c GROUP BY flag
+    """,
+)
+def weighted_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elective_waiting_times_pipeline_spark.operators import sampling as S
+
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        sl2("l_extendedprice").alias("val"),
+    ).agg(F.sum(F.floor(F.col("l_quantity") + 0.5).cast("long")).alias("w"))
+    cuts = S.range_cut_points(v, "val", n_buckets=64)
+    c = S.ordered_prefix(
+        v,
+        [F.col("val")],
+        S.range_bucket(F.col("val"), cuts),
+        group_cols=["flag"],
+        weight="w",
+        out_prefix="cw",
+    )
+    tot = v.groupBy("flag").agg(F.sum("w").alias("tw"))
+    c = c.join(F.broadcast(tot), "flag")
+    return (
+        c.groupBy("flag").agg(
+            (
+                F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("val"))).cast("double")
+                / 100
+            ).alias("weighted_median"),
+            F.max("tw").cast("long").alias("total_weight"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2-D Pareto frontier (skyline): parts not dominated on (cheaper
+# price, larger size) — dominance = other.price <= p AND other.size
+# >= s AND strictly better on at least one. The naive skyline is a
+# quadratic NOT EXISTS self-join; the scale form collapses to the
+# DISTINCT price axis (max size per price), takes a running max of
+# size over strictly-cheaper prices with the range-bucketed prefix
+# machinery (per-bucket windows + a <=64-row broadcast cummax of
+# bucket offsets — the `_bk` shape the plan lint recognizes), and
+# keeps rows beaten by neither the strictly-cheaper running max nor a
+# strictly-larger same-price max. Price compares are raw parquet
+# doubles — no arithmetic, bit-identical on both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "pareto_front_2d",
+    oracle="""
+    SELECT p_partkey, p_retailprice, p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    """,
+)
+def pareto_front_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elective_waiting_times_pipeline_spark.operators import sampling as S
+
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+    axis = p.groupBy("p_retailprice").agg(F.max("p_size").alias("msz"))
+    cuts = S.range_cut_points(axis, "p_retailprice", n_buckets=64)
+    b = axis.withColumn(
+        "_bk", S.range_bucket(F.col("p_retailprice"), cuts).cast("long")
+    )
+    # within-bucket running max over strictly-preceding prices (the
+    # axis has one row per price, so ROWS ... -1 == "prices < mine")
+    win = (
+        Window.partitionBy("_bk")
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = b.withColumn("_inmax", F.max("msz").over(win))
+    owin = Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        b.groupBy("_bk")
+        .agg(F.max("msz").alias("_bmax"))
+        .withColumn("_omax", F.max("_bmax").over(owin))
+        .select("_bk", "_omax")
+    )
+    runmax = ranked.join(F.broadcast(offsets), "_bk").select(
+        "p_retailprice",
+        "msz",
+        F.greatest(
+            F.coalesce(F.col("_inmax"), F.lit(-1)), F.coalesce(F.col("_omax"), F.lit(-1))
+        ).alias("runmax_lt"),
+    )
+    return (
+        p.join(runmax, "p_retailprice")
+        .filter(
+            ~(
+                (F.col("runmax_lt") >= F.col("p_size"))
+                | (F.col("msz") > F.col("p_size"))
+            )
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Smoothed target encoding (the ML-prep categorical encoder): each
+# market segment mapped to (sum_target + m·prior)/(n + m) with m=20
+# and prior = the global mean — the shrinkage form that keeps rare
+# categories from memorizing their few labels. Everything up to the
+# final division is exact cent integers (decimal(38,0) sums); the
+# encoded value divides once, in the same op order on both engines.
+# Two hash aggs + a broadcast 1-row prior; at 100 TB the encoder
+# output is |categories| rows — the fact table is touched once.
+# ---------------------------------------------------------------------------
+@query(
+    "target_encode_smoothed",
+    oracle="""
+    WITH j AS (
+      SELECT c_mktsegment AS segment,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS t
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ), seg AS (
+      SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(t) AS HUGEINT) AS s
+      FROM j GROUP BY segment
+    ), g AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS gn, CAST(SUM(s) AS HUGEINT) AS gs FROM seg
+    )
+    SELECT segment, n,
+           ROUND((CAST(s AS DOUBLE) + 20 * (CAST(gs AS DOUBLE) / gn)) / (n + 20) / 100, 6)
+             AS target_enc
+    FROM seg, g
+    """,
+)
+def target_encode_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", sl2("o_totalprice").alias("t"))
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"), "t"
+    )
+    seg = j.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.col("t").cast("decimal(38,0)")).alias("s")
+    )
+    g = seg.agg(F.sum("n").alias("gn"), F.sum("s").alias("gs"))
+    return seg.crossJoin(F.broadcast(g)).select(
+        "segment",
+        "n",
+        F.round(
+            (F.col("s").cast("double") + 20 * (F.col("gs").cast("double") / F.col("gn")))
+            / (F.col("n") + 20)
+            / 100,
+            6,
+        ).alias("target_enc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bot-regularity flags — automated traffic fires on a clock, so the
+# inter-arrival gaps of a bot have an unnaturally low coefficient of
+# variation. Per user (>= 5 events): consecutive gaps in exact
+# epoch-micros from a per-key lag window, then mean and variance from
+# decimal(38,0) moment sums (a gap² at 10^12 µs² times 10^9 rows
+# leaves int64 — same discipline as ab_test_welch). The flag compares
+# VARIANCE AGAINST MEAN² IN EXACT INTEGER ARITHMETIC — cv < 0.1 ⇔
+# 100·n·Σg² − 100·(Σg)² < (Σg)²·(n−1), cross-multiplied so no float
+# ever decides a row. The reported mean gap snaps to integer µs
+# (floor(s/n + 0.5): one correctly-rounded divide + floor, identical
+# on both engines) before the single display division.
+# ---------------------------------------------------------------------------
+@query(
+    "bot_regularity_flags",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS gap
+      FROM events
+    ), m AS (
+      SELECT user_id, CAST(COUNT(gap) AS BIGINT) AS n,
+             CAST(SUM(gap) AS HUGEINT) AS s,
+             CAST(SUM(CAST(gap AS HUGEINT) * gap) AS HUGEINT) AS ss
+      FROM g WHERE gap IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n + 1 AS n_events,
+           floor(CAST(s AS DOUBLE) / n + 0.5) / 1000000 AS mean_gap_s,
+           (100 * n * ss - 100 * s * s) < (s * s * (n - 1)) AS is_bot_like
+    FROM m WHERE n >= 4
+    """,
+)
+def bot_regularity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select("user_id", (us - F.lag(us).over(w)).alias("gap")).filter(
+        F.col("gap").isNotNull()
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = g.groupBy("user_id").agg(
+        F.count("gap").alias("n"),
+        F.sum(dec("gap")).alias("s"),
+        F.sum(dec("gap") * dec("gap")).alias("ss"),
+    )
+    return m.filter(F.col("n") >= 4).select(
+        "user_id",
+        (F.col("n") + 1).cast("long").alias("n_events"),
+        (F.floor(F.col("s").cast("double") / F.col("n") + 0.5) / 1000000).alias(
+            "mean_gap_s"
+        ),
+        (
+            100 * dec("n") * F.col("ss") - 100 * F.col("s") * F.col("s")
+            < F.col("s") * F.col("s") * (dec("n") - 1)
+        ).alias("is_bot_like"),
+    )

@@ -2780,3 +2780,140 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("n_ws").cast("double") / F.count(F.lit(1)), 4).alias("words_per_doc"),
         F.round(F.sum("n_bpe").cast("double") / F.sum("n_ws"), 4).alias("fertility"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate n-gram coverage per source — the document-level
+# "how much of this text also exists elsewhere" metric behind
+# near-dedup quality studies (a 5-gram OCCURRENCE is duplicated when
+# its gram string appears >= 2 times corpus-wide, counting every
+# occurrence in every doc). Per doc: duplicated occurrences / total
+# grams, micro-snapped to ppm (exact rational -> integer before any
+# mean, so the per-source average is a sum of exact ints); per
+# source: doc count + mean coverage. Shape: one explode to
+# (gram, doc) pairs, gram-keyed counts joined back on the gram key
+# (never broadcast — the gram vocabulary is corpus-sized), then two
+# hash aggs. Docs under 5 tokens have no grams and are excluded on
+# both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "duplicate_ngram_coverage",
+    oracle=rf"""
+    WITH g AS (
+      SELECT doc_id, source,
+             unnest(list_transform(({_TOKS})[1:{_NTOKS} - 4],
+                    (t, i) -> t || ' ' || ({_TOKS})[i + 1] || ' ' || ({_TOKS})[i + 2]
+                                || ' ' || ({_TOKS})[i + 3] || ' ' || ({_TOKS})[i + 4])) AS gram
+      FROM documents WHERE {_NTOKS} >= 5
+    ), cnt AS (
+      SELECT gram, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY gram
+    ), per_doc AS (
+      SELECT g.doc_id, MIN(g.source) AS source,
+             CAST(floor(1000000.0 * SUM(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END)
+                        / COUNT(*) + 0.5) AS BIGINT) AS dup_ppm
+      FROM g JOIN cnt c USING (gram)
+      GROUP BY g.doc_id
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(dup_ppm) AS DOUBLE) / COUNT(*) / 1000000, 6)
+             AS mean_dup_coverage
+    FROM per_doc GROUP BY source
+    """,
+)
+def duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    g = (
+        docs.filter(X.token_count("text") >= 5)
+        .select("doc_id", "source", F.explode(X.wordgrams(toks, 5)).alias("gram"))
+        .localCheckpoint(eager=False)  # feeds the gram counts AND the per-doc join
+    )
+    cnt = g.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
+    per_doc = (
+        g.join(cnt, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.min("source").alias("source"),
+            F.floor(
+                1000000.0 * F.sum((F.col("n") >= 2).cast("int")) / F.count(F.lit(1)) + 0.5
+            )
+            .cast("long")
+            .alias("dup_ppm"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("dup_ppm").cast("double") / F.count(F.lit(1)) / 1000000, 6).alias(
+            "mean_dup_coverage"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Readability profile per source — a Flesch-reading-ease proxy from
+# three pure-regex counts (words, sentence marks, vowel groups as the
+# syllable stand-in; no dictionary). All three are exact integers
+# summed per source; the classic 206.835 − 1.015·(W/S) − 84.6·(Y/W)
+# formula then runs ONCE per source as a fixed sequence of double ops
+# both engines replay. Docs contribute max(1, sentence-marks)
+# sentences so mark-free fragments count as one sentence rather than
+# poisoning the ratio.
+# ---------------------------------------------------------------------------
+@query(
+    "readability_score",
+    oracle=rf"""
+    WITH d AS (
+      SELECT source,
+             CAST({_NTOKS} AS BIGINT) AS words,
+             GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1)
+               AS sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT) AS vgroups
+      FROM documents
+    ), s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(words) AS BIGINT) AS w,
+             CAST(SUM(sentences) AS BIGINT) AS s,
+             CAST(SUM(vgroups) AS BIGINT) AS y
+      FROM d GROUP BY source
+    )
+    SELECT source, n_docs, w AS n_words,
+           CASE WHEN w = 0 THEN NULL
+                ELSE ROUND(206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
+                           - 84.6 * (CAST(y AS DOUBLE) / w), 6)
+           END AS flesch_proxy
+    FROM s
+    """,
+)
+def readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        X.token_count("text").cast("long").alias("words"),
+        F.greatest(
+            F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")).cast("long"), F.lit(1)
+        ).alias("sentences"),
+        F.size(F.expr("regexp_extract_all(lower(text), '[aeiou]+', 0)"))
+        .cast("long")
+        .alias("vgroups"),
+    )
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("words").alias("w"),
+        F.sum("sentences").alias("s"),
+        F.sum("vgroups").alias("y"),
+    )
+    return s.select(
+        "source",
+        "n_docs",
+        F.col("w").alias("n_words"),
+        F.when(
+            F.col("w") == 0, F.lit(None).cast("double")
+        ).otherwise(
+            F.round(
+                206.835
+                - 1.015 * (F.col("w").cast("double") / F.col("s"))
+                - 84.6 * (F.col("y").cast("double") / F.col("w")),
+                6,
+            )
+        ).alias("flesch_proxy"),
+    )

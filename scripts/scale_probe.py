@@ -51,11 +51,25 @@ def replicate(spark, factor: int, out_dir: str) -> None:
             df.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
 
 
+def probe_queries() -> list[str]:
+    """Headline set by default; SPARK_GRAFT_QUERIES=a,b,c restricts the
+    probe to named queries (same contract as bench.py) so a new
+    operator's ×N evidence doesn't pay for the whole set."""
+    override = os.environ.get("SPARK_GRAFT_QUERIES", "").strip()
+    if override:
+        names = [n.strip() for n in override.split(",") if n.strip()]
+        unknown = [n for n in names if n not in catalog.SPARK_QUERIES]
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_QUERIES: unknown queries {unknown}")
+        return names
+    return list(catalog.HEADLINE)
+
+
 def run(sf_dir: str, label: str) -> dict:
     spark = get_spark(app_name="scale_probe")
     timings = {}
     errors = {}
-    for name in catalog.HEADLINE:
+    for name in probe_queries():
         fn = catalog.SPARK_QUERIES[name]
         try:
             _exec(fn(spark, sf_dir))  # warm

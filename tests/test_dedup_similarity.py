@@ -229,6 +229,35 @@ def test_ngram_builders_clamp_short_arrays(spark):
     assert [r.tri for r in got] == [[], [], [], ["a b c"]]
 
 
+def test_wordgrams_general_n_matches_fixed_builders(spark):
+    """wordgrams(n) must agree with the fixed-n builders, clamp short
+    arrays to [], and produce len-(n-1) windows for longer arrays."""
+    import pytest
+
+    from elective_waiting_times_pipeline_spark.operators.text import (
+        bigrams,
+        trigrams,
+        wordgrams,
+    )
+
+    df = spark.createDataFrame(
+        [([],), (["a"],), (["a", "b", "c", "d"],), (["a", "b", "c", "d", "e", "f"],)],
+        "toks: array<string>",
+    )
+    got = df.select(
+        bigrams(F.col("toks")).alias("bi"),
+        wordgrams(F.col("toks"), 2).alias("g2"),
+        trigrams(F.col("toks")).alias("tri"),
+        wordgrams(F.col("toks"), 3).alias("g3"),
+        wordgrams(F.col("toks"), 5).alias("g5"),
+    ).collect()
+    for r in got:
+        assert r.g2 == r.bi and r.g3 == r.tri
+    assert [r.g5 for r in got] == [[], [], [], ["a b c d e", "b c d e f"]]
+    with pytest.raises(ValueError):
+        wordgrams(F.col("toks"), 1)
+
+
 def test_minhash_estimate_jaccard_tracks_exact(spark):
     """The signature-agreement estimator should (a) be exactly 1.0 for
     identical docs, (b) correlate with exact Jaccard on near-dups —

@@ -193,6 +193,7 @@ _UNPARTITIONED_WINDOW_WHITELIST = {
     "daily_autocorrelation": (1, "calendar-day axis (one row per day after the corpus agg)"),
     "hier_share_of_parent": (1, "nation axis (<= 25 rows after the fact agg)"),
     "stl_decompose_daily": (1, "calendar-day axis (one row per day after the corpus agg)"),
+    "rolling_median_7d": (1, "calendar-day axis (one row per day after the orders agg)"),
 }
 
 
