@@ -2092,6 +2092,7 @@ def rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "weighted_median_value",
+    headline=True,
     oracle="""
     WITH v AS (
       SELECT l_returnflag AS flag,
@@ -2116,10 +2117,17 @@ def weighted_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     from elective_waiting_times_pipeline_spark.operators import sampling as S
 
     li = load_table(spark, sf_dir, "lineitem")
-    v = li.groupBy(
-        F.col("l_returnflag").alias("flag"),
-        sl2("l_extendedprice").alias("val"),
-    ).agg(F.sum(F.floor(F.col("l_quantity") + 0.5).cast("long")).alias("w"))
+    # checkpoint the narrow distinct-value axis: the cut-points action,
+    # the rank plan AND the group totals would otherwise EACH recompute
+    # the fact-table aggregation (the curriculum_order pattern)
+    v = (
+        li.groupBy(
+            F.col("l_returnflag").alias("flag"),
+            sl2("l_extendedprice").alias("val"),
+        )
+        .agg(F.sum(F.floor(F.col("l_quantity") + 0.5).cast("long")).alias("w"))
+        .localCheckpoint(eager=False)
+    )
     cuts = S.range_cut_points(v, "val", n_buckets=64)
     c = S.ordered_prefix(
         v,

@@ -2798,6 +2798,7 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "duplicate_ngram_coverage",
+    headline=True,
     oracle=rf"""
     WITH g AS (
       SELECT doc_id, source,
@@ -2823,10 +2824,12 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = X.tokens("text")
-    g = (
-        docs.filter(X.token_count("text") >= 5)
-        .select("doc_id", "source", F.explode(X.wordgrams(toks, 5)).alias("gram"))
-        .localCheckpoint(eager=False)  # feeds the gram counts AND the per-doc join
+    # NO checkpoint on the exploded grams: both consumers (the count
+    # agg and the per-doc join) re-derive them from the scan — two
+    # corpus scans beat materializing a >1×-corpus-sized gram relation
+    # to local disk (SCALE.md carries the ×100 measurement)
+    g = docs.filter(X.token_count("text") >= 5).select(
+        "doc_id", "source", F.explode(X.wordgrams(toks, 5)).alias("gram")
     )
     cnt = g.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
     per_doc = (

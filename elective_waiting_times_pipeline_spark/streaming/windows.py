@@ -99,3 +99,52 @@ def run_sessions_available_now(
     )
     q.awaitTermination()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def windowed_ohlc(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Hourly OHLC bars per event type with a late-data bound — the
+    streaming counterpart of catalog_events.tumbling_ohlc (same
+    logical agg, so the equality test only has to show incremental
+    execution agrees). Open/close pin to the first/last event by the
+    lexicographic (ts, event_id) order as a STRUCT ordering key — the
+    measured-fastest pin (see the batch query's note); min_by/max_by
+    are mergeable aggregates, so watermark-bounded partial state
+    composes across micro-batches exactly like count/sum."""
+    vc = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    okey = F.struct(F.unix_micros("ts").alias("ts_us"), F.col("event_id"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.min_by(vc, okey).cast("double") / 100).alias("open"),
+            (F.max(vc).cast("double") / 100).alias("high"),
+            (F.min(vc).cast("double") / 100).alias("low"),
+            (F.max_by(vc, okey).cast("double") / 100).alias("close"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n_events", "open", "high", "low", "close",
+        )
+    )
+
+
+def run_ohlc_available_now(
+    spark: SparkSession,
+    parquet_path: str,
+    query_name: str = "ohlc_stream_out",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Drive the streaming OHLC over a parquet directory to completion
+    (availableNow) into a memory sink; returns the result table."""
+    raw = read_events_stream(spark, parquet_path)
+    agg = windowed_ohlc(raw, window=window)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {query_name}")

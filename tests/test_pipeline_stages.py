@@ -224,6 +224,24 @@ def test_streaming_matches_batch(spark, sf_dir):
     assert (abs(s["total_value"].values - b["total_value"].values) < 1e-9).all()
 
 
+def test_streaming_ohlc_matches_batch(spark, sf_dir):
+    """The streaming OHLC (min_by/max_by partial state across
+    micro-batches) must agree exactly with the batch tumbling_ohlc —
+    open/close are order-pinned, so equality is exact, not tolerant."""
+    from elective_waiting_times_pipeline_spark.plans import catalog
+    from elective_waiting_times_pipeline_spark.streaming.windows import (
+        run_ohlc_available_now,
+    )
+
+    stream_out = run_ohlc_available_now(spark, f"{sf_dir}/events.parquet").toPandas()
+    batch_out = catalog.SPARK_QUERIES["tumbling_ohlc"](spark, sf_dir).toPandas()
+    s = stream_out.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    b = batch_out.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    assert len(s) == len(b) > 0
+    for c in ("n_events", "open", "high", "low", "close"):
+        assert (s[c].values == b[c].values).all(), c
+
+
 def test_overwrite_partitions_replaces_only_touched_month(spark, tmp_path):
     """Dynamic partition overwrite: restating one month must not touch
     the others (idempotent monthly recompute)."""
