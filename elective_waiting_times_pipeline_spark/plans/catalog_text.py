@@ -2360,12 +2360,18 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = X.tokens("text")
-    bg = (
-        docs.filter(X.token_count("text") >= 2)
-        .select(F.explode(X.bigrams(toks)).alias("bigram"))
-        .localCheckpoint(eager=False)  # sketch pass + verify pass share one materialization
+    # NOT checkpointed: the sketch pass and the verify pass each
+    # re-derive the bigram explode from the scan — materializing a
+    # corpus-sized occurrence relation to local disk to save one
+    # re-scan is the wrong trade at 100 TB (the duplicate_ngram_
+    # coverage ×100 probe measured the checkpointed form 3.7× slower)
+    bg = docs.filter(X.token_count("text") >= 2).select(
+        F.explode(X.bigrams(toks)).alias("bigram")
     )
-    cells = count_min_cells(bg, "bigram", d=4, w=1024)
+    # the d×w CELLS are the thing to pin (4096 rows): total and the
+    # broadcast estimate both read them, and without the checkpoint
+    # each consumer re-runs the whole sketch-building corpus pass
+    cells = count_min_cells(bg, "bigram", d=4, w=1024).localCheckpoint(eager=False)
     total = cells.filter(F.col("row") == 0).agg(F.sum("cnt").alias("_tot"))
     candidates = (
         cms_estimate(bg, cells, "bigram", d=4, w=1024)
