@@ -99,7 +99,16 @@ def spearman_rho(df: DataFrame, x: str, y: str, n_buckets: int = 64) -> DataFram
     — the one operation order the oracles repeat. Rows where either
     column is NULL are dropped (pairwise-complete, the R default).
     """
-    rows = df.filter(F.col(x).isNotNull() & F.col(y).isNotNull()).select(x, y)
+    # checkpoint the NARROW (x, y) projection: five consumers reference
+    # it (each rank's groupBy + cut-points action, plus the final join
+    # probe) and upstream may be an expensive derivation (spearman_corr
+    # feeds a regex token count) — without the pin every consumer
+    # re-runs it (the curriculum_order / weighted_median pattern)
+    rows = (
+        df.filter(F.col(x).isNotNull() & F.col(y).isNotNull())
+        .select(x, y)
+        .localCheckpoint(eager=False)
+    )
     rx = doubled_avg_rank(rows, x, "_rx", n_buckets).drop("_cnt")
     ry = doubled_avg_rank(rows, y, "_ry", n_buckets).drop("_cnt")
     j = rows.join(rx, x).join(ry, y)
@@ -150,7 +159,11 @@ def mann_whitney_u(
         σ²  = n_a·n_b/12 · ((n+1) − Σ(t³−t)/(n(n−1)))   (tie-corrected)
         z   = (U_A − μ) / σ
     """
-    t = df.filter(F.col(group_col).isin(group_a, group_b) & F.col(value_col).isNotNull())
+    t = (
+        df.filter(F.col(group_col).isin(group_a, group_b) & F.col(value_col).isNotNull())
+        .select(group_col, value_col)
+        .localCheckpoint(eager=False)  # two consumers: the hash agg + the cut-points action
+    )
     g = t.groupBy(value_col).agg(
         F.sum(F.when(F.col(group_col) == group_a, 1).otherwise(0)).alias("_ca"),
         F.count(F.lit(1)).alias("_cnt"),
