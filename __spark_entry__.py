@@ -169,6 +169,8 @@ _REGISTERED_AFTER_R3 = {
     "readability_score",
     "target_encode_smoothed",
     "bot_regularity_flags",
+    "funnel_within_1h",
+    "stickiness_dau_mau",
 }
 
 

@@ -2801,3 +2801,137 @@ def interval_union_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_islands"),
         F.sum("len_us").cast("long").alias("covered_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Step-timeout funnel: like funnel_conversion, but each step must
+# happen WITHIN ONE HOUR of the previous one (the product-analytics
+# "conversion window" — a purchase three days after the click doesn't
+# count). Same single-exchange chained-window shape (no event-log
+# self-joins); the bound just adds an upper edge to each step's
+# condition. Timestamp compares in integer epoch-micros.
+# ---------------------------------------------------------------------------
+@query(
+    "funnel_within_1h",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+      FROM events GROUP BY 1
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN u USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > u.t_view
+        AND epoch_us(e.ts) - epoch_us(u.t_view) <= 3600000000
+      GROUP BY 1
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        AND epoch_us(e.ts) - epoch_us(c.t_click) <= 3600000000
+      GROUP BY 1
+    )
+    SELECT u.user_id, u.t_view, c.t_click, p.t_purchase,
+           CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3
+                     WHEN c.t_click IS NOT NULL THEN 2
+                     WHEN u.t_view IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS stage
+    FROM u LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """,
+)
+def funnel_within_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    t = F.col("ts")
+    tu = F.unix_micros("ts")
+    typ = F.col("event_type")
+    hour = 3_600_000_000
+    step1 = ev.withColumn("t_view", F.min(F.when(typ == "view", t)).over(w))
+    step2 = step1.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (typ == "click")
+                & (t > F.col("t_view"))
+                & (tu - F.unix_micros("t_view") <= hour),
+                t,
+            )
+        ).over(w),
+    )
+    step3 = step2.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (typ == "purchase")
+                & (t > F.col("t_click"))
+                & (tu - F.unix_micros("t_click") <= hour),
+                t,
+            )
+        ).over(w),
+    )
+    return step3.groupBy("user_id").agg(
+        F.first("t_view").alias("t_view"),
+        F.first("t_click").alias("t_click"),
+        F.first("t_purchase").alias("t_purchase"),
+        F.when(F.first("t_purchase").isNotNull(), 3)
+        .when(F.first("t_click").isNotNull(), 2)
+        .when(F.first("t_view").isNotNull(), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("stage"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DAU/MAU stickiness per calendar month — the engagement ratio every
+# growth dashboard tracks ("of the users active this month, what
+# share shows up on an average day"). Exact integer formulation:
+# sum of per-day distinct users, day count, and month-distinct users
+# are all exact; the ratio snaps ONCE to ppm via
+# floor(1e6·Σdau/(n_days·mau) + 0.5). One distinct over (day, user)
+# — the event log is scanned once and never self-joined; monthly
+# distincts reuse the same deduplicated relation.
+# ---------------------------------------------------------------------------
+@query(
+    "stickiness_dau_mau",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT date_trunc('month', ts) AS month,
+             date_trunc('day', ts) AS day, user_id
+      FROM events
+    ), dau AS (
+      SELECT month, day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY 1, 2
+    ), m AS (
+      SELECT month, CAST(SUM(dau) AS BIGINT) AS sum_dau,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM dau GROUP BY month
+    ), mau AS (
+      SELECT month, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+      FROM du GROUP BY month
+    )
+    SELECT m.month, m.n_days, mau.mau,
+           CAST(floor(1000000.0 * m.sum_dau / (m.n_days * mau.mau) + 0.5) AS BIGINT)
+             AS stickiness_ppm
+    FROM m JOIN mau USING (month)
+    """,
+)
+def stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("month", "ts").alias("month"),
+        F.date_trunc("day", "ts").alias("day"),
+        "user_id",
+    ).distinct()
+    dau = du.groupBy("month", "day").agg(F.count(F.lit(1)).alias("dau"))
+    m = dau.groupBy("month").agg(
+        F.sum("dau").alias("sum_dau"), F.count(F.lit(1)).alias("n_days")
+    )
+    mau = du.groupBy("month").agg(F.countDistinct("user_id").alias("mau"))
+    return m.join(mau, "month").select(
+        "month",
+        "n_days",
+        "mau",
+        F.floor(1000000.0 * F.col("sum_dau") / (F.col("n_days") * F.col("mau")) + 0.5)
+        .cast("long")
+        .alias("stickiness_ppm"),
+    )
