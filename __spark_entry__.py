@@ -171,6 +171,8 @@ _REGISTERED_AFTER_R3 = {
     "bot_regularity_flags",
     "funnel_within_1h",
     "stickiness_dau_mau",
+    "active_streaks",
+    "text_compression_ratio",
 }
 
 

@@ -2935,3 +2935,51 @@ def stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("stickiness_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Longest daily-activity streak per user — the engagement metric
+# behind "N-day streak" badges, and the day-granular cousin of
+# sessionize. Classic gaps-and-islands WITHOUT a lag pass: over the
+# per-user DISTINCT day axis, day_index − row_number is constant
+# exactly within a run of consecutive days, so one window + one
+# groupBy finds every streak. Windows partition per user; day math in
+# exact integer day indexes.
+# ---------------------------------------------------------------------------
+@query(
+    "active_streaks",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '1990-01-01', CAST(ts AS DATE)) AS day_idx
+      FROM events
+    ), runs AS (
+      SELECT user_id, day_idx,
+             day_idx - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day_idx)
+               AS run_key
+      FROM d
+    ), streaks AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len
+      FROM runs GROUP BY user_id, run_key
+    )
+    SELECT user_id,
+           CAST(MAX(len) AS BIGINT) AS longest_streak_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(SUM(len) AS BIGINT) AS active_days
+    FROM streaks GROUP BY user_id
+    """,
+)
+def active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1990-01-01")).alias("day_idx"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day_idx")
+    runs = d.withColumn("run_key", F.col("day_idx") - F.row_number().over(w))
+    streaks = runs.groupBy("user_id", "run_key").agg(F.count(F.lit(1)).alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_streak_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.sum("len").cast("long").alias("active_days"),
+    )

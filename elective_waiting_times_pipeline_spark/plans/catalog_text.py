@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves stringified pandas_udf type hints
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2925,4 +2926,51 @@ def readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             )
         ).alias("flesch_proxy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality signal (rows-only: no zlib in SQL) — the
+# curation heuristic behind "too compressible = boilerplate/repetition,
+# too incompressible = binary junk/encrypted": DEFLATE level 6 over
+# UTF-8 text, ratio = compressed/raw bytes. zlib is deterministic for
+# a fixed level and input, so the per-source aggregate is stable
+# across runs and partitionings. Arrow-batched pandas UDF (one C call
+# per row, no JVM<->Python row ping-pong); output is |sources| rows
+# with the flag counts a curation gate consumes.
+# ---------------------------------------------------------------------------
+@query("text_compression_ratio")
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return None
+            return round(len(zlib.compress(raw, 6)) / len(raw), 6)
+
+        return texts.map(one)
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("source", _ratio(F.col("text")).alias("ratio"))
+    # per-doc ratio snaps to integer ppm before the mean — long sums
+    # are partition-order-immune, so the aggregate is deterministic
+    # under any layout (the repo's standard float-sum discipline)
+    ppm = F.floor(F.col("ratio") * 1_000_000 + 0.5).cast("long")
+    return (
+        scored.filter(F.col("ratio").isNotNull())
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum(ppm) / F.count(F.lit(1)) / 1_000_000.0, 4).alias("mean_ratio"),
+            F.sum((F.col("ratio") < 0.35).cast("int")).cast("long").alias("n_too_compressible"),
+            F.sum((F.col("ratio") > 0.95).cast("int")).cast("long").alias("n_incompressible"),
+        )
+        .orderBy("source")
     )

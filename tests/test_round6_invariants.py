@@ -197,3 +197,53 @@ def test_duplicate_ngram_coverage_detects_repeats(spark, tmp_path):
     # s1: doc1 = 1/1 dup, doc2 = 1/2 dup → mean (1.0 + 0.5)/2 = 0.75
     assert got["s1"].n_docs == 2 and abs(got["s1"].mean_dup_coverage - 0.75) < 1e-9
     assert got["s2"].n_docs == 1 and got["s2"].mean_dup_coverage == 0.0
+
+
+def test_active_streaks_gaps_and_islands(spark, tmp_path):
+    """Consecutive days chain into one streak; a 1-day gap splits;
+    multiple same-day events count once."""
+    from elective_waiting_times_pipeline_spark.plans.catalog_events import active_streaks
+
+    rows = []
+    # user 1: days 0,1,2 (streak 3), day 4 (streak 1); two events on day 1
+    for i, day in enumerate([0, 1, 1, 2, 4]):
+        rows.append((i, day * 86400, 1, 0.0))
+    # user 2: single day
+    rows.append((100, 0, 2, 0.0))
+    df = _events(spark, rows)
+    sf = str(tmp_path)
+    df.repartition(3).write.parquet(f"{sf}/events.parquet")
+    got = {r.user_id: r for r in active_streaks(spark, sf).collect()}
+    assert (got[1].longest_streak_days, got[1].n_streaks, got[1].active_days) == (3, 2, 4)
+    assert (got[2].longest_streak_days, got[2].n_streaks, got[2].active_days) == (1, 1, 1)
+
+
+def test_compression_ratio_flags_repetition_and_noise(spark, tmp_path):
+    """Highly repetitive text compresses far below the boilerplate
+    threshold; high-entropy text stays near 1; short/None texts don't
+    crash; the per-source means are deterministic across layouts."""
+    import random
+
+    from elective_waiting_times_pipeline_spark.plans.catalog_text import (
+        text_compression_ratio,
+    )
+
+    rng = random.Random(7)
+    noisy = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789") for _ in range(4000))
+    rows = [
+        (1, "spam spam spam " * 300, "en", "rep", 4500),
+        (2, noisy, "en", "rnd", 4000),
+        (3, "", "en", "rep", 0),  # empty → NULL ratio, excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    sf = str(tmp_path)
+    df.repartition(2).write.parquet(f"{sf}/documents.parquet")
+    got = {r.source: r for r in text_compression_ratio(spark, sf).collect()}
+    assert got["rep"].n_docs == 1 and got["rep"].n_too_compressible == 1
+    assert got["rnd"].n_too_compressible == 0 and got["rnd"].mean_ratio > 0.5
+    # determinism across partition layouts
+    df.repartition(7).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    again = {r.source: r for r in text_compression_ratio(spark, sf).collect()}
+    assert {k: (v.n_docs, v.mean_ratio) for k, v in got.items()} == {
+        k: (v.n_docs, v.mean_ratio) for k, v in again.items()
+    }
