@@ -173,6 +173,7 @@ _REGISTERED_AFTER_R3 = {
     "stickiness_dau_mau",
     "active_streaks",
     "text_compression_ratio",
+    "session_bounce_rate",
 }
 
 

@@ -2983,3 +2983,69 @@ def active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_streaks"),
         F.sum("len").cast("long").alias("active_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Session bounce rate per day — share of sessions that contain exactly
+# one event, keyed by the session's start day (the canonical web-
+# analytics quality metric, and the aggregate consumer of the same
+# 30-minute-gap sessionization sessionize/session_duration_stats use).
+# One per-user window pass builds session ids; two hash aggs finish.
+# Rate snaps once to ppm from exact counts.
+# ---------------------------------------------------------------------------
+@query(
+    "session_bounce_rate",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), ids AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gaps
+    ), sessions AS (
+      SELECT user_id, sid, date_trunc('day', MIN(ts)) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM ids GROUP BY 1, 2
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+           CAST(floor(1000000.0 * SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                      / COUNT(*) + 0.5) AS BIGINT) AS bounce_ppm
+    FROM sessions GROUP BY day
+    """,
+)
+def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            (us - F.lag(us).over(w) > 1_800_000_000) | F.lag("ts").over(w).isNull(), 1
+        )
+        .otherwise(0)
+        .alias("new_session"),
+        "event_id",
+    )
+    ids = flagged.withColumn(
+        "sid", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    sessions = ids.groupBy("user_id", "sid").agg(
+        F.date_trunc("day", F.min("ts")).alias("day"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bounce = (F.col("n_events") == 1).cast("int")
+    return sessions.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(bounce).cast("long").alias("n_bounces"),
+        F.floor(1000000.0 * F.sum(bounce) / F.count(F.lit(1)) + 0.5)
+        .cast("long")
+        .alias("bounce_ppm"),
+    )
