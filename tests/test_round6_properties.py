@@ -163,3 +163,96 @@ def test_wordgrams_matches_python_reference(spark, toks, n):
     df = spark.createDataFrame([(toks,)], "toks: array<string>")
     got = df.select(wordgrams(F.col("toks"), n).alias("g")).collect()[0].g
     assert got == _py_wordgrams(toks, n)
+
+
+def _py_sessions(events, gap_s=1800):
+    """events: list[(ts_off_s, event_id)] for ONE user → list of
+    session event-counts in start order."""
+    sessions = []
+    last = None
+    for off, _eid in sorted(events):
+        if last is None or off - last > gap_s:
+            sessions.append(0)
+        sessions[-1] += 1
+        last = off
+    return sessions
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=8000),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_session_bounce_rate_matches_python_reference(spark, tmp_path_factory, offsets):
+    from elective_waiting_times_pipeline_spark.plans.catalog_events import (
+        session_bounce_rate,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=off), 1, "click", 0.0, "{}")
+        for i, off in enumerate(offsets)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    sf = str(tmp_path_factory.mktemp("sb"))
+    df.repartition(3).write.parquet(f"{sf}/events.parquet")
+    out = session_bounce_rate(spark, sf).collect()
+    # all offsets land on one calendar day (<= 8000 s), so one row
+    assert len(out) == 1
+    sess = _py_sessions([(o, i) for i, o in enumerate(offsets)])
+    n_bounce = sum(1 for n in sess if n == 1)
+    assert out[0].n_sessions == len(sess)
+    assert out[0].n_bounces == n_bounce
+    assert out[0].bounce_ppm == int(1e6 * n_bounce / len(sess) + 0.5)
+
+
+def _py_funnel_1h(events):
+    """events: list[(off_s, type)] for ONE user → stage reached under
+    the 1-hour step-timeout rule."""
+    views = sorted(off for off, t in events if t == "view")
+    if not views:
+        return 0
+    tv = views[0]
+    clicks = sorted(off for off, t in events if t == "click" and tv < off <= tv + 3600)
+    if not clicks:
+        return 1
+    tc = clicks[0]
+    buys = sorted(off for off, t in events if t == "purchase" and tc < off <= tc + 3600)
+    return 3 if buys else 2
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12000),
+            st.sampled_from(["view", "click", "purchase"]),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_funnel_within_1h_matches_python_reference(spark, tmp_path_factory, events):
+    from elective_waiting_times_pipeline_spark.plans.catalog_events import (
+        funnel_within_1h,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=off), 1, typ, 0.0, "{}")
+        for i, (off, typ) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    sf = str(tmp_path_factory.mktemp("fn"))
+    df.repartition(3).write.parquet(f"{sf}/events.parquet")
+    got = funnel_within_1h(spark, sf).collect()[0]
+    assert got.stage == _py_funnel_1h(events)
