@@ -1294,7 +1294,7 @@ def retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o.rn, o.t_h, o.d, o.n_risk, f.surv * o.factor
       FROM fold f JOIN ord o ON o.rn = f.rn + 1
     )
-    SELECT t_h AS delay_hours, n_risk, d AS d_events,
+    SELECT t_h AS delay_hours, CAST(n_risk AS BIGINT) AS n_risk, d AS d_events,
            CAST(floor(surv * 1000000 + 0.5) AS BIGINT) AS survival_ppm
     FROM fold
     """,

@@ -2278,7 +2278,8 @@ def target_encode_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # decimal(38,0) moment sums (a gap² at 10^12 µs² times 10^9 rows
 # leaves int64 — same discipline as ab_test_welch). The flag compares
 # VARIANCE AGAINST MEAN² IN EXACT INTEGER ARITHMETIC — cv < 0.1 ⇔
-# 100·n·Σg² − 100·(Σg)² < (Σg)²·(n−1), cross-multiplied so no float
+# var_samp < mean²/100 ⇔ (n·Σg² − (Σg)²)/(n·(n−1)) < (Σg)²/(100·n²)
+# ⇔ 100·n·(n·Σg² − (Σg)²) < (Σg)²·(n−1), cross-multiplied so no float
 # ever decides a row. The reported mean gap snaps to integer µs
 # (floor(s/n + 0.5): one correctly-rounded divide + floor, identical
 # on both engines) before the single display division.
@@ -2299,7 +2300,7 @@ def target_encode_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, n + 1 AS n_events,
            floor(CAST(s AS DOUBLE) / n + 0.5) / 1000000 AS mean_gap_s,
-           (100 * n * ss - 100 * s * s) < (s * s * (n - 1)) AS is_bot_like
+           (100 * n * (n * ss - s * s)) < (s * s * (n - 1)) AS is_bot_like
     FROM m WHERE n >= 4
     """,
 )
@@ -2323,7 +2324,7 @@ def bot_regularity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_gap_s"
         ),
         (
-            100 * dec("n") * F.col("ss") - 100 * F.col("s") * F.col("s")
+            100 * dec("n") * (dec("n") * F.col("ss") - F.col("s") * F.col("s"))
             < F.col("s") * F.col("s") * (dec("n") - 1)
         ).alias("is_bot_like"),
     )
