@@ -105,18 +105,24 @@ def main() -> None:
                 "queries": timings,
                 **({"errors": errors} if errors else {}),
                 **({"calib_sec": round(calib, 3)} if calib is not None else {}),
-                **_continuity(timings, sf_val),
+                **_continuity(timings, sf_val, calib),
                 "sf": sf_val,
             }
         )
     )
 
 
-def _continuity(timings: dict[str, float], sf_val) -> dict:
+def _continuity(timings: dict[str, float], sf_val, calib: float | None = None) -> dict:
     """Regression guard vs the previous recorded round: total over the
     queries COMMON to the newest BENCH_r*.json at the same sf, and the
     ratio (this/prev — <1 is faster). Makes a perf regression a number
-    in the artifact rather than an after-the-fact comparison."""
+    in the artifact rather than an after-the-fact comparison.
+
+    ratio_calib_normalized divides the raw ratio by the host-speed
+    drift (this calib_sec / prev calib_sec): same-code totals move
+    ±10-30% across host boots, and the calibration job — fixed,
+    data-independent, codegen'd — moves with them, so the normalized
+    ratio isolates plan changes from machine drift."""
     import glob
     import re
 
@@ -142,7 +148,8 @@ def _continuity(timings: dict[str, float], sf_val) -> dict:
             continue
         prev_total = round(sum(pq[q] for q in common), 3)
         cur_total = round(sum(timings[q] for q in common), 3)
-        return {
+        ratio = round(cur_total / prev_total, 3) if prev_total else None
+        out = {
             # prev_round makes the comparison base auditable: a re-run
             # inside round N compares against N's own artifact (ratio
             # ~1), which this field exposes instead of hiding
@@ -150,8 +157,14 @@ def _continuity(timings: dict[str, float], sf_val) -> dict:
             "common_queries": len(common),
             "prev_common_total": prev_total,
             "common_total": cur_total,
-            "ratio": round(cur_total / prev_total, 3) if prev_total else None,
+            "ratio": ratio,
         }
+        prev_calib = prev.get("calib_sec")
+        if ratio is not None and calib and prev_calib:
+            drift = calib / prev_calib
+            out["calib_drift"] = round(drift, 3)
+            out["ratio_calib_normalized"] = round(ratio / drift, 3)
+        return out
     return {}
 
 

@@ -229,18 +229,47 @@ def hash_order_position(
 
 
 def range_cut_points(
-    df: DataFrame, value: str, n_buckets: int = 64, rel_err: float = 0.001
+    df: DataFrame,
+    value: str,
+    n_buckets: int = 64,
+    rel_err: float = 0.001,
+    sample_rows: int | None = None,
 ) -> list[float]:
     """Approximate-quantile cut points splitting `value`'s distribution
     into ~`n_buckets` equal-mass ranges — the bucketing side of the
-    value-order distributed rank (`ordered_prefix`). One bounded
-    driver-side action (Greenwald-Khanna sketch, no full sort); the
-    cut points only steer PARALLELISM, never correctness — any
-    monotone bucketing yields the same exact ranks, a degenerate cut
-    list merely loses fan-out."""
+    value-order distributed rank (`ordered_prefix`). The cut points
+    only steer PARALLELISM, never correctness — any monotone bucketing
+    yields the same exact ranks, a degenerate cut list merely loses
+    fan-out.
+
+    Two modes, both one bounded driver-side action:
+    - default: Greenwald-Khanna sketch over the full column (no full
+      sort; memory ~1/rel_err per partition).
+    - `sample_rows=N`: empirical quantiles of the N hash-smallest
+      values (ORDER BY xxhash64(value) LIMIT N → Spark's
+      TakeOrderedAndProject: a size-N bounded heap per partition, no
+      sort shuffle, ≤ N*8 bytes to the driver at any scale).
+      Deterministic under layout/reruns (pure value-hash order), and a
+      4096-row uniform sample pins each cut within ~1.6% rank error —
+      far finer than the 1/64 bucket width needs. Use when the column
+      is already a collapsed axis and the GK pass is measurable
+      overhead."""
     qs = [i / n_buckets for i in range(1, n_buckets)]
     if not qs:  # n_buckets <= 1: one bucket, no cut points
         return []
+    if sample_rows is not None:
+        rows = (
+            df.select(F.col(value).cast("double").alias("_v"))
+            .where(F.col("_v").isNotNull())
+            .orderBy(F.xxhash64("_v"))
+            .limit(sample_rows)
+            .collect()
+        )
+        vals = sorted(r["_v"] for r in rows)
+        if not vals:
+            return []
+        cuts = [vals[min(int(q * len(vals)), len(vals) - 1)] for q in qs]
+        return sorted(set(cuts))
     cuts = df.approxQuantile(value, qs, rel_err)
     return sorted(set(cuts))
 
@@ -292,6 +321,7 @@ def ordered_prefix(
     weight: Column | str | None = None,
     out_prefix: str = "cum_weight",
     out_total: str | None = None,
+    out_total_weight: str | None = None,
     broadcast_offsets: bool = True,
 ) -> DataFrame:
     """Distributed rank / running total under an arbitrary VALUE order
@@ -309,7 +339,10 @@ def ordered_prefix(
     offsets via a window over the tiny bucket axis, broadcast back.
     `out_total` additionally attaches the per-group row count (from
     the same side relation — no extra pass), which callers like the
-    exact-NTILE curriculum bucketing need. Set
+    exact-NTILE curriculum bucketing need; `out_total_weight` does the
+    same for the per-group WEIGHT total (requires `weight`), sparing
+    weighted-quantile callers a separate groupBy pass over `df` plus a
+    totals join. Set
     `broadcast_offsets=False` when |groups|*|buckets| can exceed the
     broadcast threshold (e.g. grouping by a high-cardinality key): the
     offsets join then shuffles on (group, bucket), which the bucket
@@ -338,14 +371,20 @@ def ordered_prefix(
     if weight is not None:
         offsets = offsets.withColumn("_woff", F.coalesce(F.sum("_ws").over(ow), F.lit(0)))
         keep.append("_woff")
-    if out_total is not None:
+    if out_total is not None or out_total_weight is not None:
         tw = (
             Window.partitionBy(*gcols)
             .orderBy("_bk")
             .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         )
-        offsets = offsets.withColumn("_tot", F.sum("_n").over(tw))
-        keep.append("_tot")
+        if out_total is not None:
+            offsets = offsets.withColumn("_tot", F.sum("_n").over(tw))
+            keep.append("_tot")
+        if out_total_weight is not None:
+            if weight is None:
+                raise ValueError("out_total_weight requires weight")
+            offsets = offsets.withColumn("_wtot", F.sum("_ws").over(tw))
+            keep.append("_wtot")
     side = offsets.select(*keep)
     if broadcast_offsets:
         side = F.broadcast(side)
@@ -356,7 +395,9 @@ def ordered_prefix(
         out = out.withColumn(out_prefix, (F.col("_woff") + F.col("_cw")).cast("long"))
     if out_total is not None:
         out = out.withColumn(out_total, F.col("_tot").cast("long"))
-    return out.drop("_bk", "_rn", "_cw", "_off", "_woff", "_tot")
+    if out_total_weight is not None:
+        out = out.withColumn(out_total_weight, F.col("_wtot").cast("long"))
+    return out.drop("_bk", "_rn", "_cw", "_off", "_woff", "_tot", "_wtot")
 
 
 def cap_per_group(

@@ -2117,9 +2117,9 @@ def weighted_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     from elective_waiting_times_pipeline_spark.operators import sampling as S
 
     li = load_table(spark, sf_dir, "lineitem")
-    # checkpoint the narrow distinct-value axis: the cut-points action,
-    # the rank plan AND the group totals would otherwise EACH recompute
-    # the fact-table aggregation (the curriculum_order pattern)
+    # checkpoint the narrow distinct-value axis: the cut-points sample
+    # and the rank plan would otherwise EACH recompute the fact-table
+    # aggregation (the curriculum_order pattern)
     v = (
         li.groupBy(
             F.col("l_returnflag").alias("flag"),
@@ -2128,7 +2128,11 @@ def weighted_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.floor(F.col("l_quantity") + 0.5).cast("long")).alias("w"))
         .localCheckpoint(eager=False)
     )
-    cuts = S.range_cut_points(v, "val", n_buckets=64)
+    # cut points from a 4096-row hash sample (bounded heap, no GK pass
+    # over the full axis); the group total weight rides the offsets
+    # side relation, so the checkpoint has exactly two consumers — the
+    # sample action that materializes it and the rank plan
+    cuts = S.range_cut_points(v, "val", n_buckets=64, sample_rows=4096)
     c = S.ordered_prefix(
         v,
         [F.col("val")],
@@ -2136,9 +2140,8 @@ def weighted_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=["flag"],
         weight="w",
         out_prefix="cw",
+        out_total_weight="tw",
     )
-    tot = v.groupBy("flag").agg(F.sum("w").alias("tw"))
-    c = c.join(F.broadcast(tot), "flag")
     return (
         c.groupBy("flag").agg(
             (
