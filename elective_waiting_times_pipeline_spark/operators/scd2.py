@@ -151,8 +151,18 @@ def refresh_scd2(
             other = obs_lake.filter(
                 ~F.col(bucket_col).isin(buckets) | F.col(bucket_col).isNull()
             ).select(key)
+            # null-safe semi-join: a NULL key living in both a touched
+            # and an untouched bucket must FAIL the audit — a plain
+            # equi-join would never match NULL and silently pass the
+            # very lakes that violated the key_bucket(NULL)->0
+            # write-time convention
+            slice_keys = key_map.select(F.col(key).alias("_slice_key")).distinct()
             straddle = (
-                other.join(key_map.select(key).distinct(), key, "left_semi")
+                other.join(
+                    slice_keys,
+                    F.col(key).eqNullSafe(F.col("_slice_key")),
+                    "left_semi",
+                )
                 .limit(1)
                 .collect()
             )

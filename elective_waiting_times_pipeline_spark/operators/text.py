@@ -147,13 +147,17 @@ def wordgrams(toks: Column, n: int) -> Column:
     """Adjacent n-token windows as space-joined strings — the general
     form of `bigrams`/`trigrams`, built by folding the same O(L)
     shifted-slice zip (never per-element element_at, which is O(L²));
-    slice length clamps at 0 so short arrays yield []."""
+    slice length clamps at 0 so short arrays yield []. Joined with
+    NULL-propagating concat (a NULL token yields a NULL gram), the
+    same semantics as the SQL oracles' `||` chains — concat_ws would
+    silently SKIP a NULL element and diverge from any oracle the
+    moment a token array carries one."""
     if n < 2:
         raise ValueError("wordgrams needs n >= 2")
     m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     acc = F.slice(toks, 1, m)
     for i in range(2, n + 1):
-        acc = F.zip_with(acc, F.slice(toks, i, m), lambda a, b: F.concat_ws(" ", a, b))
+        acc = F.zip_with(acc, F.slice(toks, i, m), lambda a, b: F.concat(a, F.lit(" "), b))
     return acc
 
 

@@ -2202,11 +2202,16 @@ def pareto_front_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_omax", F.max("_bmax").over(owin))
         .select("_bk", "_omax")
     )
+    # "no strictly-cheaper price exists" coalesces to the typed LONG
+    # minimum, not a magic sentinel — the pattern stays correct for
+    # zero/negative measure columns, not just p_size > 0
+    lo = F.lit(-(2**63)).cast("long")
     runmax = ranked.join(F.broadcast(offsets), "_bk").select(
         "p_retailprice",
         "msz",
         F.greatest(
-            F.coalesce(F.col("_inmax"), F.lit(-1)), F.coalesce(F.col("_omax"), F.lit(-1))
+            F.coalesce(F.col("_inmax").cast("long"), lo),
+            F.coalesce(F.col("_omax").cast("long"), lo),
         ).alias("runmax_lt"),
     )
     return (

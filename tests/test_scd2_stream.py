@@ -118,6 +118,42 @@ def test_refresh_scd2_straddle_across_untouched_bucket(spark, tmp_path):
     refresh_scd2(clean, store, buckets=[1], bucket_col="bk", verify_full_lake=True)
 
 
+def test_refresh_scd2_full_lake_catches_null_key_straddle(spark, tmp_path):
+    """A NULL key living in BOTH a touched and an untouched bucket must
+    fail the full-lake audit — a plain equi-semi-join never matches
+    NULL and would silently pass exactly the lakes that violated the
+    key_bucket(NULL)->0 write-time convention."""
+    import pytest
+
+    lake_path = str(tmp_path / "obs")
+    obs = _obs(spark, lake_path)
+    victim = obs.select("custkey").limit(1).collect()[0][0]
+    # NULL the victim key; its even-tie rows land in touched bucket 1,
+    # odd-tie rows in untouched bucket 3
+    nulled = obs.withColumn(
+        "custkey",
+        F.when(F.col("custkey") == victim, F.lit(None)).otherwise(F.col("custkey")),
+    ).withColumn(
+        "bk",
+        F.when(
+            F.col("custkey").isNull(),
+            F.when(F.col("tie") % 2 == 0, F.lit(1)).otherwise(F.lit(3)),
+        ).otherwise(F.pmod(F.col("custkey"), F.lit(2)).cast("int")),
+    )
+    store = str(tmp_path / "scd2")
+    with pytest.raises(ValueError, match="untouched lake"):
+        refresh_scd2(
+            nulled, store, buckets=[1], bucket_col="bk", verify_full_lake=True
+        )
+    # NULL key confined to the touched bucket: the audit passes
+    confined = nulled.withColumn(
+        "bk", F.when(F.col("custkey").isNull(), F.lit(1)).otherwise(F.col("bk"))
+    )
+    refresh_scd2(
+        confined, store, buckets=[1], bucket_col="bk", verify_full_lake=True
+    )
+
+
 def test_streaming_scd2_matches_batch_and_replays_idempotently(spark, tmp_path):
     from elective_waiting_times_pipeline_spark.streaming.sinks import stream_refresh_scd2
 
