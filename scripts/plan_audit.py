@@ -44,24 +44,29 @@ def audit(df):
 
 def main():
     spark = get_spark(shuffle_partitions=8)
-    print("# PLANS — final-physical-plan audit of the headline queries")
+    print("# PLANS — final-physical-plan audit of the FULL query catalog")
     print()
     print(f"Regenerate: `python scripts/plan_audit.py {SF} > PLANS.md`.")
     print("Plans are the EXECUTED (AQE-final) plans through the noop sink.")
     print("Shuffle = hash/range/single-partition Exchange; checkpointed")
     print("subtrees appear as RDD scans (their upstream cost runs once).")
+    print("Headline queries (bench.py's set) are listed first, then every")
+    print("other registered catalog query alphabetically.")
     print()
-    print("| query | parquet scans | rdd scans | shuffles | broadcasts | reused exch | pushed-filter scans | codegen spans | top-k |")
-    print("|---|---|---|---|---|---|---|---|---|")
-    for name in catalog.HEADLINE:
+    print("| query | headline | parquet scans | rdd scans | shuffles | broadcasts | reused exch | pushed-filter scans | codegen spans | top-k |")
+    print("|---|---|---|---|---|---|---|---|---|---|")
+    headline = list(catalog.HEADLINE)
+    rest = sorted(set(catalog.SPARK_QUERIES) - set(headline))
+    for name in headline + rest:
+        hl = "yes" if name in headline else "—"
         try:
             df = catalog.SPARK_QUERIES[name](spark, SF)
             s, r, x, b, ru, p, c, t = audit(df)
             print(
-                f"| {name} | {s} | {r} | {x} | {b} | {ru} | {p} | {c} | {'yes' if t else '—'} |"
+                f"| {name} | {hl} | {s} | {r} | {x} | {b} | {ru} | {p} | {c} | {'yes' if t else '—'} |"
             )
         except Exception as ex:  # pragma: no cover — audit must not die mid-table
-            print(f"| {name} | ERR: {str(ex)[:60]} | | | | | | | |")
+            print(f"| {name} | {hl} | ERR: {str(ex)[:60]} | | | | | | | |")
 
 
 if __name__ == "__main__":

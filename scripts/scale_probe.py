@@ -5,6 +5,20 @@ headline queries — evidence that per-query wall time scales sublinearly
 
 Usage: python scripts/scale_probe.py [replication_factor]
 Writes nothing to the repo; prints one JSON line per scale.
+
+Env knobs:
+- SPARK_GRAFT_QUERIES=a,b,c — probe only the named queries.
+- SPARK_GRAFT_TABLES=documents,embeddings — replicate only the named
+  tables ×N (everything else lands ×1): an isolated one-query probe
+  doesn't pay to replicate tables the query never reads.
+- SPARK_GRAFT_RESHUFFLE=1 — content-reshuffling replication: each
+  documents replica gets a per-replica letter+digit rotation of its
+  text (260 distinct deterministic transforms), so replicas are NOT
+  near-duplicates of each other. Plain replication makes every doc
+  100× hot — minhash pair output, n-gram coverage and shared-vocab
+  tfidf then measure output blowup (quadratic in copy count), not plan
+  scaling; this mode measures the plan. Report BOTH: blowup mode is
+  the skew stress test, reshuffle mode is the throughput number.
 """
 
 from __future__ import annotations
@@ -34,15 +48,45 @@ def _exec(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_DIGIT = "0123456789"
+
+
+def _reshuffle_text(df, col: str, i: int):
+    """Per-replica deterministic content rotation: letters rotate by
+    i%26 (case-preserving), digits by (i//26)%10 — 260 distinct
+    transforms, so replicas stop being near-duplicates of each other
+    while length/shape statistics are preserved exactly."""
+    r, d = i % 26, (i // 26) % 10
+    if r == 0 and d == 0:
+        return df
+    src = _LOWER + _LOWER.upper() + _DIGIT
+    dst = (
+        _LOWER[r:] + _LOWER[:r]
+        + (_LOWER[r:] + _LOWER[:r]).upper()
+        + _DIGIT[d:] + _DIGIT[:d]
+    )
+    return df.withColumn(col, F.translate(F.col(col), src, dst))
+
+
 def replicate(spark, factor: int, out_dir: str) -> None:
+    only = {
+        t.strip()
+        for t in os.environ.get("SPARK_GRAFT_TABLES", "").split(",")
+        if t.strip()
+    }
+    reshuffle = os.environ.get("SPARK_GRAFT_RESHUFFLE", "").strip() in ("1", "true")
     for t in TESTDATA_TABLES:
         df = load_table(spark, BASE, t)
-        if t in ("lineitem", "orders", "events", "documents", "embeddings"):
+        big_tables = ("lineitem", "orders", "events", "documents", "embeddings")
+        if t in big_tables and (not only or t in only):
             # shift keys per replica so joins/dedup stay realistic
             key = {"lineitem": "l_orderkey", "orders": "o_orderkey", "events": "event_id",
                    "documents": "doc_id", "embeddings": "vec_id"}[t]
             n = df.agg(F.max(key)).collect()[0][0] + 1
             reps = [df.withColumn(key, F.col(key) + F.lit(i * n)) for i in range(factor)]
+            if reshuffle and t == "documents":
+                reps = [_reshuffle_text(r, "text", i) for i, r in enumerate(reps)]
             big = reps[0]
             for r in reps[1:]:
                 big = big.union(r)
@@ -95,6 +139,11 @@ if __name__ == "__main__":
         # Fresh JVM for the measurement: the replicate writes leave GC
         # pressure that skews (2-10x) the CPU-bound queries.
         spark.stop()
-        run(tmp, f"sf0.1 x{factor}")
+        mode = (
+            " reshuffled"
+            if os.environ.get("SPARK_GRAFT_RESHUFFLE", "").strip() in ("1", "true")
+            else ""
+        )
+        run(tmp, f"sf0.1 x{factor}{mode}")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
