@@ -3049,3 +3049,84 @@ def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bounce_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lead-lag cross-correlation between daily view counts and daily
+# purchase counts at lags -3..+3 days: does view volume LEAD purchase
+# volume (positive lag peaks) — the product-analytics question behind
+# "how long is the consideration window". Pearson r per lag over the
+# aligned day pairs. Determinism: counts are integers, so every
+# regression sum (Σv, Σp, Σvp, Σv², Σp²) accumulates exactly in
+# decimal(38,0)/HUGEINT; each r spends exactly one sqrt and one divide
+# on both engines. Scale shape: the corpus collapses to ONE ROW PER
+# DAY first (hash agg with map-side partials); the 7-lag alignment is
+# a broadcast join over that bounded calendar axis.
+# ---------------------------------------------------------------------------
+@query(
+    "view_purchase_lead_lag",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS v,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS p
+      FROM events GROUP BY 1
+    ), lags AS (
+      SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag
+    ), j AS (
+      SELECT l.lag, a.v, b.p
+      FROM lags l
+      JOIN d a ON true
+      JOIN d b ON b.day = a.day + CAST(l.lag || ' days' AS INTERVAL)
+    ), s AS (
+      SELECT lag, CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(v) AS HUGEINT) AS sv, CAST(SUM(p) AS HUGEINT) AS sp,
+             CAST(SUM(v * p) AS HUGEINT) AS svp,
+             CAST(SUM(v * v) AS HUGEINT) AS svv,
+             CAST(SUM(p * p) AS HUGEINT) AS spp
+      FROM j GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag_days, CAST(n AS BIGINT) AS n_days,
+           CASE WHEN (n * svv - sv * sv) * (n * spp - sp * sp) > 0
+                THEN ROUND(CAST(n * svp - sv * sp AS DOUBLE)
+                           / sqrt(CAST((n * svv - sv * sv) * (n * spp - sp * sp) AS DOUBLE)), 6)
+           END AS pearson_r
+    FROM s
+    ORDER BY lag_days
+    """,
+)
+def view_purchase_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day")).agg(
+        F.sum((F.col("event_type") == "view").cast("int")).cast("long").alias("v"),
+        F.sum((F.col("event_type") == "purchase").cast("int")).cast("long").alias("p"),
+    )
+    lags = F.broadcast(
+        ev.sparkSession.createDataFrame([(l,) for l in range(-3, 4)], "lag int")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    j = (
+        a.crossJoin(lags)
+        .join(b, F.col("b.day") == F.expr("date_add(a.day, lag)"))
+        .select("lag", F.col("a.v").alias("v"), F.col("b.p").alias("p"))
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = j.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec("v")).alias("sv"),
+        F.sum(dec("p")).alias("sp"),
+        F.sum(dec("v") * dec("p")).alias("svp"),
+        F.sum(dec("v") * dec("v")).alias("svv"),
+        F.sum(dec("p") * dec("p")).alias("spp"),
+    )
+    num = F.col("n") * F.col("svp") - F.col("sv") * F.col("sp")
+    d1 = F.col("n") * F.col("svv") - F.col("sv") * F.col("sv")
+    d2 = F.col("n") * F.col("spp") - F.col("sp") * F.col("sp")
+    return s.select(
+        F.col("lag").cast("long").alias("lag_days"),
+        F.col("n").cast("long").alias("n_days"),
+        F.when(
+            d1 * d2 > 0,
+            F.round(num.cast("double") / F.sqrt((d1 * d2).cast("double")), 6),
+        ).alias("pearson_r"),
+    ).orderBy("lag_days")

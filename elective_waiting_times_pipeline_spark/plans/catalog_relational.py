@@ -2336,3 +2336,124 @@ def bot_regularity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             < F.col("s") * F.col("s") * (dec("n") - 1)
         ).alias("is_bot_like"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 10% two-sided trimmed mean of line price per return flag — the
+# robust location estimator between mean (outlier-fragile) and median
+# (throws away 98% of the data). Exact row-count trimming: drop the
+# n div 10 cheapest and priciest rows per group under a TOTAL order
+# (val, orderkey, linenumber) so both engines cut identical rows.
+# Scale shape: the per-group rank comes from sampling.ordered_prefix
+# (range-bucketed windows + broadcast offsets — never a group-sized
+# sort; the 3-flag groups are corpus-sized), positions and group
+# totals ride the same side relation, and the kept rows reduce with
+# one exact cent-sum hash agg. The single display division runs in the
+# same op order on both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "trimmed_mean_price",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag AS flag,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS val,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ), r AS (
+      SELECT flag, val,
+             ROW_NUMBER() OVER (PARTITION BY flag
+                                ORDER BY val, l_orderkey, l_linenumber) AS pos,
+             COUNT(*) OVER (PARTITION BY flag) AS n
+      FROM v
+    )
+    SELECT flag, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(val) AS DOUBLE) / COUNT(*) / 100 AS trimmed_mean
+    FROM r
+    WHERE pos > n // 10 AND pos <= n - n // 10
+    GROUP BY flag
+    """,
+)
+def trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elective_waiting_times_pipeline_spark.operators import sampling as S
+
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_returnflag").alias("flag"),
+        sl2("l_extendedprice").alias("val"),
+        "l_orderkey",
+        "l_linenumber",
+    ).localCheckpoint(eager=False)  # cut-points sample + rank plan share one scan
+    cuts = S.range_cut_points(v, "val", n_buckets=64, sample_rows=4096)
+    r = S.ordered_prefix(
+        v,
+        [F.col("val"), F.col("l_orderkey"), F.col("l_linenumber")],
+        S.range_bucket(F.col("val"), cuts),
+        group_cols=["flag"],
+        out_pos="pos",
+        out_total="n",
+    )
+    k = F.expr("n div 10")
+    return (
+        r.filter((F.col("pos") > k) & (F.col("pos") <= F.col("n") - k))
+        .groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            (F.sum("val").cast("double") / F.count(F.lit(1)) / 100).alias("trimmed_mean"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Monetary-unit sampling (dollar-unit audit sampling): walk the
+# cumulative cent total of lineitem in (orderkey, linenumber) order
+# and keep every row a $10M lattice point lands on — selection
+# probability proportional to line value, the estimator auditors and
+# spend-weighted data-quality checks use. Fully deterministic (fixed
+# lattice, no random start) so both engines pick identical rows.
+# Scale shape: the global running total is the range-bucketed
+# distributed prefix over the orderkey axis (per-bucket windows +
+# broadcast offsets — no single-task global window); the lattice test
+# is exact integer division on long cents.
+# ---------------------------------------------------------------------------
+_MUS_STEP_CENTS = 1_000_000_000  # $10M between lattice points
+
+
+@query(
+    "monetary_unit_sample",
+    oracle=f"""
+    WITH v AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM lineitem
+    ), c AS (
+      SELECT l_orderkey, l_linenumber, cents,
+             CAST(SUM(cents) OVER (ORDER BY l_orderkey, l_linenumber
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
+      FROM v
+    )
+    SELECT l_orderkey, l_linenumber, cents,
+           cw // {_MUS_STEP_CENTS} AS dollar_unit
+    FROM c
+    WHERE cw // {_MUS_STEP_CENTS} > (cw - cents) // {_MUS_STEP_CENTS}
+    """,
+)
+def monetary_unit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elective_waiting_times_pipeline_spark.operators import sampling as S
+
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        "l_orderkey", "l_linenumber", sl2("l_extendedprice").alias("cents")
+    ).localCheckpoint(eager=False)  # cut-points sample + prefix plan share one scan
+    cuts = S.range_cut_points(v, "l_orderkey", n_buckets=64, sample_rows=4096)
+    c = S.ordered_prefix(
+        v,
+        [F.col("l_orderkey"), F.col("l_linenumber")],
+        S.range_bucket(F.col("l_orderkey"), cuts),
+        weight="cents",
+        out_prefix="cw",
+    )
+    return (
+        c.withColumn("dollar_unit", F.expr(f"cw div {_MUS_STEP_CENTS}").cast("long"))
+        .filter(F.col("dollar_unit") > F.expr(f"(cw - cents) div {_MUS_STEP_CENTS}"))
+        .select("l_orderkey", "l_linenumber", "cents", "dollar_unit")
+    )
