@@ -2974,3 +2974,208 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law fit: vocabulary growth V(n) ≈ k·n^β along the corpus —
+# the companion diagnostic to zipf_fit (β far from ~0.5 flags
+# templated or synthetic text whose vocabulary saturates). The curve
+# is sampled at 32 checkpoints, never per-doc: each token reduces to
+# its FIRST doc (min doc_id — one hash agg), docs and first
+# occurrences bucket into 32 doc-id ranges, and the cumulative
+# (docs-so-far, vocab-so-far) runs over the 32-row `_bk` axis (the
+# bounded bucket-window shape the plan lint recognizes). Logs snap to
+# integer millis and the closed-form OLS accumulates in
+# decimal(38,0)/HUGEINT (the zipf_fit determinism recipe) so the
+# single display division is the only float op.
+# ---------------------------------------------------------------------------
+@query(
+    "heaps_law_fit",
+    oracle=rf"""
+    WITH nd AS (
+      SELECT CAST(MAX(doc_id) + 1 AS BIGINT) AS n_total FROM documents
+    ), db AS (
+      SELECT least((doc_id * 32) // n_total, 31) AS _bk,
+             CAST(COUNT(*) AS BIGINT) AS dn
+      FROM documents, nd GROUP BY 1
+    ), fo AS (
+      SELECT tok, MIN(doc_id) AS fd FROM (
+        SELECT doc_id, unnest({_TOKS}) AS tok
+        FROM documents WHERE length(trim(text)) > 0
+      ) WHERE tok <> '' GROUP BY tok
+    ), vb AS (
+      SELECT least((fd * 32) // n_total, 31) AS _bk,
+             CAST(COUNT(*) AS BIGINT) AS vn
+      FROM fo, nd GROUP BY 1
+    ), axis AS (
+      SELECT db._bk,
+             SUM(db.dn) OVER (ORDER BY db._bk ROWS UNBOUNDED PRECEDING) AS cum_docs,
+             SUM(COALESCE(vb.vn, 0)) OVER (ORDER BY db._bk ROWS UNBOUNDED PRECEDING) AS cum_vocab
+      FROM db LEFT JOIN vb USING (_bk)
+    ), pts AS (
+      SELECT CAST(floor(ln(cum_docs) * 1000 + 0.5) AS BIGINT) AS lx,
+             CAST(floor(ln(cum_vocab) * 1000 + 0.5) AS BIGINT) AS ly
+      FROM axis WHERE cum_docs > 0 AND cum_vocab > 0
+    ), s AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS k,
+             CAST(SUM(lx) AS HUGEINT) AS sx, CAST(SUM(ly) AS HUGEINT) AS sy,
+             CAST(SUM(lx * ly) AS HUGEINT) AS sxy, CAST(SUM(lx * lx) AS HUGEINT) AS sxx
+      FROM pts
+    )
+    SELECT CAST(k AS BIGINT) AS n_points,
+           ROUND(CAST(k * sxy - sx * sy AS DOUBLE)
+                 / CAST(k * sxx - sx * sx AS DOUBLE), 6) AS heaps_beta
+    FROM s
+    """,
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    nd = F.broadcast(docs.agg((F.max("doc_id") + 1).cast("long").alias("n_total")))
+    db = (
+        docs.crossJoin(nd)
+        .groupBy(F.expr("least((doc_id * 32) div n_total, 31)").alias("_bk"))
+        .agg(F.count(F.lit(1)).cast("long").alias("dn"))
+    )
+    fo = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.explode(X.tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("fd"))
+    )
+    vb = (
+        fo.crossJoin(nd)
+        .groupBy(F.expr("least((fd * 32) div n_total, 31)").alias("_bk"))
+        .agg(F.count(F.lit(1)).cast("long").alias("vn"))
+    )
+    w = Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, 0)
+    axis = (
+        db.join(vb, "_bk", "left")
+        .select(
+            "_bk",
+            F.sum("dn").over(w).alias("cum_docs"),
+            F.sum(F.coalesce(F.col("vn"), F.lit(0))).over(w).alias("cum_vocab"),
+        )
+    )
+    pts = axis.filter((F.col("cum_docs") > 0) & (F.col("cum_vocab") > 0)).select(
+        F.floor(F.log(F.col("cum_docs").cast("double")) * 1000 + 0.5).cast("long").alias("lx"),
+        F.floor(F.log(F.col("cum_vocab").cast("double")) * 1000 + 0.5).cast("long").alias("ly"),
+    )
+    dec = "decimal(38,0)"
+    s = pts.agg(
+        F.count(F.lit(1)).cast(dec).alias("k"),
+        F.sum("lx").cast(dec).alias("sx"),
+        F.sum("ly").cast(dec).alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).cast(dec).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).cast(dec).alias("sxx"),
+    )
+    return s.select(
+        F.col("k").cast("long").alias("n_points"),
+        F.round(
+            (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+            6,
+        ).alias("heaps_beta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion of two retrieval rankings (BM25 and
+# tf·idf-sum) for the same query — the standard hybrid-search merge
+# (RRF, k=60): score(d) = Σ_r 1/(60 + rank_r(d)) over the rankings
+# whose top-50 pool contains d. Each pool is a corpus-scan +
+# TakeOrdered top-50; ranks are row_numbers over the LIMIT-bounded
+# 50-row pools (whitelisted bounded axis in the plan lint), the fusion
+# is a full-outer join of two 50-row relations, and the fused score is
+# the same two-term float expression on both engines, snapped to ppm.
+# ---------------------------------------------------------------------------
+_RRF_K = 60
+
+
+@query(
+    "rrf_fusion_topk",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents WHERE {_NTOKS} >= 1
+    ), tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1
+    ), st AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ), dfq AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), bm AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS ra FROM (
+        SELECT t.doc_id,
+               ROUND(SUM(CAST(floor((ln((st.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                     * (t.tf * 2.2)
+                     / (t.tf + 1.2 * (0.25 + 0.75 * (l.dl / st.avgdl)))) * 1000000 + 0.5) AS BIGINT))
+                     / 1000000.0, 6) AS bm25
+        FROM tf t JOIN dfq d USING (tok) JOIN dl l USING (doc_id), st
+        WHERE t.tok IN ({_BM25_TERMS})
+        GROUP BY t.doc_id ORDER BY bm25 DESC, t.doc_id LIMIT 50
+      )
+    ), ti AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY spm_sum DESC, doc_id) AS rb FROM (
+        SELECT t.doc_id,
+               CAST(SUM(CAST(floor(t.tf * ln(st.n_docs / d.df) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS spm_sum
+        FROM tf t JOIN dfq d USING (tok), st
+        WHERE t.tok IN ({_BM25_TERMS})
+        GROUP BY t.doc_id ORDER BY spm_sum DESC, t.doc_id LIMIT 50
+      )
+    )
+    SELECT COALESCE(bm.doc_id, ti.doc_id) AS doc_id,
+           CAST(ra AS BIGINT) AS bm25_rank, CAST(rb AS BIGINT) AS tfidf_rank,
+           CAST(floor((COALESCE(1.0 / ({_RRF_K} + ra), 0.0)
+                       + COALESCE(1.0 / ({_RRF_K} + rb), 0.0)) * 1000000 + 0.5) AS BIGINT) AS rrf_ppm
+    FROM bm FULL JOIN ti ON bm.doc_id = ti.doc_id
+    ORDER BY rrf_ppm DESC, doc_id
+    LIMIT 10
+    """,
+)
+def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["hash", "join", "filter", "scan"]
+    bm_pool = X.bm25_topk(docs, terms, k=50)
+    ra_w = Window.orderBy(F.desc("bm25"), "doc_id")
+    bm = bm_pool.select("doc_id", F.row_number().over(ra_w).alias("ra"))
+    toks = docs.filter(X.token_count("text") >= 1).select(
+        "doc_id", F.explode(X.tokens("text")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    st = dl.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    spm = F.floor(
+        F.col("tf") * F.log(F.col("n_docs") / F.col("df")) * 1e6 + 0.5
+    ).cast("long")
+    ti_pool = (
+        tf.filter(F.col("tok").isin(terms))
+        .join(dfreq, "tok")
+        .crossJoin(F.broadcast(st))
+        .groupBy("doc_id")
+        .agg(F.sum(spm).cast("long").alias("spm_sum"))
+        .orderBy(F.desc("spm_sum"), "doc_id")
+        .limit(50)
+    )
+    rb_w = Window.orderBy(F.desc("spm_sum"), "doc_id")
+    ti = ti_pool.select("doc_id", F.row_number().over(rb_w).alias("rb"))
+    fused = bm.join(ti, "doc_id", "full_outer").select(
+        "doc_id",
+        F.col("ra").cast("long").alias("bm25_rank"),
+        F.col("rb").cast("long").alias("tfidf_rank"),
+        F.floor(
+            (
+                F.coalesce(1.0 / (_RRF_K + F.col("ra")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("rb")), F.lit(0.0))
+            )
+            * 1e6
+            + 0.5
+        )
+        .cast("long")
+        .alias("rrf_ppm"),
+    )
+    return fused.orderBy(F.desc("rrf_ppm"), "doc_id").limit(10)

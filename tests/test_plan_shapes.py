@@ -194,6 +194,7 @@ _UNPARTITIONED_WINDOW_WHITELIST = {
     "hier_share_of_parent": (1, "nation axis (<= 25 rows after the fact agg)"),
     "stl_decompose_daily": (1, "calendar-day axis (one row per day after the corpus agg)"),
     "rolling_median_7d": (1, "calendar-day axis (one row per day after the orders agg)"),
+    "rrf_fusion_topk": (2, "top-50 retrieval pools (LIMIT-bounded before the rank)"),
 }
 
 

@@ -90,3 +90,135 @@ def test_bot_regularity_spark_matches_oracle_at_boundary(spark, tmp_path):
         for uid, n, mg, b in con.execute(ORACLE_SQL["bot_regularity_flags"]).fetchall()
     }
     assert spark_rows == oracle_rows
+
+
+def test_trimmed_mean_trims_exact_rowcounts(spark, tmp_path):
+    """Flag A: 10 rows valued 1..10 → n div 10 = 1 trimmed per side →
+    mean(2..9) = 5.5 over 8 kept rows. Flag B: 3 rows → n div 10 = 0,
+    nothing trimmed."""
+    from elective_waiting_times_pipeline_spark.plans.catalog_relational import (
+        trimmed_mean_price,
+    )
+
+    import datetime as dt2
+
+    rows = []
+    for i in range(1, 11):
+        rows.append((i, 1, 1, 1, 1.0, float(i), 0.0, 0.0, "A", "O",
+                     dt2.datetime(2024, 1, 1), dt2.datetime(2024, 1, 2), dt2.datetime(2024, 1, 3)))
+    for i, p in enumerate([10.0, 20.0, 90.0]):
+        rows.append((100 + i, 1, 1, 1, 1.0, p, 0.0, 0.0, "B", "O",
+                     dt2.datetime(2024, 1, 1), dt2.datetime(2024, 1, 2), dt2.datetime(2024, 1, 3)))
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber long, l_partkey long, l_suppkey long, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp, l_commitdate timestamp, l_receiptdate timestamp",
+    )
+    sf = str(tmp_path)
+    df.repartition(2).write.parquet(f"{sf}/lineitem.parquet")
+    got = {r.flag: r for r in trimmed_mean_price(spark, sf).collect()}
+    assert got["A"].n_kept == 8 and abs(got["A"].trimmed_mean - 5.5) < 1e-9
+    assert got["B"].n_kept == 3 and abs(got["B"].trimmed_mean - 40.0) < 1e-9
+
+
+def test_monetary_unit_sample_hits_lattice_rows(spark, tmp_path):
+    """$10M lattice over cumulative value: rows are selected exactly
+    when a lattice point falls inside their cent interval."""
+    import datetime as dt2
+
+    from elective_waiting_times_pipeline_spark.plans.catalog_relational import (
+        monetary_unit_sample,
+    )
+
+    # cum cents: 6e8 | 1.1e9 | 2.3e9 -> units 0,1,2 -> rows 2,3 selected
+    prices = [6_000_000.0, 5_000_000.0, 12_000_000.0]
+    rows = [
+        (i + 1, 1, 1, 1, 1.0, p, 0.0, 0.0, "A", "O",
+         dt2.datetime(2024, 1, 1), dt2.datetime(2024, 1, 2), dt2.datetime(2024, 1, 3))
+        for i, p in enumerate(prices)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber long, l_partkey long, l_suppkey long, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp, l_commitdate timestamp, l_receiptdate timestamp",
+    )
+    sf = str(tmp_path)
+    df.repartition(2).write.parquet(f"{sf}/lineitem.parquet")
+    got = sorted(
+        (r.l_orderkey, r.dollar_unit) for r in monetary_unit_sample(spark, sf).collect()
+    )
+    assert got == [(2, 1), (3, 2)]
+
+
+def test_lead_lag_detects_one_day_view_lead(spark, tmp_path):
+    """Purchases replay the previous day's view counts exactly →
+    pearson_r = 1.0 at lag +1 and the day-pair counts line up."""
+    from elective_waiting_times_pipeline_spark.plans.catalog_events import (
+        view_purchase_lead_lag,
+    )
+
+    import datetime as dt2
+
+    views = [1, 2, 3, 1, 2, 3]
+    recs = []
+    eid = 0
+    base = dt2.datetime(2024, 1, 1)
+    for day, nv in enumerate(views):
+        for _ in range(nv):
+            recs.append((eid, base + dt2.timedelta(days=day), 1, "view", 0.0, "{}")); eid += 1
+        for _ in range(nv):
+            recs.append((eid, base + dt2.timedelta(days=day + 1, seconds=60), 2, "purchase", 0.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        recs,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    sf = str(tmp_path)
+    df.repartition(3).write.parquet(f"{sf}/events.parquet")
+    got = {r.lag_days: r for r in view_purchase_lead_lag(spark, sf).collect()}
+    assert got[1].pearson_r == 1.0
+    # lag 0 pairs views with same-day purchases = previous day's counts
+    # ([1,2,3,1,2] vs [_,1,2,3,1,2] aligned) — far from 1
+    assert got[0].pearson_r is None or got[0].pearson_r < 1.0
+
+
+def test_heaps_beta_linear_vs_saturated_vocab(spark, tmp_path):
+    """Every doc all-new tokens → V(n) = 3n → β ≈ 1; every doc the
+    SAME tokens → V(n) constant → β ≈ 0."""
+    from elective_waiting_times_pipeline_spark.plans.catalog_text import heaps_law_fit
+
+    sf1 = str(tmp_path / "grow")
+    rows = [(i, f"tok{i}a tok{i}b tok{i}c", "en", "s", 20) for i in range(64)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).repartition(2).write.parquet(f"{sf1}/documents.parquet")
+    grow = heaps_law_fit(spark, sf1).collect()[0]
+    assert grow.n_points == 32 and abs(grow.heaps_beta - 1.0) < 0.02
+
+    sf2 = str(tmp_path / "flat")
+    rows = [(i, "alpha beta gamma", "en", "s", 16) for i in range(64)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).repartition(2).write.parquet(f"{sf2}/documents.parquet")
+    flat = heaps_law_fit(spark, sf2).collect()[0]
+    assert abs(flat.heaps_beta) < 0.02
+
+
+def test_rrf_top_doc_in_both_pools_scores_two_terms(spark, tmp_path):
+    """A doc ranked #1 by both BM25 and tf-idf fuses to
+    floor((1/61 + 1/61)·1e6 + 0.5) = 32787 ppm and wins the fusion."""
+    from elective_waiting_times_pipeline_spark.plans.catalog_text import rrf_fusion_topk
+
+    rows = [(0, "hash join filter scan hash join filter scan", "en", "s", 44)]
+    rows += [(i, "hash alpha beta gamma delta epsilon", "en", "s", 35) for i in range(1, 8)]
+    rows += [(i, "unrelated words only here", "en", "s", 25) for i in range(8, 12)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).repartition(2).write.parquet(f"{tmp_path}/documents.parquet")
+    got = rrf_fusion_topk(spark, str(tmp_path)).collect()
+    top = got[0]
+    assert top.doc_id == 0 and top.bm25_rank == 1 and top.tfidf_rank == 1
+    assert top.rrf_ppm == 32787
