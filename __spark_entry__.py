@@ -174,6 +174,12 @@ _REGISTERED_AFTER_R3 = {
     "active_streaks",
     "text_compression_ratio",
     "session_bounce_rate",
+    # round 7
+    "trimmed_mean_price",
+    "monetary_unit_sample",
+    "view_purchase_lead_lag",
+    "heaps_law_fit",
+    "rrf_fusion_topk",
 }
 
 

@@ -2353,6 +2353,7 @@ def bot_regularity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "trimmed_mean_price",
+    headline=True,
     oracle="""
     WITH v AS (
       SELECT l_returnflag AS flag,

@@ -2991,6 +2991,7 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "heaps_law_fit",
+    headline=True,
     oracle=rf"""
     WITH nd AS (
       SELECT CAST(MAX(doc_id) + 1 AS BIGINT) AS n_total FROM documents
