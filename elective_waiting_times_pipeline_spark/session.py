@@ -56,6 +56,15 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Quiet the UI for headless runs.
         .config("spark.ui.enabled", "false")
+        # Whole-stage-codegen class cache. The default 100 entries
+        # thrash in a session that runs the whole catalog: the
+        # range_bucket 63-term CASE-WHEN (the distributed-rank
+        # bucketer) costs seconds to janino-compile, and eviction by
+        # ~interleaved other queries forces a recompile on every pass
+        # (measured: weighted_median_value 2.2 s warm vs 5.9 s when 4
+        # other lineitem queries run in between; 2.6 s with this cache
+        # raised). Static JVM-wide cache, read once at first use.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
     )
     if extra_conf:
         for k, v in extra_conf.items():

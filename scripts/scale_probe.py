@@ -110,18 +110,30 @@ def probe_queries() -> list[str]:
 
 
 def run(sf_dir: str, label: str) -> dict:
+    import gc
+
     spark = get_spark(app_name="scale_probe")
     timings = {}
     errors = {}
+
+    def reclaim() -> None:
+        # drop leaked localCheckpoint blocks between queries (see
+        # bench.py::reclaim — measured up to 3x inflation without it);
+        # runs outside the timed window
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+
     for name in probe_queries():
         fn = catalog.SPARK_QUERIES[name]
         try:
             _exec(fn(spark, sf_dir))  # warm
+            reclaim()
             t0 = time.perf_counter()
             _exec(fn(spark, sf_dir))
             timings[name] = round(time.perf_counter() - t0, 2)
         except Exception as e:  # isolate: one blown query keeps the rest measurable
             errors[name] = f"{type(e).__name__}: {e}"[:300]
+        reclaim()
     out = {"label": label, "total_sec": round(sum(timings.values()), 2), "queries": timings}
     if errors:
         out["errors"] = errors
