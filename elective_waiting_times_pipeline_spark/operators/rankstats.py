@@ -67,7 +67,7 @@ def doubled_avg_rank(
     """
     rows = df.filter(F.col(value_col).isNotNull())
     g = rows.groupBy(value_col).agg(F.count(F.lit(1)).alias("_cnt"))
-    cuts = range_cut_points(rows, value_col, n_buckets)
+    cuts = range_cut_points(rows, value_col, n_buckets, sample_rows=4096)
     pre = ordered_prefix(
         g,
         [F.col(value_col).asc()],
@@ -168,7 +168,7 @@ def mann_whitney_u(
         F.sum(F.when(F.col(group_col) == group_a, 1).otherwise(0)).alias("_ca"),
         F.count(F.lit(1)).alias("_cnt"),
     )
-    cuts = range_cut_points(t, value_col, n_buckets)
+    cuts = range_cut_points(t, value_col, n_buckets, sample_rows=4096)
     pre = ordered_prefix(
         g,
         [F.col(value_col).asc()],

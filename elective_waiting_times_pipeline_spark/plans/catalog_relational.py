@@ -2183,7 +2183,7 @@ def pareto_front_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
     axis = p.groupBy("p_retailprice").agg(F.max("p_size").alias("msz"))
-    cuts = S.range_cut_points(axis, "p_retailprice", n_buckets=64)
+    cuts = S.range_cut_points(axis, "p_retailprice", n_buckets=64, sample_rows=4096)
     b = axis.withColumn(
         "_bk", S.range_bucket(F.col("p_retailprice"), cuts).cast("long")
     )

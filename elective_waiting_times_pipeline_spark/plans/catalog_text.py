@@ -1512,7 +1512,7 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cw = Window.partitionBy("n").orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
     cell = cell.withColumn("_boff", F.coalesce(F.sum("_cn").over(cw), F.lit(0)))
     per_n = cell.groupBy("n").agg(F.sum("_cn").alias("_gn"))
-    cuts = S.range_cut_points(per_n, "n", n_buckets=64)
+    cuts = S.range_cut_points(per_n, "n", n_buckets=64, sample_rows=4096)
     goff = S.ordered_prefix(
         per_n,
         [F.col("n").desc()],
@@ -1614,7 +1614,7 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         X.unigram_logprob(docs).select("doc_id", "mean_logprob").localCheckpoint(eager=False)
     )
-    cuts = S.range_cut_points(scored, "mean_logprob", n_buckets=64)
+    cuts = S.range_cut_points(scored, "mean_logprob", n_buckets=64, sample_rows=4096)
     ranked = S.ordered_prefix(
         scored,
         [F.col("mean_logprob").desc(), F.col("doc_id")],
@@ -2433,7 +2433,7 @@ def ks_test_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("source") == "src0", 1).otherwise(0).alias("a"),
     )
     g = t.groupBy("v").agg(F.sum("a").alias("_ca"), F.count(F.lit(1)).alias("_cnt"))
-    cuts = S.range_cut_points(t, "v", 64)
+    cuts = S.range_cut_points(t, "v", 64, sample_rows=4096)
     pre = S.ordered_prefix(
         g,
         [F.col("v").asc()],

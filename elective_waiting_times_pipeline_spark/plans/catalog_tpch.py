@@ -682,7 +682,7 @@ def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(F.sum(sl2("o_totalprice")).alias("cents"))
-    cuts = SA.range_cut_points(spend, "cents", 64)
+    cuts = SA.range_cut_points(spend, "cents", 64, sample_rows=4096)
     ranked = SA.ordered_prefix(
         spend,
         [F.col("cents").desc(), F.col("o_custkey")],
