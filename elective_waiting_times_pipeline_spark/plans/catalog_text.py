@@ -3140,25 +3140,52 @@ _RRF_K = 60
 def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     terms = ["hash", "join", "filter", "scan"]
-    bm_pool = X.bm25_topk(docs, terms, k=50)
-    ra_w = Window.orderBy(F.desc("bm25"), "doc_id")
-    bm = bm_pool.select("doc_id", F.row_number().over(ra_w).alias("ra"))
+    k1, b = 1.2, 0.75
+    # ONE corpus tokenize feeds both rankings: the (doc, tok, tf)
+    # relation is checkpointed and dl/df/n_docs all derive from it
+    # (dl = Σ tf per doc == the token count), so the plan scans the
+    # corpus once instead of once per ranking
     toks = docs.filter(X.token_count("text") >= 1).select(
         "doc_id", F.explode(X.tokens("text")).alias("tok")
     )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    st = dl.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    tf = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    st = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    spm = F.floor(
+    hits = (
+        tf.filter(F.col("tok").isin(terms))
+        .join(dfreq, "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+    )
+    # BM25 per-term micros — the exact expression X.bm25_topk codegens
+    # (cited there; oracle replays it literally)
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + k1 * (1.0 - b + b * (F.col("dl") / F.col("avgdl")))
+    bm_spm = F.floor(
+        (idf * (F.col("tf") * (k1 + 1.0)) / denom) * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    bm_pool = (
+        hits.groupBy("doc_id")
+        .agg(F.round(F.sum(bm_spm) / F.lit(1e6), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(50)
+    )
+    ra_w = Window.orderBy(F.desc("bm25"), "doc_id")
+    bm = bm_pool.select("doc_id", F.row_number().over(ra_w).alias("ra"))
+    ti_spm = F.floor(
         F.col("tf") * F.log(F.col("n_docs") / F.col("df")) * 1e6 + 0.5
     ).cast("long")
     ti_pool = (
-        tf.filter(F.col("tok").isin(terms))
-        .join(dfreq, "tok")
-        .crossJoin(F.broadcast(st))
-        .groupBy("doc_id")
-        .agg(F.sum(spm).cast("long").alias("spm_sum"))
+        hits.groupBy("doc_id")
+        .agg(F.sum(ti_spm).cast("long").alias("spm_sum"))
         .orderBy(F.desc("spm_sum"), "doc_id")
         .limit(50)
     )

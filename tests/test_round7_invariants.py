@@ -222,3 +222,38 @@ def test_rrf_top_doc_in_both_pools_scores_two_terms(spark, tmp_path):
     top = got[0]
     assert top.doc_id == 0 and top.bm25_rank == 1 and top.tfidf_rank == 1
     assert top.rrf_ppm == 32787
+
+
+def test_scale_probe_reshuffle_rotation_properties(spark):
+    """The content-reshuffling replication transform must (a) be a
+    bijection on [a-zA-Z0-9] (length and character-class preserved, so
+    token counts and length statistics survive), (b) produce DISTINCT
+    text for replicas with different (i%26, (i//26)%10) keys, and
+    (c) be the identity for replica 0."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "scale_probe", os.path.join(os.path.dirname(__file__), "..", "scripts", "scale_probe.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    df = spark.createDataFrame(
+        [(1, "The Quick brown fox 42 jumps")], "doc_id long, text string"
+    )
+    texts = {}
+    for i in (0, 1, 27, 53):
+        out = mod._reshuffle_text(df, "text", i).collect()[0].text
+        texts[i] = out
+        assert len(out) == len("The Quick brown fox 42 jumps")
+        # spaces untouched; classes preserved
+        assert out.count(" ") == 5
+        assert out[3] == " " and out[9] == " "
+    assert texts[0] == "The Quick brown fox 42 jumps"
+    # 1 vs 27: same letter rotation (1), different digit rotation
+    assert texts[1] != texts[0] and texts[27] != texts[1] and texts[53] != texts[27]
+    letters = lambda s: "".join(c for c in s if c.isalpha())  # noqa: E731
+    assert letters(texts[1]) == letters(texts[27])  # digits differ only
+    digits = lambda s: "".join(c for c in s if c.isdigit())  # noqa: E731
+    assert digits(texts[1]) != digits(texts[27])
