@@ -180,6 +180,7 @@ _REGISTERED_AFTER_R3 = {
     "view_purchase_lead_lag",
     "heaps_law_fit",
     "rrf_fusion_topk",
+    "prefix_jaccard_pairs",
 }
 
 

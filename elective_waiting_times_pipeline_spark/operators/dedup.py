@@ -487,3 +487,74 @@ def chunk_dedup_stats(
             "kept_tokens"
         ),
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Exact Jaccard >= threshold pairs via AllPairs/PPJoin prefix
+    filtering — the EXACT-threshold scale path next to the
+    probabilistic MinHash-LSH candidates. Output (id_a, id_b, jaccard),
+    id_a < id_b, 6 dp.
+
+    Why it's complete (no false negatives): under a global element
+    order, index only each set's first n − ceil(t·n) + 1 elements. Any
+    pair with J >= t has overlap o >= ceil(t·n) for EACH set, so if a
+    set's prefix held no common element, all o common elements would
+    fit in its ceil(t·n) − 1 suffix — a contradiction; applying the
+    argument to the smallest common element puts IT in both prefixes,
+    so the prefix equi-join finds every qualifying pair. Candidates
+    are then verified with exact intersection counts — results match
+    the brute inverted-index join exactly (unit-tested).
+
+    Scale shape: the global order is by ascending document frequency
+    (rarest first), so prefixes hold the rarest shingles and the
+    candidate join fans out on sum(df²) over PREFIX postings only —
+    the hot boilerplate shingles that blow up the brute join live in
+    suffixes and never generate pairs. Per-doc ranking windows
+    partition on the doc id (bounded by document length); the verify
+    join expands |candidates| x set size, already threshold-bounded.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("shingle"),
+    ).filter(F.col("shingle") != "")
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("id").orderBy("_df", "shingle")
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn("_p", F.row_number().over(w))
+        .join(sizes, "id")
+    )
+    prefix = ranked.filter(
+        F.col("_p") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    ).select("id", "shingle", "n")
+    a = prefix.select(F.col("id").alias("id_a"), F.col("n").alias("size_a"), "shingle")
+    b = prefix.select(F.col("id").alias("id_b"), F.col("n").alias("size_b"), "shingle")
+    cand = (
+        a.join(b.hint("shuffle_hash"), (a["shingle"] == b["shingle"]) & (a["id_a"] < b["id_b"]))
+        .select("id_a", "id_b", "size_a", "size_b")
+        .distinct()
+    )
+    # exact verify: expand each candidate pair by doc A's full set,
+    # keep the shingles doc B also has, count
+    pa = sh.select(F.col("id").alias("id_a"), "shingle")
+    pb = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(pa, "id_a")
+        .join(pb.hint("shuffle_hash"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return inter.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 6
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)

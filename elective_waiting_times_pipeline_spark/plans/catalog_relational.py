@@ -2378,28 +2378,47 @@ def trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     from elective_waiting_times_pipeline_spark.operators import sampling as S
 
     li = load_table(spark, sf_dir, "lineitem")
-    v = li.select(
-        F.col("l_returnflag").alias("flag"),
-        sl2("l_extendedprice").alias("val"),
-        "l_orderkey",
-        "l_linenumber",
-    ).localCheckpoint(eager=False)  # cut-points sample + rank plan share one scan
+    # collapse to the DISTINCT (flag, val) axis with multiplicities:
+    # rows inside a tie group are interchangeable (equal val), so
+    # trimming k rows BY COUNT — taking min(cnt, k − prefix) from the
+    # boundary group — removes exactly the same value mass as the
+    # oracle's per-row rank trim under any tie order. One fact-table
+    # hash agg; everything after runs on the axis (the
+    # weighted_median_value shape — measured 14.6× at ×100 for the
+    # row-ranked form vs the axis form's fact-agg-bound cost)
+    v = (
+        li.groupBy(F.col("l_returnflag").alias("flag"), sl2("l_extendedprice").alias("val"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)  # cut-points sample + prefix plan share one agg
+    )
     cuts = S.range_cut_points(v, "val", n_buckets=64, sample_rows=4096)
-    r = S.ordered_prefix(
+    c = S.ordered_prefix(
         v,
-        [F.col("val"), F.col("l_orderkey"), F.col("l_linenumber")],
+        [F.col("val")],
         S.range_bucket(F.col("val"), cuts),
         group_cols=["flag"],
-        out_pos="pos",
-        out_total="n",
+        weight="cnt",
+        out_prefix="cw",
+        out_total_weight="n",
     )
     k = F.expr("n div 10")
+    cwp = F.col("cw") - F.col("cnt")  # exclusive prefix count
+    low_take = F.when(cwp < k, F.least(F.col("cnt"), k - cwp)).otherwise(F.lit(0))
+    high_take = F.when(
+        F.col("cw") > F.col("n") - k,
+        F.least(F.col("cnt"), F.col("cw") - (F.col("n") - k)),
+    ).otherwise(F.lit(0))
+    kept = F.col("cnt") - low_take - high_take
     return (
-        r.filter((F.col("pos") > k) & (F.col("pos") <= F.col("n") - k))
-        .groupBy("flag")
+        c.groupBy("flag")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_kept"),
-            (F.sum("val").cast("double") / F.count(F.lit(1)) / 100).alias("trimmed_mean"),
+            F.sum(kept).cast("long").alias("n_kept"),
+            F.sum(F.col("val") * kept).cast("long").alias("_ksum"),
+        )
+        .select(
+            "flag",
+            "n_kept",
+            (F.col("_ksum").cast("double") / F.col("n_kept") / 100).alias("trimmed_mean"),
         )
     )
 

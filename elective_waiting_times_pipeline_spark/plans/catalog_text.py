@@ -3207,3 +3207,42 @@ def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rrf_ppm"),
     )
     return fused.orderBy(F.desc("rrf_ppm"), "doc_id").limit(10)
+
+
+# ---------------------------------------------------------------------------
+# Exact-threshold Jaccard near-dup pairs via AllPairs/PPJoin prefix
+# filtering (operators/dedup.py::prefix_filter_jaccard_pairs) — the
+# deterministic exact companion to the probabilistic MinHash-LSH path:
+# only each doc's rarest n − ceil(t·n) + 1 shingles are indexed, so
+# the candidate join never touches hot boilerplate shingles, and the
+# threshold-bounded candidates are verified with exact intersection
+# counts. The oracle is the brute inverted-index join with a HAVING
+# threshold — identical output by the prefix-completeness theorem.
+# ---------------------------------------------------------------------------
+@query(
+    "prefix_jaccard_pairs",
+    oracle=r"""
+    WITH docs AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents WHERE doc_id < 300 AND length(trim(text)) > 0
+    ), sh AS (
+      SELECT DISTINCT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS shingle
+      FROM docs WHERE len(w) >= 2
+    ), sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= 0.4
+    """,
+)
+def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return D.prefix_filter_jaccard_pairs(docs, threshold=0.4, shingle_n=2)

@@ -257,3 +257,38 @@ def test_scale_probe_reshuffle_rotation_properties(spark):
     assert letters(texts[1]) == letters(texts[27])  # digits differ only
     digits = lambda s: "".join(c for c in s if c.isdigit())  # noqa: E731
     assert digits(texts[1]) != digits(texts[27])
+
+
+def test_prefix_jaccard_complete_vs_brute_and_prunes(spark, tmp_path):
+    """Prefix filtering must return EXACTLY the brute inverted-index
+    join's >= t pairs (completeness theorem), while indexing fewer
+    postings than the brute join touches."""
+    from elective_waiting_times_pipeline_spark.operators import dedup as D
+
+    base = "w%d"
+    rows = []
+    # family A: 3 near-identical docs (high overlap)
+    common = " ".join(base % i for i in range(20))
+    rows.append((1, common, "en", "s", len(common)))
+    rows.append((2, common + " extra one", "en", "s", 1))
+    rows.append((3, common.replace("w3", "x3"), "en", "s", 1))
+    # unrelated docs sharing only a hot boilerplate phrase
+    for i in range(4, 20):
+        rows.append((i, f"hot phrase unique{i} token{i} other{i} words{i}", "en", "s", 1))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    t = 0.4
+    got = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.prefix_filter_jaccard_pairs(df, threshold=t, shingle_n=2).collect()
+    )
+    want = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.ngram_jaccard_pairs(df, shingle_n=2, min_jaccard=t).collect()
+    )
+    assert got == want and len(got) >= 2
+    # pruning: the "hot phrase" shingle is shared by 16 docs but each
+    # of those docs' prefixes hold their RARE unique shingles, so no
+    # cross-family candidate pair survives
+    assert all(a <= 3 and b <= 3 for a, b, _ in got)
