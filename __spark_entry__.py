@@ -181,6 +181,9 @@ _REGISTERED_AFTER_R3 = {
     "heaps_law_fit",
     "rrf_fusion_topk",
     "prefix_jaccard_pairs",
+    "weighted_p90_value",
+    "iqr_outlier_fences",
+    "orderkey_gap_islands",
 }
 
 

@@ -2477,3 +2477,203 @@ def monetary_unit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dollar_unit") > F.expr(f"(cw - cents) div {_MUS_STEP_CENTS}"))
         .select("l_orderkey", "l_linenumber", "cents", "dollar_unit")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted 90th percentile (lower) of line price weighted by
+# quantity per return flag — weighted_median_value generalized to an
+# arbitrary quantile: the smallest value whose cumulative weight
+# reaches 90% of the group total, decided as 10·cw >= 9·tw in exact
+# longs. Same scale shape: distinct-(flag, val) axis, sampled cut
+# points, range-bucketed running weight, totals riding the offsets
+# side relation.
+# ---------------------------------------------------------------------------
+@query(
+    "weighted_p90_value",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag AS flag,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS val,
+             CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2
+    ), c AS (
+      SELECT flag, val, w,
+             SUM(w) OVER (PARTITION BY flag ORDER BY val
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(w) OVER (PARTITION BY flag) AS tw
+      FROM v
+    )
+    SELECT flag,
+           CAST(MIN(CASE WHEN 10 * cw >= 9 * tw THEN val END) AS DOUBLE) / 100
+             AS weighted_p90,
+           CAST(MAX(tw) AS BIGINT) AS total_weight
+    FROM c GROUP BY flag
+    """,
+)
+def weighted_p90_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elective_waiting_times_pipeline_spark.operators import sampling as S
+
+    li = load_table(spark, sf_dir, "lineitem")
+    v = (
+        li.groupBy(
+            F.col("l_returnflag").alias("flag"),
+            sl2("l_extendedprice").alias("val"),
+        )
+        .agg(F.sum(F.floor(F.col("l_quantity") + 0.5).cast("long")).alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    cuts = S.range_cut_points(v, "val", n_buckets=64, sample_rows=4096)
+    c = S.ordered_prefix(
+        v,
+        [F.col("val")],
+        S.range_bucket(F.col("val"), cuts),
+        group_cols=["flag"],
+        weight="w",
+        out_prefix="cw",
+        out_total_weight="tw",
+    )
+    return c.groupBy("flag").agg(
+        (
+            F.min(F.when(10 * F.col("cw") >= 9 * F.col("tw"), F.col("val"))).cast("double")
+            / 100
+        ).alias("weighted_p90"),
+        F.max("tw").cast("long").alias("total_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tukey IQR outlier fences per return flag: q1/q3 as exact lower
+# quartiles over the distinct-(flag, price) axis (4·cw >= tw /
+# 4·cw >= 3·tw in longs), then the 1.5·IQR fences decided WITHOUT any
+# float: 2·val < 2·q1 − 3·iqr (below) or 2·val > 2·q3 + 3·iqr (above)
+# — the halves clear exactly because everything is integer cents. Two
+# passes over the AXIS (quartiles, then the outlier count re-joins the
+# axis), the fact table is touched once by the collapsing agg.
+# ---------------------------------------------------------------------------
+@query(
+    "iqr_outlier_fences",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag AS flag,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS val,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ), c AS (
+      SELECT flag, val, cnt,
+             SUM(cnt) OVER (PARTITION BY flag ORDER BY val
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(cnt) OVER (PARTITION BY flag) AS tw
+      FROM v
+    ), q AS (
+      SELECT flag,
+             MIN(CASE WHEN 4 * cw >= tw THEN val END) AS q1,
+             MIN(CASE WHEN 4 * cw >= 3 * tw THEN val END) AS q3
+      FROM c GROUP BY flag
+    )
+    SELECT v.flag,
+           CAST(q.q1 AS DOUBLE) / 100 AS q1,
+           CAST(q.q3 AS DOUBLE) / 100 AS q3,
+           CAST(SUM(CASE WHEN 2 * v.val < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                           OR 2 * v.val > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                         THEN v.cnt ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM v JOIN q ON v.flag = q.flag
+    GROUP BY v.flag, q.q1, q.q3
+    """,
+)
+def iqr_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elective_waiting_times_pipeline_spark.operators import sampling as S
+
+    li = load_table(spark, sf_dir, "lineitem")
+    v = (
+        li.groupBy(
+            F.col("l_returnflag").alias("flag"),
+            sl2("l_extendedprice").alias("val"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)  # quartile pass + outlier re-join share it
+    )
+    cuts = S.range_cut_points(v, "val", n_buckets=64, sample_rows=4096)
+    c = S.ordered_prefix(
+        v,
+        [F.col("val")],
+        S.range_bucket(F.col("val"), cuts),
+        group_cols=["flag"],
+        weight="cnt",
+        out_prefix="cw",
+        out_total_weight="tw",
+    )
+    q = c.groupBy("flag").agg(
+        F.min(F.when(4 * F.col("cw") >= F.col("tw"), F.col("val"))).alias("q1c"),
+        F.min(F.when(4 * F.col("cw") >= 3 * F.col("tw"), F.col("val"))).alias("q3c"),
+    )
+    iqr = F.col("q3c") - F.col("q1c")
+    below = 2 * F.col("val") < 2 * F.col("q1c") - 3 * iqr
+    above = 2 * F.col("val") > 2 * F.col("q3c") + 3 * iqr
+    return (
+        v.join(F.broadcast(q), "flag")
+        .groupBy("flag", "q1c", "q3c")
+        .agg(
+            F.sum(F.when(below | above, F.col("cnt")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_outliers")
+        )
+        .select(
+            "flag",
+            (F.col("q1c").cast("double") / 100).alias("q1"),
+            (F.col("q3c").cast("double") / 100).alias("q3"),
+            "n_outliers",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed gaps-and-islands over the order-key ID space: contiguous
+# key runs share a constant (key − rank) anchor, so islands fall out
+# of one hash agg over the anchored keys — the classic
+# missing-ID-range audit, with the global rank supplied by the
+# range-bucketed distributed prefix instead of a single-task window.
+# Top-10 longest runs (ties broken by start) via TakeOrdered — no
+# island-count-sized sort anywhere.
+# ---------------------------------------------------------------------------
+@query(
+    "orderkey_gap_islands",
+    oracle="""
+    WITH k AS (
+      SELECT o_orderkey AS key,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) AS pos
+      FROM orders
+    ), runs AS (
+      SELECT key - pos AS anchor,
+             CAST(MIN(key) AS BIGINT) AS run_start,
+             CAST(MAX(key) AS BIGINT) AS run_end,
+             CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM k GROUP BY 1
+    )
+    SELECT run_start, run_end, run_len
+    FROM runs
+    ORDER BY run_len DESC, run_start
+    LIMIT 10
+    """,
+)
+def orderkey_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elective_waiting_times_pipeline_spark.operators import sampling as S
+
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("key"))
+    cuts = S.range_cut_points(o, "key", n_buckets=64, sample_rows=4096)
+    k = S.ordered_prefix(
+        o,
+        [F.col("key")],
+        S.range_bucket(F.col("key"), cuts),
+        out_pos="pos",
+    )
+    runs = (
+        k.groupBy((F.col("key") - F.col("pos")).alias("anchor"))
+        .agg(
+            F.min("key").cast("long").alias("run_start"),
+            F.max("key").cast("long").alias("run_end"),
+            F.count(F.lit(1)).cast("long").alias("run_len"),
+        )
+    )
+    return runs.select("run_start", "run_end", "run_len").orderBy(
+        F.desc("run_len"), "run_start"
+    ).limit(10)
