@@ -327,13 +327,18 @@ def fingerprint_md5(col: Column | str) -> Column:
 
 
 def fingerprint_rolling(col: Column | str, prime: int = 1_000_000_007, base: int = 31) -> Column:
-    """Polynomial rolling hash over token crc32s (order-sensitive
-    document fingerprint). Pure fold expression — no UDF."""
+    """Polynomial rolling hash over per-token 60-bit md5 prefixes
+    (order-sensitive document fingerprint). Pure fold expression — no
+    UDF. Token value = first 15 hex digits of md5 (< 2^60), so
+    `acc*base + h` stays far inside long range (acc < prime ~ 2^30).
+    md5 rather than crc32/xxhash64 so an independent engine can replay
+    the exact fold (DuckDB: list_reduce + md5)."""
     toks = tokens(col)
+    h = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
     return F.aggregate(
         toks,
         F.lit(0).cast("long"),
-        lambda acc, t: (acc * base + F.crc32(t)) % prime,
+        lambda acc, t: (acc * base + h(t)) % prime,
     )
 
 

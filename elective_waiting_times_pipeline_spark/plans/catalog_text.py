@@ -157,10 +157,25 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Rolling polynomial fingerprint (order-sensitive). crc32 has no DuckDB
-# counterpart → rows-only check; unit tests pin golden values.
+# Rolling polynomial fingerprint (order-sensitive). Token value is the
+# first 15 hex digits of md5 (shared by both engines), so DuckDB can
+# replay the exact fold: list_reduce has no init accumulator in 1.0, so
+# the 0 seed is prepended onto the hashed-token list.
 # ---------------------------------------------------------------------------
-@query("text_fingerprint_rolling")
+@query(
+    "text_fingerprint_rolling",
+    oracle=rf"""
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE list_reduce(
+                       list_prepend(0::BIGINT,
+                         list_transform({_TOKS},
+                           t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)),
+                       (acc, x) -> (acc * 31 + x) % 1000000007)
+           END AS rolling_fp
+    FROM documents
+    """,
+)
 def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", X.fingerprint_rolling("text").alias("rolling_fp"))
