@@ -184,12 +184,23 @@ _REGISTERED_AFTER_R3 = {
     "weighted_p90_value",
     "iqr_outlier_fences",
     "orderkey_gap_islands",
+    "winsorized_mean_price",
+    "capped_running_balance",
+    "seat_apportionment",
+}
+
+# Queries whose CHECK CLASS upgraded since their latest driver record
+# (e.g. an oracle added to a formerly rows-only query): treat as
+# never-green so the stronger check gets a driver record. Prune once
+# the hash-green round lands.
+_FORCE_RECHECK = {
+    "text_fingerprint_rolling",  # oracle added (md5 fold) after its r6 rows-only record
 }
 
 
 def _rotated(d: dict) -> dict:
     # never-green first (oldest backlog before this round's additions)
-    green = _previously_green()
+    green = _previously_green() - _FORCE_RECHECK
     head = {k: v for k, v in d.items() if k not in green and k not in _REGISTERED_AFTER_R3}
     head |= {k: v for k, v in d.items() if k not in green}
     return head | {k: v for k, v in d.items() if k not in head}

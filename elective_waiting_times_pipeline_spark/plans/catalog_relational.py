@@ -2424,6 +2424,236 @@ def trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Largest-remainder apportionment: allocate a fixed budget of 1000
+# units across customer nations proportionally to order revenue —
+# floor each exact quota, then hand the leftover units to the largest
+# remainders (Hamilton's method, the standard for seats / quota /
+# budget splits). All-integer arithmetic: revenue in cents as
+# decimal(38,0) / HUGEINT so 1000·rev never overflows at any SF, the
+# quota floor via integral `div`, and the remainder derived as
+# 1000·rev − base·total (no engine-specific mod semantics). Scale
+# shape: one fact agg to the 25-nation axis; the grand total is a
+# broadcast 1-row cross join; the remainder rank is an unpartitioned
+# window over the bounded nation axis (lint-whitelisted).
+# ---------------------------------------------------------------------------
+@query(
+    "seat_apportionment",
+    oracle="""
+    WITH t AS (
+      SELECT n.n_nationkey AS nk, n.n_name AS nation,
+             CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS HUGEINT) AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ), g AS (SELECT SUM(rev) AS tot FROM t),
+    b AS (
+      SELECT nk, nation, (1000 * rev) // tot AS base,
+             1000 * rev - ((1000 * rev) // tot) * tot AS rem
+      FROM t, g
+    ), l AS (SELECT 1000 - SUM(base) AS leftover FROM b)
+    SELECT nation,
+           CAST(base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, nk) <= leftover
+                            THEN 1 ELSE 0 END AS BIGINT) AS seats
+    FROM b, l
+    """,
+)
+def seat_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ords = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    t = (
+        ords.join(cust, ords["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .groupBy(F.col("n_nationkey").alias("nk"), F.col("n_name").alias("nation"))
+        .agg(F.sum(sl2("o_totalprice")).cast("decimal(38,0)").alias("rev"))
+    )
+    g = t.agg(F.sum("rev").alias("tot"))
+    b = t.crossJoin(F.broadcast(g)).select(
+        "nk",
+        "nation",
+        F.expr("(CAST(1000 AS DECIMAL(38,0)) * rev) div tot").alias("base"),
+        F.expr(
+            "CAST(1000 AS DECIMAL(38,0)) * rev"
+            " - ((CAST(1000 AS DECIMAL(38,0)) * rev) div tot) * tot"
+        ).alias("rem"),
+    )
+    left = b.agg((F.lit(1000) - F.sum("base")).alias("leftover"))
+    rk = F.row_number().over(Window.orderBy(F.col("rem").desc(), F.col("nk")))
+    return (
+        b.crossJoin(F.broadcast(left))
+        .withColumn("_rk", rk)
+        .select(
+            "nation",
+            (
+                F.col("base")
+                + F.when(F.col("_rk") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("seats"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Floor-clamped running inventory balance per supplier: returns add
+# stock (+qty), shipments draw it down (−qty), and the balance can
+# never go below zero — b_t = max(0, b_{t-1} + d_t), a NON-ASSOCIATIVE
+# sequential recurrence. Rather than a per-key loop (applyInPandas),
+# it uses the closed form b_t = S_t − min(0, min_{k≤t} S_k) over the
+# plain prefix sums S, which IS window-expressible: one per-supplier
+# window pass (running sum + running min share a single Window
+# exchange), then a hash agg for the final/peak balances. The identity
+# is pinned against a naive sequential loop by a hypothesis property
+# test (a two-sided cap [0, C] has no such closed form — that variant
+# would genuinely need per-key stateful code). Scale shape: windows
+# are partitioned by supplier (TPC-H rows-per-supplier is constant in
+# SF — bounded partitions), everything is exact integer arithmetic.
+# ---------------------------------------------------------------------------
+@query(
+    "capped_running_balance",
+    oracle="""
+    WITH d AS (
+      SELECT l_suppkey AS suppkey,
+             CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity
+                       ELSE -l_quantity END AS BIGINT) AS delta,
+             l_shipdate, l_orderkey, l_linenumber
+      FROM lineitem
+    ), p AS (
+      SELECT suppkey, delta, l_shipdate, l_orderkey, l_linenumber,
+             SUM(delta) OVER w AS rs
+      FROM d
+      WINDOW w AS (PARTITION BY suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS UNBOUNDED PRECEDING)
+    ), s AS (
+      SELECT suppkey, delta, rs,
+             LEAST(0, MIN(rs) OVER w) AS adj
+      FROM p
+      WINDOW w AS (PARTITION BY suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT suppkey, CAST(COUNT(*) AS BIGINT) AS n_moves,
+           CAST(SUM(delta) - LEAST(0, MIN(rs)) AS BIGINT) AS final_balance,
+           CAST(MAX(rs - adj) AS BIGINT) AS peak_balance
+    FROM s GROUP BY suppkey
+    """,
+)
+def capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    delta = (
+        F.when(F.col("l_returnflag") == "R", F.col("l_quantity"))
+        .otherwise(-F.col("l_quantity"))
+        .cast("long")
+    )
+    w = (
+        Window.partitionBy("suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rows = (
+        li.select(
+            F.col("l_suppkey").alias("suppkey"),
+            delta.alias("delta"),
+            "l_shipdate",
+            "l_orderkey",
+            "l_linenumber",
+        )
+        .withColumn("rs", F.sum("delta").over(w))
+        .withColumn(
+            "b",
+            F.col("rs") - F.least(F.lit(0).cast("long"), F.min("rs").over(w)),
+        )
+    )
+    return rows.groupBy("suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_moves"),
+        (F.sum("delta") - F.least(F.lit(0).cast("long"), F.min("rs")))
+        .cast("long")
+        .alias("final_balance"),
+        F.max("b").cast("long").alias("peak_balance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 10% two-sided WINSORIZED mean of line price per return flag — the
+# companion to trimmed_mean_price that clamps the tails to the fence
+# order statistics instead of dropping them. Fences are exact order
+# statistics (lo = value at rank k+1, hi = value at rank n-k, k =
+# n div 10), so rank-winsorization equals value-clamping even when a
+# tie group straddles a fence (rows at pos <= k with val == lo are
+# assigned their own value either way). Scale shape: the same
+# distinct-(flag,val) axis + ordered_prefix machinery as
+# trimmed_mean_price; the fences reduce to a 3-row relation that
+# broadcast-joins back onto the axis, and the clamped sum is one exact
+# cent hash agg — the fact table is touched once.
+# ---------------------------------------------------------------------------
+@query(
+    "winsorized_mean_price",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag AS flag,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS val
+      FROM lineitem
+    ), r AS (
+      SELECT flag, val,
+             ROW_NUMBER() OVER (PARTITION BY flag ORDER BY val) AS pos,
+             COUNT(*) OVER (PARTITION BY flag) AS n
+      FROM v
+    ), f AS (
+      SELECT flag, CAST(MAX(n) AS BIGINT) AS n,
+             MIN(CASE WHEN pos >= n // 10 + 1 THEN val END) AS lo,
+             MIN(CASE WHEN pos >= n - n // 10 THEN val END) AS hi
+      FROM r GROUP BY flag
+    )
+    SELECT r.flag, f.n AS n_rows,
+           CAST(SUM(GREATEST(LEAST(r.val, f.hi), f.lo)) AS DOUBLE) / f.n / 100
+             AS winsorized_mean
+    FROM r JOIN f ON r.flag = f.flag
+    GROUP BY r.flag, f.n
+    """,
+)
+def winsorized_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elective_waiting_times_pipeline_spark.operators import sampling as S
+
+    li = load_table(spark, sf_dir, "lineitem")
+    v = (
+        li.groupBy(F.col("l_returnflag").alias("flag"), sl2("l_extendedprice").alias("val"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    cuts = S.range_cut_points(v, "val", n_buckets=64, sample_rows=4096)
+    c = S.ordered_prefix(
+        v,
+        [F.col("val")],
+        S.range_bucket(F.col("val"), cuts),
+        group_cols=["flag"],
+        weight="cnt",
+        out_prefix="cw",
+        out_total_weight="n",
+    )
+    k = F.expr("n div 10")
+    fences = c.groupBy("flag").agg(
+        F.max("n").cast("long").alias("n_rows"),
+        F.min(F.when(F.col("cw") >= k + 1, F.col("val"))).alias("lo"),
+        F.min(F.when(F.col("cw") >= F.col("n") - k, F.col("val"))).alias("hi"),
+    )
+    clamped = F.greatest(F.least(F.col("val"), F.col("hi")), F.col("lo"))
+    return (
+        c.join(F.broadcast(fences), "flag")
+        .groupBy("flag", "n_rows")
+        .agg(F.sum(clamped * F.col("cnt")).cast("long").alias("_wsum"))
+        .select(
+            "flag",
+            "n_rows",
+            (F.col("_wsum").cast("double") / F.col("n_rows") / 100).alias(
+                "winsorized_mean"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Monetary-unit sampling (dollar-unit audit sampling): walk the
 # cumulative cent total of lineitem in (orderkey, linenumber) order
 # and keep every row a $10M lattice point lands on — selection

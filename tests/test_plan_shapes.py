@@ -192,6 +192,7 @@ _UNPARTITIONED_WINDOW_WHITELIST = {
     "survival_conversion": (2, "delay-hour axis (bounded grid of lag hours)"),
     "daily_autocorrelation": (1, "calendar-day axis (one row per day after the corpus agg)"),
     "hier_share_of_parent": (1, "nation axis (<= 25 rows after the fact agg)"),
+    "seat_apportionment": (1, "nation axis (<= 25 rows after the fact agg)"),
     "stl_decompose_daily": (1, "calendar-day axis (one row per day after the corpus agg)"),
     "rolling_median_7d": (1, "calendar-day axis (one row per day after the orders agg)"),
     "rrf_fusion_topk": (2, "top-50 retrieval pools (LIMIT-bounded before the rank)"),

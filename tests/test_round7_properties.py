@@ -113,3 +113,58 @@ def test_ordered_prefix_total_weight_matches_group_sums(spark, rows):
         assert r.cw == prev + r.w
         by_g[r.g] = r.cw
     assert by_g == want_tot
+
+
+def _py_clamped_balance(deltas: list[int]) -> tuple[int, int]:
+    """Reference: the literal sequential recurrence b_t = max(0, b + d)."""
+    b, peak = 0, 0
+    for d in deltas:
+        b = max(0, b + d)
+        peak = max(peak, b)
+    return b, peak
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2", "s3"]),
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_clamped_balance_identity_matches_sequential_loop(spark, moves):
+    """The closed form b_t = S_t - min(0, min_{k<=t} S_k) used by
+    capped_running_balance must equal the naive per-key loop for any
+    delta sequence (the identity the oracle and the Spark plan share,
+    pinned here against an independent reference)."""
+    from pyspark.sql import Window
+
+    data = [(k, i, d) for i, (k, d) in enumerate(moves)]
+    df = spark.createDataFrame(data, "k string, seq long, delta long")
+    w = (
+        Window.partitionBy("k")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rows = df.withColumn("rs", F.sum("delta").over(w)).withColumn(
+        "b", F.col("rs") - F.least(F.lit(0).cast("long"), F.min("rs").over(w))
+    )
+    got = {
+        r.k: (r.final_balance, r.peak_balance)
+        for r in rows.groupBy("k")
+        .agg(
+            (F.sum("delta") - F.least(F.lit(0).cast("long"), F.min("rs")))
+            .cast("long")
+            .alias("final_balance"),
+            F.max("b").cast("long").alias("peak_balance"),
+        )
+        .collect()
+    }
+    by_key: dict[str, list[int]] = {}
+    for k, _, d in data:
+        by_key.setdefault(k, []).append(d)
+    want = {k: _py_clamped_balance(ds) for k, ds in by_key.items()}
+    assert got == want
