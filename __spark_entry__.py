@@ -187,6 +187,8 @@ _REGISTERED_AFTER_R3 = {
     "winsorized_mean_price",
     "capped_running_balance",
     "seat_apportionment",
+    "attribution_time_decay",
+    "bigram_backoff_logprob",
 }
 
 # Queries whose CHECK CLASS upgraded since their latest driver record

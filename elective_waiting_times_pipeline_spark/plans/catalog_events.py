@@ -2286,6 +2286,83 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Time-decay attribution — the third member of the attribution family
+# (last-touch, linear, decay): each click inside the 7-day lookback
+# earns credit proportional to 2^(-age_days/7), so yesterday's click
+# outweighs last week's. Engine-exact: the eight possible ages (0..7
+# whole days, integer µs division) map to PRECOMPUTED integer micro
+# weights (floor(1e6·2^(-a/7)+0.5) — no pow() in either plan); the
+# per-purchase weight total is a pid-partitioned window (bounded by
+# the lookback) over the single range-join pass, and each credit
+# micro-snaps before the day rollup, identical op order both engines.
+# Scale shape: same binned range join as attribution_linear — one
+# equi-join on (user, day-bin), never a cross of clicks x purchases.
+# ---------------------------------------------------------------------------
+_TD_W = [1000000, 905724, 820335, 742997, 672950, 609507, 552045, 500000]
+_TD_CASE = "CASE {age} " + " ".join(f"WHEN {a} THEN {w}" for a, w in enumerate(_TD_W)) + " END"
+
+
+@query(
+    "attribution_time_decay",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id AS pid, user_id, ts AS pts,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'
+    ), j AS (
+      SELECT pid, cts, cents,
+             {_TD_CASE.format(age="((epoch_us(pts) - epoch_us(cts)) // 86400000000)")} AS wm
+      FROM p JOIN c ON c.user_id = p.user_id
+       AND c.cts <= p.pts AND c.cts >= p.pts - INTERVAL 7 DAY
+    ), t AS (
+      SELECT pid, cts, cents, wm, SUM(wm) OVER (PARTITION BY pid) AS wt
+      FROM j
+    )
+    SELECT date_trunc('day', cts) AS click_day,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           ROUND(SUM(CAST(floor(cents * 1000000.0 * wm / wt + 0.5) AS BIGINT))
+                 / 100000000, 6) AS attributed_revenue
+    FROM t GROUP BY 1
+    """,
+)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elective_waiting_times_pipeline_spark.operators.rangejoin import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.col("ts").alias("pts"),
+        (F.col("ts") - F.expr("INTERVAL 7 DAYS")).alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 MICROSECOND")).alias("win_end"),
+        sl2("value").alias("cents"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select("user_id", F.col("ts").alias("cts"))
+    j = range_join(
+        c, p, "cts", "win_start", "win_end", extra_eq=["user_id"], bin_width=86400
+    ).select(
+        "pid",
+        "cts",
+        "cents",
+        F.expr(
+            _TD_CASE.format(age="((unix_micros(pts) - unix_micros(cts)) div 86400000000)")
+        ).alias("wm"),
+    )
+    wt = F.sum("wm").over(Window.partitionBy("pid"))
+    credit = F.floor(F.col("cents") * 1000000.0 * F.col("wm") / wt + 0.5).cast("long")
+    return (
+        j.withColumn("_credit", credit)
+        .groupBy(F.date_trunc("DAY", "cts").alias("click_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.round(F.sum("_credit") / 100000000, 6).alias("attributed_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Time-decayed engagement score — the standard recency-weighted user
 # feature: Σ cents · 2^(-age_days / 7) per user (7-day half-life),
 # top 20. Engine-exact WITHOUT trusting pow(): integer age decomposes

@@ -1010,6 +1010,128 @@ def unigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bigram LM scoring with stupid backoff (alpha = 0.4) — the n-gram
+# step up from unigram_logprob and the classic perplexity-style
+# quality filter: train the LM on half the corpus (even doc_id),
+# score the held-out half (odd doc_id), so unseen bigrams genuinely
+# exercise the backoff branch. Per adjacent pair (w1, w2):
+# ln(bcnt/cnt(w1)) if the train corpus saw the bigram, else
+# ln(0.4 * (cnt(w2)+0.5) / (N+0.5V)) (add-half smoothing covers OOV
+# w2). Each pair's ln() micro-snaps in BOTH engines before the
+# per-doc mean, so the aggregate is an exact integer sum. Scale
+# shape: bigram/unigram score tables are vocab-bounded and joined ON
+# KEY (never broadcast — vocabulary scales with language); the
+# corpus-sized pair stream is touched once per join; the N/V totals
+# ride a broadcast 1-row cross join.
+# ---------------------------------------------------------------------------
+@query(
+    "bigram_backoff_logprob",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS w FROM documents WHERE {_NTOKS} >= 1
+    ), tr AS (
+      SELECT unnest(w) AS tok FROM toks WHERE doc_id % 2 = 0
+    ), uni AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tr GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(cnt) AS DOUBLE) AS n_total, CAST(COUNT(*) AS DOUBLE) AS vocab
+      FROM uni
+    ), pr AS (
+      SELECT doc_id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+      FROM toks WHERE len(w) >= 2
+    ), bis AS (
+      SELECT b.w1, b.w2,
+             CAST(floor(ln(CAST(b.bcnt AS DOUBLE) / u.cnt) * 1000000 + 0.5) AS BIGINT) AS lbm
+      FROM (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS bcnt
+            FROM pr WHERE doc_id % 2 = 0 GROUP BY 1, 2) b
+      JOIN uni u ON u.tok = b.w1
+    ), uns AS (
+      SELECT tok,
+             CAST(floor(ln(0.4 * (cnt + 0.5) / (tot.n_total + 0.5 * tot.vocab)) * 1000000 + 0.5) AS BIGINT) AS lum
+      FROM uni, tot
+    ), sc AS (
+      SELECT p.doc_id,
+             COALESCE(bs.lbm, us.lum,
+                      CAST(floor(ln(0.4 * 0.5 / (t.n_total + 0.5 * t.vocab)) * 1000000 + 0.5) AS BIGINT)) AS lpm
+      FROM pr p
+      LEFT JOIN bis bs ON bs.w1 = p.w1 AND bs.w2 = p.w2
+      LEFT JOIN uns us ON us.tok = p.w2, tot t
+      WHERE p.doc_id % 2 = 1
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(SUM(lpm) / CAST(COUNT(*) AS DOUBLE) / 1000000, 6) AS mean_logprob
+    FROM sc GROUP BY doc_id
+    """,
+)
+def bigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", X.tokens("text").alias("w")).filter(F.size("w") >= 1)
+
+    def pairs(df: DataFrame) -> DataFrame:
+        n = F.size("w") - 1
+        z = F.arrays_zip(F.slice(F.col("w"), 1, n), F.slice(F.col("w"), 2, n))
+        return (
+            df.filter(F.size("w") >= 2)
+            .select("doc_id", F.explode(z).alias("z"))
+            .select("doc_id", F.col("z")["0"].alias("w1"), F.col("z")["1"].alias("w2"))
+        )
+
+    train = toks.filter(F.col("doc_id") % 2 == 0)
+    uni = train.select(F.explode("w").alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = uni.agg(
+        F.sum("cnt").cast("double").alias("n_total"),
+        F.count(F.lit(1)).cast("double").alias("vocab"),
+    )
+    bis = (
+        pairs(train)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("bcnt"))
+        .join(uni.withColumnRenamed("tok", "w1"), "w1")
+        .select(
+            "w1",
+            "w2",
+            F.floor(
+                F.log(F.col("bcnt").cast("double") / F.col("cnt")) * 1000000 + 0.5
+            )
+            .cast("long")
+            .alias("lbm"),
+        )
+    )
+    uns = uni.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.floor(
+            F.log(
+                0.4 * (F.col("cnt") + 0.5) / (F.col("n_total") + 0.5 * F.col("vocab"))
+            )
+            * 1000000
+            + 0.5
+        )
+        .cast("long")
+        .alias("lum"),
+    )
+    oov = (
+        F.floor(
+            F.log(0.4 * 0.5 / (F.col("n_total") + 0.5 * F.col("vocab"))) * 1000000 + 0.5
+        )
+    ).cast("long")
+    sc = (
+        pairs(toks.filter(F.col("doc_id") % 2 == 1))
+        .join(bis, ["w1", "w2"], "left")
+        .join(uns.withColumnRenamed("tok", "w2"), "w2", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", F.coalesce("lbm", "lum", oov).alias("lpm"))
+    )
+    return sc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(
+            F.sum("lpm") / F.count(F.lit(1)).cast("double") / 1000000, 6
+        ).alias("mean_logprob"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Within-document sliding-window chunking (RAG / long-context prep):
 # 64-token windows, stride 48. Shuffle-free — tokenize once, explode a
 # chunk-index sequence, slice the token array; streams the corpus at

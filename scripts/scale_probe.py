@@ -19,6 +19,9 @@ Env knobs:
   tfidf then measure output blowup (quadratic in copy count), not plan
   scaling; this mode measures the plan. Report BOTH: blowup mode is
   the skew stress test, reshuffle mode is the throughput number.
+- SPARK_GRAFT_SHIFT_KEYS=l_suppkey,o_custkey — shift the named
+  grouping/join keys per replica so key cardinality scales with the
+  data (TPC-H semantics) instead of deepening every base key x N.
 """
 
 from __future__ import annotations
@@ -85,6 +88,24 @@ def replicate(spark, factor: int, out_dir: str) -> None:
                    "documents": "doc_id", "embeddings": "vec_id"}[t]
             n = df.agg(F.max(key)).collect()[0][0] + 1
             reps = [df.withColumn(key, F.col(key) + F.lit(i * n)) for i in range(factor)]
+            # SPARK_GRAFT_SHIFT_KEYS=l_suppkey,o_custkey — ALSO shift the
+            # named grouping/join keys per replica, so key cardinality
+            # scales with the data (TPC-H semantics: rows-per-supplier
+            # and orders-per-customer are constant in SF) instead of
+            # every replica piling onto the base keys. Plain mode keeps
+            # measuring the per-key depth stress; this mode measures
+            # the plan at honest cardinalities. Report both.
+            shift_cols = {
+                c.strip()
+                for c in os.environ.get("SPARK_GRAFT_SHIFT_KEYS", "").split(",")
+                if c.strip()
+            } & set(df.columns)
+            for sc in shift_cols:
+                m = df.agg(F.max(sc)).collect()[0][0] + 1
+                reps = [
+                    r.withColumn(sc, F.col(sc) + F.lit(i * m))
+                    for i, r in enumerate(reps)
+                ]
             if reshuffle and t == "documents":
                 reps = [_reshuffle_text(r, "text", i) for i, r in enumerate(reps)]
             big = reps[0]

@@ -292,3 +292,144 @@ def test_prefix_jaccard_complete_vs_brute_and_prunes(spark, tmp_path):
     # of those docs' prefixes hold their RARE unique shingles, so no
     # cross-family candidate pair survives
     assert all(a <= 3 and b <= 3 for a, b, _ in got)
+
+
+# ---------------------------------------------------------------------------
+# Round-7 second-session additions
+# ---------------------------------------------------------------------------
+
+
+def test_seat_apportionment_largest_remainder_pinned(spark, tmp_path):
+    """Revenues 7/6/5 cents, 1000 seats: quotas 388.8/333.3/277.7 →
+    bases 388/333/277 (=998), remainders .8/.3/.7 → the two leftover
+    seats go to nations 1 and 3 → 389/333/278."""
+    from elective_waiting_times_pipeline_spark.plans.catalog_relational import (
+        seat_apportionment,
+    )
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, 0.07), (2, 0.06), (3, 0.05)], "o_custkey long, o_totalprice double"
+    ).write.parquet(f"{sf}/orders.parquet")
+    spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "c_custkey long, c_nationkey long"
+    ).write.parquet(f"{sf}/customer.parquet")
+    spark.createDataFrame(
+        [(10, "N1"), (20, "N2"), (30, "N3")], "n_nationkey long, n_name string"
+    ).write.parquet(f"{sf}/nation.parquet")
+    got = {r.nation: r.seats for r in seat_apportionment(spark, sf).collect()}
+    assert got == {"N1": 389, "N2": 333, "N3": 278}
+    assert sum(got.values()) == 1000
+
+
+def test_winsorized_mean_clamps_tails_to_fences(spark, tmp_path):
+    """Values 1..9 and 100 dollars (n=10, k=1): fences are the rank-2
+    and rank-9 order statistics (2 and 9); 1→2 and 100→9 gives sum 55
+    → mean 5.5. The plain mean (14.5) and the trimmed mean (5.5 of 8
+    kept = 44/8) would both differ."""
+    from elective_waiting_times_pipeline_spark.plans.catalog_relational import (
+        winsorized_mean_price,
+    )
+
+    sf = str(tmp_path)
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 100.0]
+    spark.createDataFrame(
+        [("A", v) for v in vals], "l_returnflag string, l_extendedprice double"
+    ).repartition(3).write.parquet(f"{sf}/lineitem.parquet")
+    rows = winsorized_mean_price(spark, sf).collect()
+    assert len(rows) == 1
+    assert rows[0].n_rows == 10
+    assert rows[0].winsorized_mean == 5.5
+
+
+def test_capped_running_balance_clamps_at_zero(spark, tmp_path):
+    """ship 5 (clamped to 0), return 3 (→3), ship 1 (→2): final 2,
+    peak 3 — the unclamped running sum would end at -3."""
+    import datetime as dt
+
+    from elective_waiting_times_pipeline_spark.plans.catalog_relational import (
+        capped_running_balance,
+    )
+
+    sf = str(tmp_path)
+    d0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (7, 5.0, "N", d0, 1, 1),
+        (7, 3.0, "R", d0 + dt.timedelta(days=1), 2, 1),
+        (7, 1.0, "N", d0 + dt.timedelta(days=2), 3, 1),
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_suppkey long, l_quantity double, l_returnflag string,"
+        " l_shipdate timestamp, l_orderkey long, l_linenumber long",
+    ).repartition(2).write.parquet(f"{sf}/lineitem.parquet")
+    got = capped_running_balance(spark, sf).collect()
+    assert len(got) == 1
+    assert (got[0].n_moves, got[0].final_balance, got[0].peak_balance) == (3, 2, 3)
+
+
+def test_attribution_time_decay_weights_and_window_edge(spark, tmp_path):
+    """One $1.00 purchase, clicks at age 0 (weight 1000000) and age 7
+    exactly (weight 500000): credits 2/3 and 1/3 of the dollar with
+    the documented floor-snap; a click 7 days + 1 s before the
+    purchase earns nothing."""
+    import datetime as dt
+
+    from elective_waiting_times_pipeline_spark.plans.catalog_events import (
+        attribution_time_decay,
+    )
+
+    sf = str(tmp_path)
+    pt = dt.datetime(2024, 3, 15, 12, 0, 0)
+    rows = [
+        (1, pt, 9, "purchase", 1.0, "{}"),
+        (2, pt, 9, "click", None, "{}"),
+        (3, pt - dt.timedelta(days=7), 9, "click", None, "{}"),
+        (4, pt - dt.timedelta(days=7, seconds=1), 9, "click", None, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{sf}/events.parquet")
+    got = {
+        r.click_day: (r.n_touches, r.attributed_revenue)
+        for r in attribution_time_decay(spark, sf).collect()
+    }
+    import math
+
+    c0 = math.floor(100 * 1000000.0 * 1000000 / 1500000 + 0.5) / 1e8
+    c7 = math.floor(100 * 1000000.0 * 500000 / 1500000 + 0.5) / 1e8
+    assert got == {
+        pt.replace(hour=0): (1, round(c0, 6)),
+        (pt - dt.timedelta(days=7)).replace(hour=0): (1, round(c7, 6)),
+    }
+
+
+def test_bigram_backoff_hits_all_three_branches(spark, tmp_path):
+    """Train doc 'a b' (even id), score doc 'a b b c' (odd id): pair
+    (a,b) is a seen bigram (ln 1/1 = 0), (b,b) backs off to the seen
+    unigram b, (b,c) backs off to the OOV default — expected mean
+    computed independently with math.log and the same micro-snap."""
+    import math
+
+    from elective_waiting_times_pipeline_spark.plans.catalog_text import (
+        bigram_backoff_logprob,
+    )
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(0, "a b", "en", "s", 3), (1, "a b b c", "en", "s", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf}/documents.parquet")
+    got = bigram_backoff_logprob(spark, sf).collect()
+    assert len(got) == 1 and got[0].doc_id == 1 and got[0].n_pairs == 3
+    n_total, vocab = 2.0, 2.0
+    snap = lambda x: math.floor(math.log(x) * 1000000 + 0.5)
+    lpm = [
+        snap(1.0 / 1.0),                                   # (a,b) seen bigram
+        snap(0.4 * (1 + 0.5) / (n_total + 0.5 * vocab)),   # (b,b) backoff to b
+        snap(0.4 * 0.5 / (n_total + 0.5 * vocab)),         # (b,c) OOV default
+    ]
+    want = round(sum(lpm) / 3.0 / 1000000, 6)
+    assert got[0].mean_logprob == want

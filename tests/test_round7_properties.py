@@ -168,3 +168,83 @@ def test_clamped_balance_identity_matches_sequential_loop(spark, moves):
         by_key.setdefault(k, []).append(d)
     want = {k: _py_clamped_balance(ds) for k, ds in by_key.items()}
     assert got == want
+
+
+def _py_winsorized(vals_cents: list[int]) -> tuple[int, float]:
+    """Reference: clamp to the rank-(k+1)/(n-k) order statistics."""
+    n = len(vals_cents)
+    k = n // 10
+    s = sorted(vals_cents)
+    lo, hi = s[k], s[n - k - 1]
+    return n, sum(min(max(v, lo), hi) for v in s) / n / 100
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["A", "N", "R"]),
+            st.integers(min_value=1, max_value=99999),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(**_SETTINGS)
+def test_winsorized_mean_matches_python_reference(spark, tmp_path_factory, rows):
+    from elective_waiting_times_pipeline_spark.plans.catalog_relational import (
+        winsorized_mean_price,
+    )
+
+    sf = str(tmp_path_factory.mktemp("wins"))
+    spark.createDataFrame(
+        [(f, c / 100.0) for f, c in rows],
+        "l_returnflag string, l_extendedprice double",
+    ).repartition(3).write.parquet(f"{sf}/lineitem.parquet")
+    got = {
+        r.flag: (r.n_rows, r.winsorized_mean)
+        for r in winsorized_mean_price(spark, sf).collect()
+    }
+    by_flag: dict[str, list[int]] = {}
+    for f, c in rows:
+        by_flag.setdefault(f, []).append(c)
+    want = {f: _py_winsorized(cs) for f, cs in by_flag.items()}
+    assert set(got) == set(want)
+    for f in want:
+        assert got[f][0] == want[f][0]
+        assert abs(got[f][1] - want[f][1]) < 1e-9
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=10**7), min_size=1, max_size=12)
+)
+@settings(**_SETTINGS)
+def test_seat_apportionment_invariants(spark, tmp_path_factory, revs):
+    """Hamilton invariants: seats sum to exactly 1000, every nation is
+    within 1 of its exact quota, and allocation is monotone in
+    revenue."""
+    from elective_waiting_times_pipeline_spark.plans.catalog_relational import (
+        seat_apportionment,
+    )
+
+    sf = str(tmp_path_factory.mktemp("seats"))
+    spark.createDataFrame(
+        [(i, r / 100.0) for i, r in enumerate(revs)],
+        "o_custkey long, o_totalprice double",
+    ).write.parquet(f"{sf}/orders.parquet")
+    spark.createDataFrame(
+        [(i, i) for i in range(len(revs))], "c_custkey long, c_nationkey long"
+    ).write.parquet(f"{sf}/customer.parquet")
+    spark.createDataFrame(
+        [(i, f"N{i:02d}") for i in range(len(revs))],
+        "n_nationkey long, n_name string",
+    ).write.parquet(f"{sf}/nation.parquet")
+    got = {r.nation: r.seats for r in seat_apportionment(spark, sf).collect()}
+    assert sum(got.values()) == 1000
+    tot = sum(revs)
+    for i, r in enumerate(revs):
+        quota = 1000 * r / tot
+        assert quota - 1 < got[f"N{i:02d}"] < quota + 1
+    for i, ri in enumerate(revs):
+        for j, rj in enumerate(revs):
+            if ri > rj:
+                assert got[f"N{i:02d}"] >= got[f"N{j:02d}"]
