@@ -197,6 +197,7 @@ _REGISTERED_AFTER_R3 = {
 # the hash-green round lands.
 _FORCE_RECHECK = {
     "text_fingerprint_rolling",  # oracle added (md5 fold) after its r6 rows-only record
+    "rolling_median_7d",  # day column re-emitted as TIMESTAMP (was DATE) after its r6 record
 }
 
 

@@ -2042,7 +2042,7 @@ def fulfillment_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH d AS (
       SELECT date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS day_idx,
-             MIN(CAST(o_orderdate AS DATE)) AS day,
+             MIN(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)) AS day,
              CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
       FROM orders GROUP BY 1
     ), frames AS (
@@ -2061,8 +2061,14 @@ def fulfillment_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     day = F.to_date("o_orderdate")
+    # day emitted as TIMESTAMP, not DATE: Spark DateType surfaces as
+    # python date objects through Arrow while DuckDB DATE surfaces as
+    # datetime64 — a representation-sensitive value hash would fail on
+    # dtype alone (the survival_conversion HUGEINT failure class;
+    # caught by the catalog-wide strict sweep, scripts/preflight_window.py)
     d = o.groupBy(F.datediff(day, F.lit("1990-01-01")).alias("day_idx")).agg(
-        F.min(day).alias("day"), F.sum(sl2("o_totalprice")).alias("rev_c")
+        F.min(day).cast("timestamp").alias("day"),
+        F.sum(sl2("o_totalprice")).alias("rev_c"),
     )
     w = Window.orderBy("day_idx").rangeBetween(-6, 0)
     vs = F.array_sort(F.collect_list("rev_c").over(w))

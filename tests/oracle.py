@@ -52,8 +52,33 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def assert_matches_oracle(spark_df, oracle_sql: str, sf_dir: str, float_tol: float = 0.0):
-    got = _normalize(spark_df.toPandas())
-    want = _normalize(duck_run(oracle_sql, sf_dir))
+    raw_got = spark_df.toPandas()
+    raw_want = duck_run(oracle_sql, sf_dir)
+    # dtype-CLASS parity BEFORE normalization: the driver's value hash
+    # is representation-sensitive, so an int64 vs HUGEINT/float64 (the
+    # survival_conversion failure) or a date-object vs datetime64 (the
+    # rolling_median_7d near-miss) must fail HERE, not three driver
+    # rounds later. Classes: integer / float / bool / datetime / other.
+    def _cls(s) -> str:
+        if pd.api.types.is_bool_dtype(s):
+            return "bool"
+        if pd.api.types.is_integer_dtype(s):
+            return "integer"
+        if pd.api.types.is_float_dtype(s):
+            return "float"
+        if pd.api.types.is_datetime64_any_dtype(s):
+            return "datetime"
+        return "other"
+
+    for c in set(raw_got.columns) & set(raw_want.columns):
+        cg, cw = _cls(raw_got[c]), _cls(raw_want[c])
+        assert cg == cw, (
+            f"column {c} dtype-class mismatch: spark={raw_got[c].dtype} ({cg}) "
+            f"vs oracle={raw_want[c].dtype} ({cw}) — a representation-sensitive "
+            f"driver hash would fail every row even with equal values"
+        )
+    got = _normalize(raw_got)
+    want = _normalize(raw_want)
     assert list(got.columns) == list(want.columns), f"columns differ: {list(got.columns)} vs {list(want.columns)}"
     assert len(got) == len(want), f"row counts differ: {len(got)} vs {len(want)}"
     for c in got.columns:
