@@ -433,3 +433,60 @@ def test_bigram_backoff_hits_all_three_branches(spark, tmp_path):
     ]
     want = round(sum(lpm) / 3.0 / 1000000, 6)
     assert got[0].mean_logprob == want
+
+
+def test_survival_conversion_third_engine_witness(spark):
+    """Pure-python Kaplan-Meier from first principles (pandas read of
+    the raw parquet, no SQL engine) as a THIRD witness beside the
+    Spark plan and the DuckDB oracle — the one query with a red driver
+    record gets an implementation-independent value pin. Same spec:
+    first-view anchor, first post-anchor purchase, whole-hour floors,
+    exclusive-prefix risk sets, explicit left-fold of the survival
+    product, ppm floor-snap."""
+    import math
+
+    import pandas as pd
+
+    from elective_waiting_times_pipeline_spark.plans.catalog_events import (
+        survival_conversion,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    us = ev["ts"].astype("datetime64[us]").astype("int64")  # epoch micros
+    ev = ev.assign(_us=us)
+    pop = []
+    for _, g in ev.groupby("user_id"):
+        views = g.loc[g["event_type"] == "view", "_us"]
+        if views.empty:
+            continue
+        t0 = int(views.min())
+        t_last = int(g["_us"].max())
+        pur = g.loc[(g["event_type"] == "purchase") & (g["_us"] > t0), "_us"]
+        if pur.empty:
+            pop.append(((t_last - t0) // 3_600_000_000, 0))
+        else:
+            pop.append(((int(pur.min()) - t0) // 3_600_000_000, 1))
+    total = len(pop)
+    marks: dict[int, list[int]] = {}
+    for t_h, e in pop:
+        d, leaving = marks.get(t_h, [0, 0])
+        marks[t_h] = [d + e, leaving + 1]
+    want_rows = {}
+    surv, seen = 1.0, 0
+    first = True
+    for t_h in sorted(marks):
+        d, leaving = marks[t_h]
+        n_risk = total - seen
+        seen += leaving
+        if d <= 0 or d >= n_risk:
+            continue
+        factor = 1.0 - d / n_risk
+        surv = factor if first else surv * factor
+        first = False
+        want_rows[t_h] = (n_risk, d, math.floor(surv * 1_000_000 + 0.5))
+    got = {
+        r.delay_hours: (r.n_risk, r.d_events, r.survival_ppm)
+        for r in survival_conversion(spark, sf).collect()
+    }
+    assert got == want_rows
