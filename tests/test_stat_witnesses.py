@@ -262,3 +262,229 @@ def test_readability_matches_textbook(spark, tmp_path):
     want = 206.835 - 1.015 * (w / s) - 84.6 * (y / w)
     assert (r.n_docs, r.n_words) == (len(texts), w)
     assert abs(r.flesch_proxy - want) < 1e-6
+
+
+def test_mann_kendall_matches_textbook(spark, tmp_path):
+    from elective_waiting_times_pipeline_spark.plans.catalog_events import (
+        trend_mann_kendall,
+    )
+
+    daily = [10.0, 12.0, 11.0, 15.0, 14.0, 18.0]  # distinct (no tie term)
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(days=i, hours=2), 1, "view", v, "{}")
+        for i, v in enumerate(daily)
+    ]
+    _write_events(spark, str(tmp_path), rows)
+    r = trend_mann_kendall(spark, str(tmp_path)).collect()
+    assert len(r) == 1
+    s = sum(
+        (1 if daily[j] > daily[i] else -1 if daily[j] < daily[i] else 0)
+        for i in range(len(daily))
+        for j in range(i + 1, len(daily))
+    )
+    n = len(daily)
+    z = (s - (1 if s > 0 else -1 if s < 0 else 0)) / math.sqrt(
+        n * (n - 1) * (2 * n + 5) / 18
+    )
+    assert (r[0].mk_s, r[0].n_days) == (s, n)
+    assert abs(r[0].mk_z - z) < 1e-6
+
+
+def test_geometric_mean_matches_textbook(spark, tmp_path):
+    from elective_waiting_times_pipeline_spark.plans.catalog_relational import (
+        geometric_mean,
+    )
+
+    groups = {"1-URGENT": [100.0, 400.0, 900.0], "2-HIGH": [50.0, 200.0]}
+    rows = [(p, v) for p, vals in groups.items() for v in vals]
+    spark.createDataFrame(
+        rows, "o_orderpriority string, o_totalprice double"
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+    got = {r.o_orderpriority: (r.n, r.geo_mean) for r in geometric_mean(spark, str(tmp_path)).collect()}
+    for p, vals in groups.items():
+        want = math.exp(sum(math.log(v) for v in vals) / len(vals))
+        assert got[p][0] == len(vals)
+        assert abs(got[p][1] - want) < want * 2e-6 + 2e-4
+
+
+def test_gini_matches_mean_absolute_difference_form(spark, tmp_path):
+    """The query uses the rank form G = 2*sum(i*x_(i))/(n*sum x) -
+    (n+1)/n; the witness computes the DIFFERENT algebraic form
+    G = sum_ij |x_i - x_j| / (2 n^2 mean) — they must agree."""
+    from elective_waiting_times_pipeline_spark.plans.catalog_text import source_gini
+
+    xs = [100, 250, 250, 900, 1500, 40]
+    rows = [(i, "t", "en", "s0", x) for i, x in enumerate(xs)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    r = source_gini(spark, str(tmp_path)).collect()[0]
+    n, mean = len(xs), statistics.mean(xs)
+    mad = sum(abs(a - b) for a in xs for b in xs) / (2 * n * n * mean)
+    assert r.n_docs == n
+    assert abs(r.gini - mad) < 1e-6
+
+
+def test_lexical_diversity_matches_textbook(spark, tmp_path):
+    from elective_waiting_times_pipeline_spark.plans.catalog_text import (
+        lexical_diversity,
+    )
+
+    texts = ["a b b c", "c d d d", "e"]
+    rows = [(i, t, "en", "s0", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    r = lexical_diversity(spark, str(tmp_path)).collect()[0]
+    toks = [w for t in texts for w in t.split()]
+    counts: dict[str, int] = {}
+    for w in toks:
+        counts[w] = counts.get(w, 0) + 1
+    hapax = sum(1 for c in counts.values() if c == 1)
+    assert (r.vocab, r.n_tokens) == (len(counts), len(toks))
+    assert abs(r.hapax_ratio - hapax / len(counts)) < 1e-6
+    assert abs(r.type_token_ratio - len(counts) / len(toks)) < 1e-6
+
+
+def test_char_entropy_matches_shannon_definition(spark, tmp_path):
+    """Query computes H = ln L - (sum k ln k)/L; witness computes the
+    definitional H = -sum p ln p — algebraically equal, numerically
+    independent."""
+    from elective_waiting_times_pipeline_spark.plans.catalog_text import char_entropy
+
+    texts = ["aabb", "abcabcabc", "zzzzz"]
+    rows = [(i, t, "en", "s0", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got = {r.doc_id: (r.n_chars, r.char_entropy) for r in char_entropy(spark, str(tmp_path)).collect()}
+    for i, t in enumerate(texts):
+        counts: dict[str, int] = {}
+        for ch in t:
+            counts[ch] = counts.get(ch, 0) + 1
+        L = len(t)
+        h = -sum((k / L) * math.log(k / L) for k in counts.values())
+        assert got[i][0] == L
+        assert abs(got[i][1] - h) < 1e-4
+
+
+def test_mutual_information_matches_textbook(spark, tmp_path):
+    from elective_waiting_times_pipeline_spark.plans.catalog_text import (
+        mutual_information,
+    )
+
+    cells = {("en", "src0"): 30, ("en", "src1"): 10, ("de", "src0"): 5, ("de", "src1"): 25}
+    rows, did = [], 0
+    for (lang, src), c in cells.items():
+        for _ in range(c):
+            rows.append((did, "x", lang, src, 1))
+            did += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    r = mutual_information(spark, str(tmp_path)).collect()[0]
+    n = sum(cells.values())
+    ni = {"en": 40, "de": 30}
+    nj = {"src0": 35, "src1": 35}
+    mi = sum(
+        (c / n) * math.log((c * n) / (ni[l] * nj[s])) for (l, s), c in cells.items()
+    )
+    assert (r.n_docs, r.n_cells) == (n, 4)
+    assert abs(r.mi_nats - mi) < 1e-4
+
+
+def test_source_divergence_matches_smoothed_kl(spark, tmp_path):
+    from elective_waiting_times_pipeline_spark.plans.catalog_text import (
+        source_divergence,
+    )
+
+    texts = {"s0": ["a a b c", "a b"], "s1": ["c c d", "d d d c"]}
+    rows, did = [], 0
+    for src, ts in texts.items():
+        for t in ts:
+            rows.append((did, t, "en", src, len(t)))
+            did += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got = {r.source: (r.n_tokens, r.kl_divergence) for r in source_divergence(spark, str(tmp_path)).collect()}
+    per_src: dict[str, dict[str, int]] = {}
+    corpus: dict[str, int] = {}
+    for src, ts in texts.items():
+        d = per_src.setdefault(src, {})
+        for t in ts:
+            for w in t.split():
+                d[w] = d.get(w, 0) + 1
+                corpus[w] = corpus.get(w, 0) + 1
+    V = len(corpus)
+    N = sum(corpus.values())
+    for src, d in per_src.items():
+        n_s = sum(d.values())
+        kl = sum(
+            ((d.get(t, 0) + 0.5) / (n_s + 0.5 * V))
+            * math.log(
+                ((d.get(t, 0) + 0.5) / (n_s + 0.5 * V))
+                / ((corpus[t] + 0.5) / (N + 0.5 * V))
+            )
+            for t in corpus
+        )
+        assert got[src][0] == n_s
+        assert abs(got[src][1] - kl) < 1e-4
+
+
+def test_supplier_hhi_matches_share_squares(spark, tmp_path):
+    from elective_waiting_times_pipeline_spark.plans.catalog_tpch import supplier_hhi
+
+    li = [
+        (1, 7, 100.0, 0.10), (1, 7, 50.0, 0.00), (1, 8, 300.0, 0.05),
+        (2, 9, 40.0, 0.00),
+    ]
+    spark.createDataFrame(
+        li, "l_partkey long, l_suppkey long, l_extendedprice double, l_discount double"
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+    spark.createDataFrame(
+        [(1, "BRASS"), (2, "STEEL")], "p_partkey long, p_type string"
+    ).write.parquet(f"{tmp_path}/part.parquet")
+    got = {r.p_type: (r.n_suppliers, r.hhi) for r in supplier_hhi(spark, str(tmp_path)).collect()}
+    rev: dict[tuple, int] = {}
+    types = {1: "BRASS", 2: "STEEL"}
+    for pk, sk, price, disc in li:
+        r_ = round(price * 100) * (100 - round(disc * 100))
+        rev[(types[pk], sk)] = rev.get((types[pk], sk), 0) + r_
+    for t in set(types.values()):
+        revs = [v for (tt, _), v in rev.items() if tt == t]
+        tot = sum(revs)
+        hhi = sum((v / tot) ** 2 for v in revs)
+        assert got[t][0] == len(revs)
+        assert abs(got[t][1] - hhi) < 1e-6
+
+
+def test_anova_matches_decomposition_from_raw_values(spark, tmp_path):
+    """Query computes eta^2/F from moment sums; witness decomposes
+    SSB/SSW directly from the raw per-group values."""
+    from elective_waiting_times_pipeline_spark.plans.catalog_tpch import (
+        price_anova_brand,
+    )
+
+    groups = {"Brand#1": [10.0, 12.0, 11.5, 14.0], "Brand#2": [20.0, 22.5, 19.0]}
+    li, part, pk = [], [], 0
+    for b, vals in groups.items():
+        for v in vals:
+            part.append((pk, b))
+            li.append((pk, v))
+            pk += 1
+    spark.createDataFrame(li, "l_partkey long, l_extendedprice double").write.parquet(
+        f"{tmp_path}/lineitem.parquet"
+    )
+    spark.createDataFrame(part, "p_partkey long, p_brand string").write.parquet(
+        f"{tmp_path}/part.parquet"
+    )
+    r = price_anova_brand(spark, str(tmp_path)).collect()[0]
+    allv = [v for vals in groups.values() for v in vals]
+    gm = statistics.mean(allv)
+    ssb = sum(len(v) * (statistics.mean(v) - gm) ** 2 for v in groups.values())
+    ssw = sum(sum((x - statistics.mean(v)) ** 2 for x in v) for v in groups.values())
+    k, nn = len(groups), len(allv)
+    assert (r.n_groups, r.n_rows) == (k, nn)
+    assert abs(r.eta_sq - ssb / (ssb + ssw)) < 1e-6
+    assert abs(r.f_stat - (ssb / (k - 1)) / (ssw / (nn - k))) < 1e-5
