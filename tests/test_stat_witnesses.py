@@ -488,3 +488,271 @@ def test_anova_matches_decomposition_from_raw_values(spark, tmp_path):
     assert (r.n_groups, r.n_rows) == (k, nn)
     assert abs(r.eta_sq - ssb / (ssb + ssw)) < 1e-6
     assert abs(r.f_stat - (ssb / (k - 1)) / (ssw / (nn - k))) < 1e-5
+
+
+def test_corr_stats_matches_numpy(spark, tmp_path):
+    import numpy as np
+
+    from elective_waiting_times_pipeline_spark.plans.catalog_relational import (
+        corr_stats,
+    )
+
+    q = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+    p = [10.0, 22.0, 28.0, 44.0, 49.0, 66.0]
+    d = [0.00, 0.05, 0.10, 0.02, 0.07, 0.04]
+    spark.createDataFrame(
+        [("A", q[i], p[i], d[i]) for i in range(len(q))],
+        "l_returnflag string, l_quantity double, l_extendedprice double, l_discount double",
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+    r = corr_stats(spark, str(tmp_path)).collect()[0]
+    want_corr = float(np.corrcoef(q, p)[0, 1])
+    want_sd = float(np.std(d, ddof=1))
+    assert abs(r.qty_price_corr - want_corr) < 1e-6
+    assert abs(r.disc_stddev - want_sd) < 1e-6
+
+
+def test_linear_fit_matches_numpy_lstsq(spark, tmp_path):
+    import numpy as np
+
+    from elective_waiting_times_pipeline_spark.plans.catalog_relational import (
+        linear_fit,
+    )
+
+    q = [1.0, 2.0, 3.0, 4.0, 5.0]
+    p = [12.0, 19.5, 31.0, 38.5, 52.0]
+    spark.createDataFrame(
+        [("R", q[i], p[i]) for i in range(len(q))],
+        "l_returnflag string, l_quantity double, l_extendedprice double",
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+    r = linear_fit(spark, str(tmp_path)).collect()[0]
+    slope, intercept = np.polyfit(q, p, 1)
+    assert r.n == len(q)
+    assert abs(r.slope - slope) < 1e-4
+    assert abs(r.intercept - intercept) < 1e-4
+
+
+def test_ols_trend_matches_numpy(spark, tmp_path):
+    import numpy as np
+
+    from elective_waiting_times_pipeline_spark.plans.catalog_events import (
+        ols_trend_by_type,
+    )
+
+    daily = [100.0, 104.0, 103.0, 109.0, 115.0, 113.0, 120.0]
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(days=i, hours=4), 1, "view", v, "{}")
+        for i, v in enumerate(daily)
+    ]
+    _write_events(spark, str(tmp_path), rows)
+    r = ols_trend_by_type(spark, str(tmp_path)).collect()[0]
+    x = np.arange(len(daily), dtype=float)
+    y = np.array(daily)
+    slope, intercept = np.polyfit(x, y, 1)
+    r2 = float(np.corrcoef(x, y)[0, 1]) ** 2
+    assert r.n == len(daily)
+    assert abs(r.slope_per_day - slope) < 1e-5
+    assert abs(r.intercept - intercept) < 1e-4
+    assert abs(r.r2 - r2) < 1e-5
+
+
+def test_zipf_slope_recovers_power_law(spark, tmp_path):
+    import numpy as np
+
+    from elective_waiting_times_pipeline_spark.plans.catalog_text import zipf_fit
+
+    # exact frequency table: cnt_r = round(1000 / r) for ranks 1..8
+    counts = [round(1000 / r) for r in range(1, 9)]
+    text = " ".join(f"w{r}" for r, c in enumerate(counts, 1) for _ in range(c))
+    spark.createDataFrame(
+        [(0, text, "en", "s0", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    r = zipf_fit(spark, str(tmp_path)).collect()[0]
+    lx = np.log(np.arange(1, 9, dtype=float))
+    ly = np.log(np.array(counts, dtype=float))
+    slope = np.polyfit(lx, ly, 1)[0]
+    assert r.n_terms == 8
+    assert abs(r.zipf_slope - slope) < 5e-3  # 1e-3 log snap on both axes
+
+
+def test_interarrival_percentiles_match_numpy(spark, tmp_path):
+    import numpy as np
+
+    from elective_waiting_times_pipeline_spark.plans.catalog_events import (
+        interarrival_stats,
+    )
+
+    offsets = [0, 10, 25, 26, 60, 61, 100, 400, 1000]  # seconds, one user
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), 1, "click", 1.0, "{}")
+        for i, s in enumerate(offsets)
+    ]
+    _write_events(spark, str(tmp_path), rows)
+    r = interarrival_stats(spark, str(tmp_path)).collect()[0]
+    gaps = np.diff(offsets).astype(float)
+    assert r.n_gaps == len(gaps)
+    assert abs(r.p50_gap_s - np.percentile(gaps, 50)) < 1e-4
+    assert abs(r.p90_gap_s - np.percentile(gaps, 90)) < 1e-4
+    assert abs(r.p99_gap_s - np.percentile(gaps, 99)) < 1e-4
+
+
+def test_retention_curve_matches_hand_count(spark, tmp_path):
+    from elective_waiting_times_pipeline_spark.plans.catalog_events import (
+        retention_curve,
+    )
+
+    d0 = dt.datetime(2024, 1, 1, 9)
+    rows = [
+        # cohort day 0: users 1,2,3; day 1: users 1,2 return; day 3: user 1
+        (1, d0, 1, "view", 1.0, "{}"),
+        (2, d0, 2, "view", 1.0, "{}"),
+        (3, d0, 3, "view", 1.0, "{}"),
+        (4, d0 + dt.timedelta(days=1), 1, "click", 1.0, "{}"),
+        (5, d0 + dt.timedelta(days=1, hours=2), 2, "click", 1.0, "{}"),
+        (6, d0 + dt.timedelta(days=3), 1, "purchase", 1.0, "{}"),
+    ]
+    _write_events(spark, str(tmp_path), rows)
+    got = {
+        (r.cohort_day, r.day_offset): (r.n_users, r.retention_rate)
+        for r in retention_curve(spark, str(tmp_path)).collect()
+    }
+    day = dt.datetime(2024, 1, 1)
+    assert got[(day, 0)] == (3, 1.0)
+    assert got[(day, 1)] == (2, round(2 / 3, 6))
+    assert got[(day, 3)] == (1, round(1 / 3, 6))
+    assert set(got) == {(day, 0), (day, 1), (day, 3)}
+
+
+def test_bootstrap_ci_matches_python_replication(spark, tmp_path):
+    """Replays the deterministic Poisson-bootstrap exactly in python
+    (same md5 grid, same thresholds) AND validates the embedded
+    threshold hex literals against the Poisson(1) CDF."""
+    import hashlib
+
+    import numpy as np
+
+    from elective_waiting_times_pipeline_spark.plans.catalog_relational import (
+        _POIS_HEX,
+        bootstrap_mean_ci,
+    )
+
+    cdf, term = 0.0, math.exp(-1)
+    for k in range(7):
+        cdf += term
+        assert _POIS_HEX[k] == format(math.ceil(cdf * 65536), "04x")
+        term /= k + 1
+
+    vals = [10.0, 12.5, 9.0, 20.0, 15.5, 11.0, 30.0, 8.25, 14.0, 22.0]
+    spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "o_orderkey long, o_totalprice double"
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+    r = bootstrap_mean_ci(spark, str(tmp_path)).collect()[0]
+    means = []
+    for rep in range(1, 65):
+        sw, swv = 0, 0
+        for i, v in enumerate(vals):
+            u = hashlib.md5(f"{i}#{rep}".encode()).hexdigest()[:4]
+            w = next((k for k, h in enumerate(_POIS_HEX) if u < h), 7)
+            sw += w
+            swv += w * math.floor(v * 100 + 0.5)
+        if sw > 0:
+            means.append(swv / sw / 100)
+    assert r.n_replicas == len(means)
+    assert abs(r.ci_lo - np.percentile(means, 2.5)) < 1e-4
+    assert abs(r.ci_mid - np.percentile(means, 50)) < 1e-4
+    assert abs(r.ci_hi - np.percentile(means, 97.5)) < 1e-4
+
+
+def test_rolling_zscore_flags_constructed_spike(spark, tmp_path):
+    """30 hourly buckets of value 10.00 then one 50.00 spike: the
+    spike's z against the trailing-24 window must match the hand
+    formula and flag, and no steady bucket may flag."""
+    from elective_waiting_times_pipeline_spark.plans.catalog_events import (
+        events_anomaly_zscore,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    hourly = [10.0] * 30 + [50.0]
+    rows = [
+        (i, base + dt.timedelta(hours=i, minutes=5), 1, "view", v, "{}")
+        for i, v in enumerate(hourly)
+    ]
+    _write_events(spark, str(tmp_path), rows)
+    got = {r.bucket: r for r in events_anomaly_zscore(spark, str(tmp_path)).collect()}
+    spike = got[base + dt.timedelta(hours=30)]
+    # trailing 24 windows are all au=1000 cents → variance 0 → z NULL
+    # by the var>0 guard… so construct the expectation from the spec:
+    assert spike.z_score is None or abs(spike.z_score) > 3
+    # add jitter series for a real z: rerun with alternating values
+    import shutil
+
+    shutil.rmtree(f"{tmp_path}/events.parquet")
+    hourly = [10.0, 12.0] * 15 + [50.0]
+    rows = [
+        (i, base + dt.timedelta(hours=i, minutes=5), 1, "view", v, "{}")
+        for i, v in enumerate(hourly)
+    ]
+    _write_events(spark, str(tmp_path), rows)
+    got = {r.bucket: r for r in events_anomaly_zscore(spark, str(tmp_path)).collect()}
+    aus = [math.floor(v * 100 + 0.5) for v in hourly]
+    win = aus[30 - 24 : 30]
+    m = sum(win) / len(win)
+    var = sum(a * a for a in win) / len(win) - m * m
+    z = (aus[30] - m) / math.sqrt(var)
+    spike = got[base + dt.timedelta(hours=30)]
+    assert abs(spike.z_score - z) < 1e-4
+    assert spike.is_anomaly == (abs(z) > 3)
+    steady = got[base + dt.timedelta(hours=29)]
+    assert not steady.is_anomaly
+
+
+def test_daily_autocorrelation_matches_textbook_acf(spark, tmp_path):
+    import numpy as np
+
+    from elective_waiting_times_pipeline_spark.plans.catalog_events import (
+        daily_autocorrelation,
+    )
+
+    counts = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8]  # events per day, dense
+    rows, eid = [], 0
+    for d, c in enumerate(counts):
+        for j in range(c):
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1) + dt.timedelta(days=d, minutes=j), 1, "view", 1.0, "{}")
+            )
+            eid += 1
+    _write_events(spark, str(tmp_path), rows)
+    got = {r.lag: r.acf for r in daily_autocorrelation(spark, str(tmp_path)).collect()}
+    x = np.array(counts, dtype=float)
+    m = x.mean()
+    den = ((x - m) ** 2).sum()
+    for k in range(1, 8):
+        want = (((x[k:] - m) * (x[:-k] - m)).sum()) / den
+        assert abs(got[k] - want) < 1e-6, k
+
+
+def test_stl_decomposition_recovers_additive_structure(spark, tmp_path):
+    """y(t) = 100 + 2t + dow_effect: the 7-day MA must reproduce the
+    linear trend exactly (a full week of effects sums to zero-mean),
+    the seasonal must recover each dow effect minus the effect mean,
+    and the remainder must vanish."""
+    from elective_waiting_times_pipeline_spark.plans.catalog_events import (
+        stl_decompose_daily,
+    )
+
+    effects = [4.0, -3.0, 1.0, 0.0, -2.0, 6.0, -6.0]  # per dow, mean 0
+    n_days = 21
+    rows = []
+    for t in range(n_days):
+        y = 100.0 + 2.0 * t + effects[t % 7]
+        rows.append((t, dt.datetime(2024, 1, 1, 8) + dt.timedelta(days=t), 1, "view", y, "{}"))
+    _write_events(spark, str(tmp_path), rows)
+    out = {r.day: r for r in stl_decompose_daily(spark, str(tmp_path)).collect()}
+    # full centered windows exist for t = 3 .. n-4
+    assert len(out) == n_days - 6
+    for t in range(3, n_days - 3):
+        r = out[dt.datetime(2024, 1, 1) + dt.timedelta(days=t)]
+        assert abs(r.revenue - (100.0 + 2.0 * t + effects[t % 7])) < 1e-9
+        assert abs(r.trend - (100.0 + 2.0 * t)) < 1e-4          # MA kills the season
+        assert abs(r.seasonal - effects[t % 7]) < 1e-4          # effect mean is 0
+        assert abs(r.remainder) < 1e-4
