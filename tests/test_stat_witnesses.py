@@ -756,3 +756,54 @@ def test_stl_decomposition_recovers_additive_structure(spark, tmp_path):
         assert abs(r.trend - (100.0 + 2.0 * t)) < 1e-4          # MA kills the season
         assert abs(r.seasonal - effects[t % 7]) < 1e-4          # effect mean is 0
         assert abs(r.remainder) < 1e-4
+
+
+def test_time_weighted_avg_matches_locf_integral(spark, tmp_path):
+    """Witness computes the LOCF integral directly: sum(v_i * dt_i) /
+    total observed time over the irregular series."""
+    from elective_waiting_times_pipeline_spark.plans.catalog_events import (
+        time_weighted_avg,
+    )
+
+    obs = [(0, 10.0), (30, 20.0), (90, 5.0), (100, 40.0)]  # (sec, value)
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=s), 7, "reading", v, "{}")
+        for i, (s, v) in enumerate(obs)
+    ]
+    _write_events(spark, str(tmp_path), rows)
+    r = time_weighted_avg(spark, str(tmp_path)).collect()[0]
+    num = sum(v * (obs[i + 1][0] - s) for i, (s, v) in enumerate(obs[:-1]))
+    den = obs[-1][0] - obs[0][0]
+    assert r.user_id == 7 and r.observed_s == den
+    assert abs(r.twa - num / den) < 1e-6
+
+
+def test_peak_concurrency_matches_brute_force_overlap(spark, tmp_path):
+    """Witness counts concurrency by brute force: sessions are
+    [first_event, last_event + 30 min) per user; peak = max over all
+    session-start instants of how many sessions contain it."""
+    from elective_waiting_times_pipeline_spark.plans.catalog_events import (
+        peak_concurrency,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12)
+    # users with overlapping single-event sessions (each spans 30 min)
+    starts_min = {1: [0], 2: [10], 3: [20], 4: [25], 5: [70], 6: [75]}
+    rows, eid = [], 0
+    for uid, ss in starts_min.items():
+        for s in ss:
+            rows.append((eid, base + dt.timedelta(minutes=s), uid, "view", 1.0, "{}"))
+            eid += 1
+    _write_events(spark, str(tmp_path), rows)
+    got = {r.event_type: r.peak_concurrent for r in peak_concurrency(spark, str(tmp_path)).collect()}
+    sessions = [
+        (base + dt.timedelta(minutes=s), base + dt.timedelta(minutes=s + 30))
+        for ss in starts_min.values()
+        for s in ss
+    ]
+    peak = max(
+        sum(1 for (a, b) in sessions if a <= t < b) for (t, _) in sessions
+    )
+    assert got == {"view": peak}
+    assert peak == 4  # sessions at 0,10,20,25 all alive at minute 25
