@@ -1060,14 +1060,26 @@ def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.struct(F.col("s_end").alias("t"), F.lit(-1).alias("delta")),
             )
         ).alias("b"),
-    ).select("event_type", "b.t", "b.delta")
+    ).select("event_type", "b.t", "b.delta", F.unix_micros("b.t").alias("_tus"))
     from elective_waiting_times_pipeline_spark.operators import sampling as S
 
-    day = F.datediff(F.col("t").cast("date"), F.to_date(F.lit("1970-01-01")))
+    # hash-sampled cut points on the boundary-TIME axis, NOT calendar
+    # days: with a fixed time span, per-(type, day) partitions deepen
+    # linearly with data (a shifted-user ×100 probe read 35× on the
+    # day form); equal-mass buckets keep partition depth ~|bounds|/64
+    # at any density. The sample comes from the RAW event-time column
+    # — cuts only steer parallelism (any monotone bucketing is exact),
+    # and session boundaries track event times closely, so the cheap
+    # single-column TakeOrdered scan replaces either a checkpoint of
+    # the bounds relation or a second session_window derivation.
+    cuts = S.range_cut_points(
+        ev.select(F.unix_micros("ts").alias("_tus")), "_tus",
+        n_buckets=64, sample_rows=4096,
+    )
     curve = S.ordered_prefix(
         bounds,
         [F.col("t"), F.col("delta")],
-        day,
+        S.range_bucket(F.col("_tus"), cuts),
         group_cols=["event_type"],
         weight="delta",
         out_prefix="concurrent",
