@@ -1924,13 +1924,27 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
-    ranked = docs.select("source", "n_chars", F.row_number().over(w).alias("i"))
+    from elective_waiting_times_pipeline_spark.operators import sampling as S
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars", "doc_id")
+    # per-source rank via the range-bucketed distributed prefix — a
+    # plain Window.partitionBy("source") sorts a corpus-sized
+    # partition per source (sources are few); the sampled cut points
+    # keep partition depth ~corpus/64 at any density. Σ i·x rides
+    # decimal(38,0): rank·n_chars sums pass int64 at petascale.
+    cuts = S.range_cut_points(docs, "n_chars", n_buckets=64, sample_rows=4096)
+    ranked = S.ordered_prefix(
+        docs,
+        [F.col("n_chars"), F.col("doc_id")],
+        S.range_bucket(F.col("n_chars"), cuts),
+        group_cols=["source"],
+        out_pos="i",
+    )
+    sum_ix = F.sum((F.col("i") * F.col("n_chars")).cast("decimal(38,0)")).cast("double")
     return ranked.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(
-            2.0 * F.sum(F.col("i") * F.col("n_chars")) / (F.count(F.lit(1)) * F.sum("n_chars"))
+            2.0 * sum_ix / (F.count(F.lit(1)) * F.sum("n_chars"))
             - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
             6,
         ).alias("gini"),
