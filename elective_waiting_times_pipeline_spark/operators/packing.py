@@ -7,9 +7,10 @@ Two standard disciplines, both provided:
    within a shard, documents are laid head-to-tail in a deterministic
    order and the token stream is cut every `budget` tokens; a document
    may straddle a cut. We emit each doc's start offset and the chunk
-   containing its first token. Pure window cum-sum — one shuffle on the
-   shard key, fully SQL-expressible (DuckDB-oracle-checked), and the
-   shard count bounds per-task state, so it holds at corpus scale.
+   containing its first token. Fully SQL-expressible (DuckDB-oracle-
+   checked); with `id_cuts` the cum-sum rides the range-bucketed
+   distributed prefix so per-task depth stays bounded at corpus scale
+   even with few shards (see `chunk_offsets`).
 
 2. `greedy_pack` — **no-split first-fit-decreasing** (SFT-style: a
    document must not straddle windows). Bin packing is inherently
@@ -47,11 +48,42 @@ def chunk_offsets(
     id_col: str = "doc_id",
     budget: int = 512,
     shards: int = 8,
+    id_cuts: list[float] | None = None,
 ) -> DataFrame:
     """Concat-and-chunk offsets: (id, shard, start_offset, chunk_id)
     where chunk_id = floor(start_offset / budget) under a head-to-tail
-    layout ordered by `id_col` within each shard."""
+    layout ordered by `id_col` within each shard.
+
+    Without `id_cuts`, the running sum is a plain per-shard window —
+    each of the `shards` partitions sorts corpus/shards rows, so this
+    form only holds at scale if `shards` is raised with the data. Pass
+    `id_cuts` (range_cut_points over the id column — sample the RAW
+    table's id so the action does not replay this df's lineage, e.g.
+    a corpus tokenize) and the sum rides the range-bucketed
+    distributed prefix instead: partition depth ~corpus/|cuts| at any
+    shard count, exclusive prefix = inclusive − own weight."""
     sharded = _with_shard(df, id_col, shards)
+    if id_cuts is not None:
+        from elective_waiting_times_pipeline_spark.operators.sampling import (
+            ordered_prefix,
+            range_bucket,
+        )
+
+        pre = ordered_prefix(
+            sharded,
+            [F.col(id_col)],
+            range_bucket(F.col(id_col), id_cuts),
+            group_cols=[SHARD_COL],
+            weight=ntok_col,
+            out_prefix="cum_tok",
+        )
+        excl = (F.col("cum_tok") - F.col(ntok_col)).cast("long")
+        return pre.select(
+            F.col(id_col),
+            F.col(SHARD_COL),
+            excl.alias("start_offset"),
+            F.floor(excl / budget).cast("long").alias("chunk_id"),
+        )
     w = (
         Window.partitionBy(SHARD_COL)
         .orderBy(id_col)

@@ -555,9 +555,15 @@ from elective_waiting_times_pipeline_spark.operators import packing as P  # noqa
     """,
 )
 def pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elective_waiting_times_pipeline_spark.operators import sampling as S
+
     docs = load_table(spark, sf_dir, "documents")
     with_tokens = docs.select("doc_id", X.token_count("text").cast("long").alias("n_tokens"))
-    return P.chunk_offsets(with_tokens, budget=512, shards=8)
+    # id cut points sampled from the RAW scan (no tokenize replay):
+    # the running sum then rides the bucketed distributed prefix, so
+    # per-task depth stays ~corpus/64 however few shards there are
+    cuts = S.range_cut_points(docs.select("doc_id"), "doc_id", n_buckets=64, sample_rows=4096)
+    return P.chunk_offsets(with_tokens, budget=512, shards=8, id_cuts=cuts)
 
 
 # ---------------------------------------------------------------------------
