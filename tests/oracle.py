@@ -70,7 +70,15 @@ def assert_matches_oracle(spark_df, oracle_sql: str, sf_dir: str, float_tol: flo
             return "datetime"
         return "other"
 
-    for c in set(raw_got.columns) & set(raw_want.columns):
+    # Column-name parity FIRST (on the raw frames, order-insensitive —
+    # the driver sorts columns by name before hashing), so a renamed or
+    # missing column fails here with the full name lists instead of
+    # silently skipping the dtype gate. Then dtype-class per column in
+    # sorted order so the first reported mismatch is deterministic.
+    assert sorted(raw_got.columns) == sorted(raw_want.columns), (
+        f"columns differ: spark={sorted(raw_got.columns)} vs oracle={sorted(raw_want.columns)}"
+    )
+    for c in sorted(raw_got.columns):
         cg, cw = _cls(raw_got[c]), _cls(raw_want[c])
         assert cg == cw, (
             f"column {c} dtype-class mismatch: spark={raw_got[c].dtype} ({cg}) "
@@ -79,7 +87,6 @@ def assert_matches_oracle(spark_df, oracle_sql: str, sf_dir: str, float_tol: flo
         )
     got = _normalize(raw_got)
     want = _normalize(raw_want)
-    assert list(got.columns) == list(want.columns), f"columns differ: {list(got.columns)} vs {list(want.columns)}"
     assert len(got) == len(want), f"row counts differ: {len(got)} vs {len(want)}"
     for c in got.columns:
         g, w = got[c], want[c]
