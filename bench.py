@@ -100,7 +100,7 @@ def main() -> None:
     # by calib_sec normalizes cross-boot comparisons. min-of-2 after a
     # warmup, like the queries themselves.
     calib = None
-    for i in range(3):
+    for i in range(4):  # warmup + min-of-3: bursty hosts need the extra sample
         t0 = time.perf_counter()
         # pmod keeps the running sum far below int64 under ANSI mode
         spark.range(200_000_000).selectExpr(
@@ -182,6 +182,18 @@ def _continuity(timings: dict[str, float], sf_val, calib: float | None = None) -
             drift = calib / prev_calib
             out["calib_drift"] = round(drift, 3)
             out["ratio_calib_normalized"] = round(ratio / drift, 3)
+            # Per-query drift-normalized numbers (prev-round host
+            # units) and the normalized delta vs the previous record —
+            # with drift routinely 1.2-3x, raw per-query deltas are
+            # uninterpretable; these make the regression table one
+            # read. delta < 0 is faster than last round on equal-speed
+            # hosts.
+            out["queries_normalized"] = {
+                q: round(t / drift, 3) for q, t in timings.items()
+            }
+            out["queries_delta_normalized"] = {
+                q: round(timings[q] / drift - pq[q], 3) for q in common
+            }
         return out
     return {}
 

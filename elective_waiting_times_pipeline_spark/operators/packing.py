@@ -72,7 +72,7 @@ def chunk_offsets(
         pre = ordered_prefix(
             sharded,
             [F.col(id_col)],
-            range_bucket(F.col(id_col), id_cuts),
+            range_bucket(id_col, id_cuts),
             group_cols=[SHARD_COL],
             weight=ntok_col,
             out_prefix="cum_tok",

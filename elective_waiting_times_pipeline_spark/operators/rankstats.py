@@ -71,7 +71,7 @@ def doubled_avg_rank(
     pre = ordered_prefix(
         g,
         [F.col(value_col).asc()],
-        range_bucket(F.col(value_col), cuts),
+        range_bucket(value_col, cuts),
         weight="_cnt",
         out_prefix="_cum",
     )
@@ -172,7 +172,7 @@ def mann_whitney_u(
     pre = ordered_prefix(
         g,
         [F.col(value_col).asc()],
-        range_bucket(F.col(value_col), cuts),
+        range_bucket(value_col, cuts),
         weight="_cnt",
         out_prefix="_cum",
     )

@@ -274,7 +274,108 @@ def range_cut_points(
     return sorted(set(cuts))
 
 
-def range_bucket(value: Column, cuts: Sequence[float], descending: bool = False) -> Column:
+def parquet_footer_cuts(
+    path: str,
+    column: str,
+    n_buckets: int = 64,
+    max_footers: int = 64,
+) -> list[float] | None:
+    """Range cut points from parquet row-group STATISTICS — a driver-
+    side footer read, zero Spark jobs. Cut points only steer the
+    parallelism of `ordered_prefix` (any monotone bucketing yields the
+    same exact ranks), so metadata-grade precision is enough; callers
+    save the sample action (and the localCheckpoint that existed only
+    to keep that action off an expensive upstream, e.g. a corpus
+    tokenize).
+
+    Equal-mass argument: parquet row groups are written at a fixed
+    target size, so the sorted per-row-group (min+max)/2 midpoints are
+    an ~equal-weight sample of the column's distribution — every k-th
+    midpoint is an approximate quantile even when files overlap in
+    range. With fewer row groups than buckets (small/single-file
+    tables), cuts interpolate uniformly inside the global [min, max]:
+    exact equal-mass for dense keys, and merely uneven fan-out — never
+    wrong results — for clustered ones. Datasets with pathologically
+    clustered keys AND few row groups should keep the sampled
+    `range_cut_points` path.
+
+    Returns None when footers can't vouch for the column (missing
+    stats, column absent, non-numeric min/max, no files) — the caller
+    falls back to `range_cut_points`. At most `max_footers` evenly
+    spaced file footers are read so a million-file lake costs a
+    bounded driver read."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = sorted(
+            f
+            for pat in ("*.parquet", "part-*")
+            for f in glob.glob(os.path.join(path, pat))
+        )
+        files = sorted(set(files))
+    else:
+        files = [path] if os.path.exists(path) else []
+    if not files:
+        return None
+    if len(files) > max_footers:
+        step = len(files) / max_footers
+        files = [files[int(i * step)] for i in range(max_footers)]
+    spans: list[tuple[float, float]] = []
+    try:
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            ci = next(
+                (i for i in range(md.num_columns) if md.schema.column(i).name == column),
+                None,
+            )
+            if ci is None:
+                return None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                spans.append((float(st.min), float(st.max)))
+    except Exception:
+        return None
+    if not spans:
+        return None
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    if len(spans) >= n_buckets:
+        mids = sorted((lo + hi) / 2.0 for lo, hi in spans)
+        cuts = {mids[min(int(q * len(mids)), len(mids) - 1)] for q in qs}
+    else:
+        lo = min(s[0] for s in spans)
+        hi = max(s[1] for s in spans)
+        if hi <= lo:
+            return []
+        cuts = {lo + (hi - lo) * q for q in qs}
+    return sorted(cuts)
+
+
+def _uniform_step(cuts: Sequence[float]) -> float | None:
+    """The common spacing of `cuts` if they are (numerically) uniformly
+    spaced, else None. Tolerance is relative to the span — footer-
+    interpolated cuts are uniform up to float rounding, sampled
+    equal-mass cuts over a skewed axis are not."""
+    if len(cuts) < 2:
+        return None
+    c0, cn = float(cuts[0]), float(cuts[-1])
+    step = (cn - c0) / (len(cuts) - 1)
+    if step <= 0:
+        return None
+    tol = max(abs(cn - c0), 1.0) * 1e-9
+    for i, c in enumerate(cuts):
+        if abs(float(c) - (c0 + i * step)) > tol:
+            return None
+    return step
+
+
+def range_bucket(
+    value: Column | str, cuts: Sequence[float], descending: bool = False
+) -> Column:
     """Monotone bucket index of `value` along the ascending (or
     descending) value order: the count of cut points strictly before
     the value in sort direction. A pure per-row codegen expression —
@@ -289,14 +390,65 @@ def range_bucket(value: Column, cuts: Sequence[float], descending: bool = False)
     Window.orderBy; but DuckDB sorts NULLs last either way, so a
     null-keyed rank cannot be engine-stable across oracles.
 
-    Implementation note: a CASE-WHEN sum, not `size(filter(array))` —
-    the higher-order-function form hits a Spark 4 internal error
-    (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND) when the optimizer inlines
-    the lambda into a downstream window sort; the when-chain codegens
-    identically and collapses fine."""
+    Implementation notes (all three forms produce a MONOTONE bucketing
+    with the identical NULL/NaN placement — callers' ranks are exact
+    under any of them, so the choice is purely a plan-size/driver-cost
+    trade):
+    - UNIFORM cuts (footer-interpolated ones always are) take a
+      closed-form ~10-node expression — CEIL of an affine map, clamped
+      — instead of a |cuts|-term CASE chain. The chain's cost is NOT
+      execution (codegen collapses it) but DRIVER latency: ~6 py4j
+      round trips per cut to build, and every subsequent DataFrame op
+      re-walks the big subtree in analysis — measured ~0.65 s of plan
+      build per bucketed-prefix query at 64 cuts. NaN is guarded
+      explicitly: Spark's CEIL/FLOOR cast NaN to 0, which would send
+      NaN to the FIRST bucket while the sort puts it LAST.
+    - Non-uniform cuts with a plain string column name render the
+      whole CASE chain as ONE spark-sql string (`F.expr`): same tree,
+      zero per-cut py4j round trips.
+    - Non-uniform cuts with a Column expression keep the per-cut
+      Column chain. Not `size(filter(array))` — the higher-order-
+      function form hits a Spark 4 internal error
+      (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND) when the optimizer inlines
+      the lambda into a downstream window sort; the when-chain
+      codegens identically and collapses fine."""
+    col = F.col(value) if isinstance(value, str) else value
     if not cuts:
         return F.lit(0).cast("long")
-    v = value.cast("double")
+    v = col.cast("double")
+    n = len(cuts)
+    step = _uniform_step(cuts)
+    if step is not None:
+        c0 = float(cuts[0])
+        if descending:
+            # count of cuts strictly above v = n - count(c_i <= v)
+            below_or_eq = F.least(
+                F.lit(n).cast("long"),
+                F.greatest(F.lit(0).cast("long"), F.floor((v - c0) / step) + 1),
+            )
+            return (
+                F.when(F.isnan(v), F.lit(0))  # NaN sorts FIRST desc
+                .otherwise(F.lit(n) - below_or_eq)  # NULL: n - 0 = n, sorts last ✓
+                .cast("long")
+            )
+        below = F.least(
+            F.lit(n).cast("long"),
+            F.greatest(F.lit(0).cast("long"), F.ceil((v - c0) / step)),
+        )
+        # NaN sorts LAST asc; NULL: GREATEST skips it -> bucket 0 ✓
+        return F.when(F.isnan(v), F.lit(n)).otherwise(below).cast("long")
+    if isinstance(value, str) and value.isidentifier():
+        vs = f"CAST(`{value}` AS DOUBLE)"
+        op = "<" if descending else ">"
+        chain = " + ".join(
+            f"(CASE WHEN {vs} {op} CAST({float(c)!r} AS DOUBLE) THEN 1 ELSE 0 END)"
+            for c in cuts
+        )
+        if descending:
+            return F.expr(
+                f"CAST(CASE WHEN `{value}` IS NULL THEN {n} ELSE {chain} END AS BIGINT)"
+            )
+        return F.expr(f"CAST({chain} AS BIGINT)")
     terms = [
         F.when((v < F.lit(float(c))) if descending else (v > F.lit(float(c))), 1).otherwise(0)
         for c in cuts
@@ -352,18 +504,28 @@ def ordered_prefix(
     gcols = list(group_cols)
     b = df.withColumn("_bk", bucket.cast("long"))
     w = Window.partitionBy(*gcols, "_bk").orderBy(*order_cols)
-    ranked = b
-    aggs = [F.count(F.lit(1)).alias("_n")]
-    if out_pos is not None:
-        ranked = ranked.withColumn("_rn", F.row_number().over(w))
+    # row_number is ALWAYS computed (not only when out_pos is asked
+    # for): the offsets side below aggregates the WINDOWED stream —
+    # max(_rn) is the bucket count and max_by(_cw, _rn) the bucket
+    # weight total (_rn is unique within the bucket, so no tie
+    # ambiguity). Aggregating from `ranked` instead of from `b` means
+    # the source is scanned ONCE: a groupBy on `b` plans its partial
+    # aggregation below a fresh Exchange, which is structurally
+    # different from the window's Exchange and defeats reuse — the
+    # pre-r8 shape paid a full second source pass (a second tokenize,
+    # for pack_chunks). The agg over the window output is partition-
+    # local (already hashed on (group, _bk)), so it adds NO exchange;
+    # the one window shuffle is written once and read twice.
+    ranked = b.withColumn("_rn", F.row_number().over(w))
+    aggs = [F.max("_rn").alias("_n")]
     if weight is not None:
         wc = F.col(weight) if isinstance(weight, str) else weight
         ranked = ranked.withColumn(
             "_cw", F.sum(wc).over(w.rowsBetween(Window.unboundedPreceding, 0))
         )
-        aggs.append(F.sum(wc).alias("_ws"))
+        aggs.append(F.max_by("_cw", "_rn").alias("_ws"))
     ow = Window.partitionBy(*gcols).orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = b.groupBy(*gcols, "_bk").agg(*aggs)
+    offsets = ranked.groupBy(*gcols, "_bk").agg(*aggs)
     keep = [*gcols, "_bk"]
     if out_pos is not None:
         offsets = offsets.withColumn("_off", F.coalesce(F.sum("_n").over(ow), F.lit(0)))

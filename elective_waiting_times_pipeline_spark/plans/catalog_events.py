@@ -1079,7 +1079,7 @@ def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     curve = S.ordered_prefix(
         bounds,
         [F.col("t"), F.col("delta")],
-        S.range_bucket(F.col("_tus"), cuts),
+        S.range_bucket("_tus", cuts),
         group_cols=["event_type"],
         weight="delta",
         out_prefix="concurrent",

@@ -2142,7 +2142,7 @@ def weighted_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = S.ordered_prefix(
         v,
         [F.col("val")],
-        S.range_bucket(F.col("val"), cuts),
+        S.range_bucket("val", cuts),
         group_cols=["flag"],
         weight="w",
         out_prefix="cw",
@@ -2191,7 +2191,7 @@ def pareto_front_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     axis = p.groupBy("p_retailprice").agg(F.max("p_size").alias("msz"))
     cuts = S.range_cut_points(axis, "p_retailprice", n_buckets=64, sample_rows=4096)
     b = axis.withColumn(
-        "_bk", S.range_bucket(F.col("p_retailprice"), cuts).cast("long")
+        "_bk", S.range_bucket("p_retailprice", cuts).cast("long")
     )
     # within-bucket running max over strictly-preceding prices (the
     # axis has one row per price, so ROWS ... -1 == "prices < mine")
@@ -2401,7 +2401,7 @@ def trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = S.ordered_prefix(
         v,
         [F.col("val")],
-        S.range_bucket(F.col("val"), cuts),
+        S.range_bucket("val", cuts),
         group_cols=["flag"],
         weight="cnt",
         out_prefix="cw",
@@ -2632,7 +2632,7 @@ def winsorized_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = S.ordered_prefix(
         v,
         [F.col("val")],
-        S.range_bucket(F.col("val"), cuts),
+        S.range_bucket("val", cuts),
         group_cols=["flag"],
         weight="cnt",
         out_prefix="cw",
@@ -2704,7 +2704,7 @@ def monetary_unit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = S.ordered_prefix(
         v,
         [F.col("l_orderkey"), F.col("l_linenumber")],
-        S.range_bucket(F.col("l_orderkey"), cuts),
+        S.range_bucket("l_orderkey", cuts),
         weight="cents",
         out_prefix="cw",
     )
@@ -2762,7 +2762,7 @@ def weighted_p90_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = S.ordered_prefix(
         v,
         [F.col("val")],
-        S.range_bucket(F.col("val"), cuts),
+        S.range_bucket("val", cuts),
         group_cols=["flag"],
         weight="w",
         out_prefix="cw",
@@ -2832,7 +2832,7 @@ def iqr_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = S.ordered_prefix(
         v,
         [F.col("val")],
-        S.range_bucket(F.col("val"), cuts),
+        S.range_bucket("val", cuts),
         group_cols=["flag"],
         weight="cnt",
         out_prefix="cw",
@@ -2899,7 +2899,7 @@ def orderkey_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = S.ordered_prefix(
         o,
         [F.col("key")],
-        S.range_bucket(F.col("key"), cuts),
+        S.range_bucket("key", cuts),
         out_pos="pos",
     )
     runs = (

@@ -558,11 +558,22 @@ def pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from elective_waiting_times_pipeline_spark.operators import sampling as S
 
     docs = load_table(spark, sf_dir, "documents")
+    # One tokenize scan total, zero side actions: the id cut points
+    # come from the parquet row-group footers (driver metadata read,
+    # no Spark job — exact equal-mass for the lake's dense doc_id), and
+    # since r8 `ordered_prefix` derives its offsets side from the
+    # windowed stream itself, so the single tokenize scan feeds the
+    # whole plan. Pre-r8 this paid a separate raw-table sample action
+    # plus a second tokenize pass in the offsets branch. The running
+    # sum still rides the bucketed distributed prefix, so per-task
+    # depth stays ~corpus/64 however few shards there are; a corpus
+    # whose footers can't vouch for doc_id falls back to the 4096-row
+    # hash sample over a checkpointed projection.
     with_tokens = docs.select("doc_id", X.token_count("text").cast("long").alias("n_tokens"))
-    # id cut points sampled from the RAW scan (no tokenize replay):
-    # the running sum then rides the bucketed distributed prefix, so
-    # per-task depth stays ~corpus/64 however few shards there are
-    cuts = S.range_cut_points(docs.select("doc_id"), "doc_id", n_buckets=64, sample_rows=4096)
+    cuts = S.parquet_footer_cuts(f"{sf_dir}/documents.parquet", "doc_id", n_buckets=64)
+    if cuts is None:
+        with_tokens = with_tokens.localCheckpoint(eager=False)
+        cuts = S.range_cut_points(with_tokens, "doc_id", n_buckets=64, sample_rows=4096)
     return P.chunk_offsets(with_tokens, budget=512, shards=8, id_cuts=cuts)
 
 
@@ -1659,7 +1670,7 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     goff = S.ordered_prefix(
         per_n,
         [F.col("n").desc()],
-        S.range_bucket(F.col("n"), cuts, descending=True),
+        S.range_bucket("n", cuts, descending=True),
         weight="_gn",
         out_prefix="_cum",
     ).select("n", (F.col("_cum") - F.col("_gn")).alias("_goff"))
@@ -1761,7 +1772,7 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = S.ordered_prefix(
         scored,
         [F.col("mean_logprob").desc(), F.col("doc_id")],
-        S.range_bucket(F.col("mean_logprob"), cuts, descending=True),
+        S.range_bucket("mean_logprob", cuts, descending=True),
         out_pos="_r",
         out_total="_N",
     )
@@ -1942,7 +1953,7 @@ def source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = S.ordered_prefix(
         docs,
         [F.col("n_chars"), F.col("doc_id")],
-        S.range_bucket(F.col("n_chars"), cuts),
+        S.range_bucket("n_chars", cuts),
         group_cols=["source"],
         out_pos="i",
     )
@@ -2594,14 +2605,14 @@ def ks_test_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre = S.ordered_prefix(
         g,
         [F.col("v").asc()],
-        S.range_bucket(F.col("v"), cuts),
+        S.range_bucket("v", cuts),
         weight="_ca",
         out_prefix="_c1",
     )
     pre = S.ordered_prefix(
         pre,
         [F.col("v").asc()],
-        S.range_bucket(F.col("v"), cuts),
+        S.range_bucket("v", cuts),
         weight="_cnt",
         out_prefix="_ct",
     )

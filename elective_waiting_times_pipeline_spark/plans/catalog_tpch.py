@@ -686,7 +686,7 @@ def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = SA.ordered_prefix(
         spend,
         [F.col("cents").desc(), F.col("o_custkey")],
-        SA.range_bucket(F.col("cents"), cuts, descending=True),
+        SA.range_bucket("cents", cuts, descending=True),
         out_pos="rnk",
         weight="cents",
         out_prefix="run",
