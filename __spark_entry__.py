@@ -39,16 +39,23 @@ import json as _json
 import os as _os
 
 
-def _previously_green() -> set[str]:
-    """Queries whose LATEST driver check succeeded at full strength:
-    hash-verified for oracle-backed queries, rows-only completion for
-    no-oracle queries (rows-only IS their maximum achievable check, so
-    they must not squat window slots forever). A later round's status
-    replaces an earlier one — a green-then-regressed query (e.g.
-    text_lang_id, green r1 / err r2) re-enters the window."""
+def _green_rounds() -> dict[str, int]:
+    """round-of-latest-record for every query whose LATEST driver check
+    succeeded at full strength: hash-verified for oracle-backed
+    queries, rows-only completion for no-oracle queries (rows-only IS
+    their maximum achievable check, so they must not squat window
+    slots forever). A later round's status replaces an earlier one — a
+    green-then-regressed query (e.g. text_lang_id, green r1 / err r2)
+    re-enters the window, and a green query's STALENESS (how long ago
+    its record was refreshed) drives the window ordering below."""
+    import re as _re
+
     status: dict[str, bool] = {}
+    last: dict[str, int] = {}
     here = _os.path.dirname(_os.path.abspath(__file__))
     for path in sorted(_glob.glob(_os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 data = _json.load(f)
@@ -65,7 +72,12 @@ def _previously_green() -> set[str]:
             else:
                 ok = False
             status[name] = ok  # file order = round order: latest wins
-    return {n for n, ok in status.items() if ok}
+            last[name] = rnd
+    return {n: last[n] for n, ok in status.items() if ok}
+
+
+def _previously_green() -> set[str]:
+    return set(_green_rounds())
 
 
 # Queries registered AFTER round 3's correctness file was recorded:
@@ -195,18 +207,24 @@ _REGISTERED_AFTER_R3 = {
 # (e.g. an oracle added to a formerly rows-only query): treat as
 # never-green so the stronger check gets a driver record. Prune once
 # the hash-green round lands.
-_FORCE_RECHECK = {
-    "text_fingerprint_rolling",  # oracle added (md5 fold) after its r6 rows-only record
-    "rolling_median_7d",  # day column re-emitted as TIMESTAMP (was DATE) after its r6 record
-}
+_FORCE_RECHECK: set[str] = set()  # both r7 entries went hash-green in r7; pruned
 
 
 def _rotated(d: dict) -> dict:
-    # never-green first (oldest backlog before this round's additions)
-    green = _previously_green() - _FORCE_RECHECK
+    # never-green first (oldest backlog before this round's additions),
+    # then greens LEAST-RECENTLY-VERIFIED first: with the whole catalog
+    # green, each round's 50-slot window refreshes the stalest third of
+    # the records instead of re-checking the same registration prefix
+    # forever. Ties (same round) keep registration order.
+    rounds = _green_rounds()
+    green = set(rounds) - _FORCE_RECHECK
     head = {k: v for k, v in d.items() if k not in green and k not in _REGISTERED_AFTER_R3}
     head |= {k: v for k, v in d.items() if k not in green}
-    return head | {k: v for k, v in d.items() if k not in head}
+    reg = {k: i for i, k in enumerate(d)}
+    stale_first = sorted(
+        (k for k in d if k not in head), key=lambda k: (rounds.get(k, 0), reg[k])
+    )
+    return head | {k: d[k] for k in stale_first}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
