@@ -163,12 +163,13 @@ def hash_order_prefix(
     same cost as any global sort — plus a tiny side plan. The salt
     re-rolls the order without touching the key.
 
-    The ranked branch and the offsets branch both read the source: a
-    second scan, but column-pruned to (key, _bk[, weight]) and usually
-    deduplicated by Spark's exchange reuse (both branches hash on the
-    same keys — the plan audit shows `reused exch` on these queries).
-    Callers whose upstream is expensive (not a bare scan) should
-    localCheckpoint the input first, as curriculum_order/zipf_fit do.
+    The offsets side aggregates the WINDOWED stream, so the source is
+    scanned exactly once: the window shuffle is written once and read
+    by both the join probe side and the tiny offsets agg. (Before r8
+    the offsets branch grouped the pre-window stream, whose
+    partial-agg-below-exchange plan defeated exchange reuse — an
+    expensive upstream was computed twice unless callers
+    localCheckpointed it first.)
     """
     c = F.col(key) if isinstance(key, str) else key
     s = c.cast("string")
@@ -180,15 +181,23 @@ def hash_order_prefix(
     bucketed = df.withColumn("_h", F.md5(s)).withColumn("_bk", F.substring("_h", 1, 2))
     w = Window.partitionBy(*gcols, "_bk").orderBy("_h", c)
     ranked = bucketed.withColumn("_rn", F.row_number().over(w))
-    aggs = [F.count(F.lit(1)).alias("_n")]
+    # offsets aggregate the WINDOWED stream (max(_rn) = bucket count,
+    # max_by(_cw, _rn) = bucket weight total; _rn unique per bucket) —
+    # same single-source-scan rationale as ordered_prefix: a groupBy
+    # on `bucketed` plans its partial agg below a fresh Exchange,
+    # structurally different from the window's Exchange, defeating
+    # reuse and paying a second full pass over the (possibly
+    # expensive) upstream. The agg over the window output is
+    # partition-local — no new exchange.
+    aggs = [F.max("_rn").alias("_n")]
     if weight is not None:
         wc = F.col(weight) if isinstance(weight, str) else weight
         ranked = ranked.withColumn(
             "_cw", F.sum(wc).over(w.rowsBetween(Window.unboundedPreceding, 0))
         )
-        aggs.append(F.sum(wc).alias("_ws"))
+        aggs.append(F.max_by("_cw", "_rn").alias("_ws"))
     ow = Window.partitionBy(*gcols).orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = bucketed.groupBy(*gcols, "_bk").agg(*aggs).withColumn(
+    offsets = ranked.groupBy(*gcols, "_bk").agg(*aggs).withColumn(
         "_off", F.coalesce(F.sum("_n").over(ow), F.lit(0))
     )
     if weight is not None:
