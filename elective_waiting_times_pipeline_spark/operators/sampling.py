@@ -366,20 +366,25 @@ def parquet_footer_cuts(
 
 def _uniform_step(cuts: Sequence[float]) -> float | None:
     """The common spacing of `cuts` if they are (numerically) uniformly
-    spaced, else None. Tolerance is relative to the span — footer-
-    interpolated cuts are uniform up to float rounding, sampled
-    equal-mass cuts over a skewed axis are not."""
+    spaced, else None. The criterion is the ADJACENT-GAP ratio
+    (max_gap ≤ min_gap·(1+1e-9)), not a span-relative tolerance: a
+    span-relative check lets one extreme outlier cut (span 1e18,
+    everything else clustered) swallow the whole fine structure and
+    misdetect wildly skewed equal-mass cuts as uniform — the closed
+    form would then put nearly all mass in one bucket and silently
+    collapse the depth bound. Gap-ratio admits footer-interpolated
+    cuts (gaps equal up to float ulps) and rejects anything whose
+    uniformization would move a bucket boundary by more than ~1e-9 of
+    a gap."""
     if len(cuts) < 2:
         return None
-    c0, cn = float(cuts[0]), float(cuts[-1])
-    step = (cn - c0) / (len(cuts) - 1)
-    if step <= 0:
+    gaps = [float(cuts[i + 1]) - float(cuts[i]) for i in range(len(cuts) - 1)]
+    lo = min(gaps)
+    if lo <= 0:
         return None
-    tol = max(abs(cn - c0), 1.0) * 1e-9
-    for i, c in enumerate(cuts):
-        if abs(float(c) - (c0 + i * step)) > tol:
-            return None
-    return step
+    if max(gaps) > lo * (1 + 1e-9):
+        return None
+    return (float(cuts[-1]) - float(cuts[0])) / (len(cuts) - 1)
 
 
 def range_bucket(

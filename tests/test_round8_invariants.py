@@ -125,3 +125,7 @@ def test_uniform_step_detection():
     lo, hi, nb = 0.0, 4999.0, 64
     cuts = [lo + (hi - lo) * i / nb for i in range(1, nb)]
     assert S._uniform_step(cuts) is not None
+    # one outlier cut must NOT read as uniform, however huge the span:
+    # a span-relative tolerance would misdetect these equal-mass cuts
+    # and collapse the depth bound (all real mass into bucket 0)
+    assert S._uniform_step([float(i) for i in range(63)] + [1e18]) is None
