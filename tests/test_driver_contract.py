@@ -69,3 +69,10 @@ def test_rotation_fits_driver_window(entry_mod):
     osql = list(entry_mod.oracle_sql())
     assert set(osql) <= set(qs)
     assert [q for q in qs if q in set(osql)] == osql
+    # greens are ordered least-recently-verified first (staleness =
+    # round of the latest CORRECTNESS record), so the window refreshes
+    # the stalest records instead of the registration prefix
+    rounds = m._green_rounds()
+    green_tail = [q for q in qs if q in green]
+    tail_rounds = [rounds[q] for q in green_tail]
+    assert tail_rounds == sorted(tail_rounds)
