@@ -380,16 +380,21 @@ def tfidf_top_terms(
     scales with vocabulary, not corpus, and is NOT broadcast — vocab
     is unbounded at corpus scale.
     """
-    toks = df.filter(token_count(text_col) >= 1).select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
-    )
+    # no pre-explode filter: explode() drops empty arrays itself, and a
+    # token_count filter would evaluate the tokenize REGEX a second
+    # time (filter and explode live in different operators — codegen
+    # CSE does not span them)
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
     tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     # N = docs with ≥1 token — a plain count over the doc scan; a
     # countDistinct over the (doc, term) relation would re-shuffle the
     # corpus-sized tf table to learn a number the scan already knows.
+    # `tokens()` yields ≥1 token exactly when the trimmed text is
+    # non-empty, so this branch counts on length(trim()) and never
+    # pays a second corpus tokenize.
     n = (
-        df.filter(token_count(text_col) >= 1)
+        df.filter(F.length(F.trim(text_col)) > 0)
         .agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     )
     scored = (
@@ -533,9 +538,9 @@ def unigram_logprob(
     the per-doc mean is an exact integer sum divided by an exact
     count — no float-summation order sensitivity.
     """
-    toks = df.filter(token_count(text_col) >= 1).select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
-    )
+    # no pre-explode length filter: explode() drops empty token
+    # arrays itself, and the filter would tokenize a second time
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
     tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
     cnt = tf.groupBy("tok").agg(F.sum("tf").alias("cnt"))
     totals = cnt.agg(
@@ -578,9 +583,10 @@ def bm25_topk(
     TakeOrderedAndProject — no global sort. Cross-engine determinism:
     per-term scores snap to integer micros (same floor expression both
     engines) so the per-doc sum is exact integer math."""
-    toks = df.filter(token_count(text_col) >= 1).select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
-    )
+    # no pre-explode length filter (explode drops empty arrays; the
+    # filter would tokenize a second time); docs with 0 tokens are
+    # equally absent from dl/stats either way
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
     tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
     dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
     stats = dl.agg(

@@ -400,8 +400,7 @@ def ngram_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = X.tokens("text")
     return (
-        docs.filter(X.token_count("text") >= 2)
-        .select(F.explode(X.bigrams(toks)).alias("bigram"))
+        docs.select(F.explode(X.bigrams(toks)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("bigram"))
@@ -461,16 +460,14 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the two per-token joins + the total) — without it each consumer
     # re-runs the corpus explode (plan audit read 4 parquet scans)
     uc = (
-        docs.filter(X.token_count("text") >= 1)
-        .select(F.explode(toks).alias("tok"))
+        docs.select(F.explode(toks).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cu"))
         .localCheckpoint(eager=False)
     )
     tu = uc.agg(F.sum("cu").alias("t_uni"))
     bc_all = (
-        docs.filter(X.token_count("text") >= 2)
-        .select(F.explode(X.bigram_pairs(toks)).alias("p"))
+        docs.select(F.explode(X.bigram_pairs(toks)).alias("p"))
         .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
         .agg(F.count(F.lit(1)).alias("cb"))
         .localCheckpoint(eager=False)  # two consumers: total + min-count cut
@@ -1558,9 +1555,7 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.filter(X.token_count("text") >= 1).select(
-        "source", F.explode(X.tokens("text")).alias("tok")
-    )
+    toks = docs.select("source", F.explode(X.tokens("text")).alias("tok"))
     sc = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("cnt_s"))
     cc = sc.groupBy("tok").agg(F.sum("cnt_s").alias("cnt"))
     stot = sc.groupBy("source").agg(F.sum("cnt_s").alias("n_s"))
@@ -2230,8 +2225,7 @@ def boilerplate_gram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = X.tokens("text")
     grams = (
-        docs.filter(X.token_count("text") >= 3)
-        .select("doc_id", F.explode(X.trigrams(toks)).alias("gram"))
+        docs.select("doc_id", F.explode(X.trigrams(toks)).alias("gram"))
     )
     dfreq = grams.groupBy("gram").agg(F.countDistinct("doc_id").alias("dfc"))
     boiler = F.when(F.col("dfc") >= 3, F.lit(1)).otherwise(F.lit(0))
@@ -2534,9 +2528,7 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-sized occurrence relation to local disk to save one
     # re-scan is the wrong trade at 100 TB (the duplicate_ngram_
     # coverage ×100 probe measured the checkpointed form 3.7× slower)
-    bg = docs.filter(X.token_count("text") >= 2).select(
-        F.explode(X.bigrams(toks)).alias("bigram")
-    )
+    bg = docs.select(F.explode(X.bigrams(toks)).alias("bigram"))
     # the d×w CELLS are the thing to pin (4096 rows): total and the
     # broadcast estimate both read them, and without the checkpoint
     # each consumer re-runs the whole sketch-building corpus pass
@@ -3003,9 +2995,7 @@ def duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # agg and the per-doc join) re-derive them from the scan — two
     # corpus scans beat materializing a >1×-corpus-sized gram relation
     # to local disk (SCALE.md carries the ×100 measurement)
-    g = docs.filter(X.token_count("text") >= 5).select(
-        "doc_id", "source", F.explode(X.wordgrams(toks, 5)).alias("gram")
-    )
+    g = docs.select("doc_id", "source", F.explode(X.wordgrams(toks, 5)).alias("gram"))
     cnt = g.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
     per_doc = (
         g.join(cnt, "gram")
