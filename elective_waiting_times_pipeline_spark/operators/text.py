@@ -386,7 +386,14 @@ def tfidf_top_terms(
     # CSE does not span them)
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
     tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # the tf >= 1 filter is a semantic no-op (counts are >= 1) acting
+    # as a REUSE BARRIER: it references tf, so column pruning cannot
+    # rewrite this branch into a bare (doc, tok) DISTINCT. Without it
+    # the df branch plans a different partial agg below the same
+    # (doc, tok) exchange, the exchanges stop being identical, AQE
+    # stage reuse never fires, and the corpus tokenize+explode runs
+    # TWICE (A/B on a ×100 lake: join leg 8-9 s → 4.2-4.6 s).
+    dfreq = tf.filter(F.col("tf") >= 1).groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     # N = docs with ≥1 token — a plain count over the doc scan; a
     # countDistinct over the (doc, term) relation would re-shuffle the
     # corpus-sized tf table to learn a number the scan already knows.
@@ -588,12 +595,19 @@ def bm25_topk(
     # equally absent from dl/stats either way
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
     tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # dl/dfreq derive from the AGGREGATED tf, and both expressions
+    # REFERENCE the tf column (sum(tf); the tf >= 1 no-op filter) so
+    # column pruning cannot rewrite a branch into a bare distinct —
+    # otherwise the branches plan DIFFERENT partial aggs below the
+    # (doc, tok) exchange, AQE stage reuse never fires, and the corpus
+    # tokenize+explode runs once per branch (A/B on a ×100 lake:
+    # 2× the join cost; see tfidf_top_terms for the same barrier).
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
-    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    dfreq = tf.filter(F.col("tf") >= 1).groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     denom = F.col("tf") + k1 * (1.0 - b + b * (F.col("dl") / F.col("avgdl")))
     spm = F.floor((idf * (F.col("tf") * (k1 + 1.0)) / denom) * F.lit(1e6) + F.lit(0.5)).cast("long")
