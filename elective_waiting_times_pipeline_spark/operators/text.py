@@ -594,20 +594,23 @@ def bm25_topk(
     # filter would tokenize a second time); docs with 0 tokens are
     # equally absent from dl/stats either way
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
-    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
-    # dl/dfreq derive from the AGGREGATED tf, and both expressions
-    # REFERENCE the tf column (sum(tf); the tf >= 1 no-op filter) so
-    # column pruning cannot rewrite a branch into a bare distinct —
-    # otherwise the branches plan DIFFERENT partial aggs below the
-    # (doc, tok) exchange, AQE stage reuse never fires, and the corpus
-    # tokenize+explode runs once per branch (A/B on a ×100 lake:
-    # 2× the join cost; see tfidf_top_terms for the same barrier).
+    # FOUR consumers need the (doc, tok, tf) relation (the isin-
+    # filtered scoring rows, dl, df, and the N/avgdl scalar), and each
+    # un-shared consumer re-runs the corpus tokenize+explode — measured
+    # 167 s for this query on a ×100 lake before the checkpoint. Same
+    # recipe as rrf_fusion_topk: materialize tf once, everything
+    # derives from the cheap RDD (dl = Σ tf per doc == token count).
+    tf = (
+        toks.groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
-    dfreq = tf.filter(F.col("tf") >= 1).groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     denom = F.col("tf") + k1 * (1.0 - b + b * (F.col("dl") / F.col("avgdl")))
     spm = F.floor((idf * (F.col("tf") * (k1 + 1.0)) / denom) * F.lit(1e6) + F.lit(0.5)).cast("long")

@@ -3303,9 +3303,7 @@ def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # relation is checkpointed and dl/df/n_docs all derive from it
     # (dl = Σ tf per doc == the token count), so the plan scans the
     # corpus once instead of once per ranking
-    toks = docs.filter(X.token_count("text") >= 1).select(
-        "doc_id", F.explode(X.tokens("text")).alias("tok")
-    )
+    toks = docs.select("doc_id", F.explode(X.tokens("text")).alias("tok"))
     tf = (
         toks.groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
