@@ -347,6 +347,12 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
 
     toked = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
     h = F.xxhash64("tok")
+    # per-instance ±1 when-votes, NOT a (doc, tok, tf) pre-aggregate:
+    # the 64 sums partial-aggregate map-side down to one 64-long row
+    # per doc before the only exchange, so the heavy stage never
+    # shuffles token strings — an A/B on a ×100 lake measured the
+    # tf-weighted two-exchange form 2.5-4× SLOWER (8.8-16.5 s vs
+    # 3.5 s) despite reading 4× fewer rows in its vote stage.
     votes = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

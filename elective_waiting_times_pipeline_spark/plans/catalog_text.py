@@ -368,13 +368,23 @@ def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash near-dup pairs via 16-bit chunk bucketing (pigeonhole
-# guarantee for hamming ≤ 16/bands) — rows-only check.
+# SimHash near-dup pairs via 16-bit chunk bucketing — rows-only check.
+# max_hamming=3 is the published web-dedup operating point (Manku,
+# Jain, Das Sarma, WWW 2007: k=3 on 64-bit simhashes): 4 bands × 16
+# bits = 65,536 bucket values per band, so buckets stay tiny at any
+# corpus size. The previous max_hamming=16 forced 17 bands of 3-4
+# bits — ≤16 bucket values per band — which collapsed a ×100 corpus
+# into a handful of buckets whose C(n,2) pair expansion never
+# finished (found by the round-8 ×100 sweep). max_bucket_size guards
+# the residual hot buckets (exact-dup hash groups belong to exact
+# dedup, not the near-dup pass).
 # ---------------------------------------------------------------------------
 @query("simhash_near_dup_pairs")
 def simhash_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash_near_dup_pairs(D.simhash(docs), max_hamming=16)
+    return D.simhash_near_dup_pairs(
+        D.simhash(docs), max_hamming=3, max_bucket_size=1000
+    )
 
 
 # ---------------------------------------------------------------------------
