@@ -53,9 +53,14 @@ def _green_rounds() -> dict[str, int]:
     status: dict[str, bool] = {}
     last: dict[str, int] = {}
     here = _os.path.dirname(_os.path.abspath(__file__))
-    for path in sorted(_glob.glob(_os.path.join(here, "CORRECTNESS_r*.json"))):
+    # sort by PARSED round number, not path: lexicographic order would
+    # put a future CORRECTNESS_r100.json before r11 and let a stale
+    # record overwrite a newer one in the latest-wins fold below
+    found: list[tuple[int, str]] = []
+    for path in _glob.glob(_os.path.join(here, "CORRECTNESS_r*.json")):
         m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        rnd = int(m.group(1)) if m else 0
+        found.append((int(m.group(1)) if m else 0, path))
+    for rnd, path in sorted(found):
         try:
             with open(path) as f:
                 data = _json.load(f)
@@ -71,7 +76,7 @@ def _green_rounds() -> dict[str, int]:
                 ok = row.get("spark_rows") is not None
             else:
                 ok = False
-            status[name] = ok  # file order = round order: latest wins
+            status[name] = ok  # ascending-round fold: latest wins
             last[name] = rnd
     return {n: last[n] for n, ok in status.items() if ok}
 

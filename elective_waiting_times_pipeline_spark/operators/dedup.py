@@ -368,31 +368,18 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     return voted.select(F.col(id_col), sim.alias("simhash"))
 
 
-def simhash_near_dup_pairs(
+def _simhash_buckets(
     sims: DataFrame,
-    id_col: str = "doc_id",
-    sim_col: str = "simhash",
-    max_hamming: int = 8,
-    bands: int | None = None,
-    max_bucket_size: int | None = None,
-    bits: int = 64,
+    id_col: str,
+    sim_col: str,
+    max_hamming: int,
+    bands: int | None,
+    bits: int,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the `bits`-wide hash into chunks —
-    by pigeonhole, a pair with Hamming distance ≤ max_hamming MUST
-    agree on at least one of max_hamming+1 chunks (the differing bits
-    can ruin at most max_hamming chunks), so bucket-join on chunks and
-    verify exact Hamming inside buckets. Same bucket-local pair
-    expansion as MinHash LSH (one shuffle, no self-join).
-
-    `bands` defaults to max_hamming+1 — the smallest complete-recall
-    choice. Fewer bands = bigger chunks = smaller buckets but NO
-    completeness guarantee beyond hamming < bands.
-
-    ``max_bucket_size`` is the same hot-bucket guard as in
-    minhash_lsh_candidates (exact copies share the full simhash →
-    every chunk collides → C(n,2) per-row expansion); over-cap
-    buckets are dropped, trading the exact-dup group (covered by
-    exact dedup) for bounded memory."""
+    """Shared banding kernel for `simhash_near_dup_pairs` and its
+    truncation report `simhash_overcap_buckets`: (band, bucket, _recs)
+    for every band-chunk bucket holding ≥ 2 signatures, where _recs is
+    the id-sorted array of (id, simhash) structs in the bucket."""
     if bands is None:
         bands = max_hamming + 1
     # `bits` must match the signature's real width: chunking a 32-bit
@@ -419,23 +406,95 @@ def simhash_near_dup_pairs(
         ).alias("bb"),
         F.struct(F.col(id_col).alias("id"), F.col(sim_col).alias("sh")).alias("rec"),
     ).select("bb.band", "bb.bucket", "rec")
-    buckets = (
+    return (
         banded.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_set("rec")).alias("_recs"))
         .filter(F.size("_recs") >= 2)
     )
+
+
+def simhash_overcap_buckets(
+    sims: DataFrame,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+    max_hamming: int = 8,
+    bands: int | None = None,
+    max_bucket_size: int = 1000,
+    bits: int = 64,
+) -> DataFrame:
+    """The buckets `simhash_near_dup_pairs` DROPS under the same
+    parameters: (band, bucket, bucket_size, dropped_candidates) per
+    over-cap bucket. Makes the hot-bucket guard's recall trade
+    OBSERVABLE — a run that reports zero rows here lost nothing; a
+    run with large `dropped_candidates` should route those ids
+    through exact dedup (which covers the dominant all-bits-equal
+    case) or re-run with a larger cap. Same single shuffle as the
+    pair generator, minus the pair expansion — cheap enough to run
+    alongside every production near-dup pass."""
+    buckets = _simhash_buckets(sims, id_col, sim_col, max_hamming, bands, bits)
+    sz = F.size("_recs")
+    return buckets.filter(sz > max_bucket_size).select(
+        "band",
+        "bucket",
+        sz.alias("bucket_size"),
+        (sz.cast("long") * (sz - 1) / 2).cast("long").alias("dropped_candidates"),
+    )
+
+
+def simhash_near_dup_pairs(
+    sims: DataFrame,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+    max_hamming: int = 8,
+    bands: int | None = None,
+    max_bucket_size: int | None = None,
+    bits: int = 64,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the `bits`-wide hash into chunks —
+    by pigeonhole, a pair with Hamming distance ≤ max_hamming MUST
+    agree on at least one of max_hamming+1 chunks (the differing bits
+    can ruin at most max_hamming chunks), so bucket-join on chunks and
+    verify exact Hamming inside buckets. Same bucket-local pair
+    expansion as MinHash LSH (one shuffle, no self-join).
+
+    `bands` defaults to max_hamming+1 — the smallest complete-recall
+    choice. Fewer bands = bigger chunks = smaller buckets but NO
+    completeness guarantee beyond hamming < bands.
+
+    ``max_bucket_size`` is the same hot-bucket guard as in
+    minhash_lsh_candidates (exact copies share the full simhash →
+    every chunk collides → C(n,2) per-row expansion); over-cap
+    buckets are dropped, trading the exact-dup group (covered by
+    exact dedup) for bounded memory. The drop is a RECALL trade —
+    legitimate near-dup pairs inside a large non-exact-dup cluster
+    are lost silently; run `simhash_overcap_buckets` with the same
+    parameters to see exactly which buckets (and how many candidate
+    rows) the cap discarded."""
+    buckets = _simhash_buckets(sims, id_col, sim_col, max_hamming, bands, bits)
     if max_bucket_size is not None:
         buckets = buckets.filter(F.size("_recs") <= max_bucket_size)
+    # The exact-Hamming verify runs INSIDE the array pipeline (filter
+    # before explode): a losing candidate costs two ALU ops in the
+    # lambda and is never materialized as a row, where the previous
+    # explode-then-filter form generated a full (ids, two 64-bit
+    # signatures) row per candidate first — on the ×100 shifted-text
+    # lake (42 M candidates, ~0.6 M survivors) the verify dominates
+    # the query, and skipping loser-row materialization through
+    # Generate is the only lever that doesn't change recall (a second
+    # banding pass was considered and rejected: any chunk-agreement
+    # prefilter is the SAME xor/popcount work the verify already does,
+    # just on a subset of the bits).
     pairs = buckets.select(
         F.explode(
             F.expr(
-                "flatten(transform(sequence(1, size(_recs) - 1), i -> "
+                "filter(flatten(transform(sequence(1, size(_recs) - 1), i -> "
                 "transform(sequence(0, i - 1), j -> struct(_recs[j].id AS id_a, _recs[i].id AS id_b, "
-                "_recs[j].sh AS sh_a, _recs[i].sh AS sh_b))))"
+                "bit_count(_recs[j].sh ^ _recs[i].sh) AS hamming)))), "
+                f"p -> p.hamming <= {int(max_hamming)})"
             )
         ).alias("p")
-    ).select("p.id_a", "p.id_b", F.bit_count(F.col("p.sh_a").bitwiseXOR(F.col("p.sh_b"))).alias("hamming"))
-    return pairs.filter(F.col("hamming") <= max_hamming).distinct()
+    ).select("p.id_a", "p.id_b", "p.hamming")
+    return pairs.distinct()
 
 
 def hamming_distance(a, b) -> F.Column:

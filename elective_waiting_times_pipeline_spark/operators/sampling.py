@@ -23,6 +23,7 @@ beyond-reference training-data operator set (SURVEY §7.3 M5).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterable, Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -378,6 +379,14 @@ def _uniform_step(cuts: Sequence[float]) -> float | None:
     a gap."""
     if len(cuts) < 2:
         return None
+    # A non-finite cut (inf/nan can arrive from parquet footer stats or
+    # a data sample over a double column containing inf) poisons the
+    # gap arithmetic below — inf gaps compare False against inf*(1+eps)
+    # and NaN compares False against everything — and would return an
+    # inf/nan step instead of rejecting. Non-finite cuts always take
+    # the total Column-chain path.
+    if not all(math.isfinite(float(c)) for c in cuts):
+        return None
     gaps = [float(cuts[i + 1]) - float(cuts[i]) for i in range(len(cuts) - 1)]
     lo = min(gaps)
     if lo <= 0:
@@ -434,11 +443,24 @@ def range_bucket(
     step = _uniform_step(cuts)
     if step is not None:
         c0 = float(cuts[0])
+        # FLOOR/CEIL convert double→long; a value whose distance from
+        # c0 exceeds ~9.2e18·step would overflow that conversion (an
+        # error under ANSI mode) where the CASE-chain forms are total
+        # over all doubles. Clamp the RATIO to [-1, n+1] first: values
+        # beyond the cut span land in an end bucket regardless, and the
+        # when() keeps NULL as NULL — a bare least/greatest would SKIP
+        # the null and return the clamp literal, silently moving NULL
+        # rows out of their documented bucket. (NaN passes through the
+        # clamp arbitrarily; the explicit isnan branch below wins.)
+        r = (v - c0) / step
+        r = F.when(r.isNull(), r).otherwise(
+            F.least(F.lit(float(n) + 1.0), F.greatest(F.lit(-1.0), r))
+        )
         if descending:
             # count of cuts strictly above v = n - count(c_i <= v)
             below_or_eq = F.least(
                 F.lit(n).cast("long"),
-                F.greatest(F.lit(0).cast("long"), F.floor((v - c0) / step) + 1),
+                F.greatest(F.lit(0).cast("long"), F.floor(r) + 1),
             )
             return (
                 F.when(F.isnan(v), F.lit(0))  # NaN sorts FIRST desc
@@ -447,11 +469,18 @@ def range_bucket(
             )
         below = F.least(
             F.lit(n).cast("long"),
-            F.greatest(F.lit(0).cast("long"), F.ceil((v - c0) / step)),
+            F.greatest(F.lit(0).cast("long"), F.ceil(r)),
         )
         # NaN sorts LAST asc; NULL: GREATEST skips it -> bucket 0 ✓
         return F.when(F.isnan(v), F.lit(n)).otherwise(below).cast("long")
-    if isinstance(value, str) and value.isidentifier():
+    if (
+        isinstance(value, str)
+        and value.isidentifier()
+        # float(inf)!r renders as `inf`, which is not valid SQL — a
+        # non-finite cut must take the Column-chain path below, whose
+        # F.lit(float(c)) accepts inf/nan
+        and all(math.isfinite(float(c)) for c in cuts)
+    ):
         vs = f"CAST(`{value}` AS DOUBLE)"
         op = "<" if descending else ">"
         chain = " + ".join(

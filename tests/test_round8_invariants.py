@@ -62,9 +62,10 @@ def test_range_bucket_uniform_closed_form_is_small(spark):
     cuts = [float(c) for c in range(1, 64)]  # 63 uniform cuts
     col = S.range_bucket("v", cuts)
     s = col._jc.toString()
-    assert len(s) < 2000, len(s)  # the chain form is ~15k chars
-    # exactly one CASE (the explicit NaN guard), not one per cut
-    assert s.upper().count("CASE WHEN") <= 1, s
+    assert len(s) < 2200, len(s)  # the chain form is ~15k chars
+    # a FIXED number of CASEs (the NaN guard + the round-9
+    # NULL-preserving overflow clamp), never one per cut
+    assert s.upper().count("CASE WHEN") <= 2, s
 
 
 def test_parquet_footer_cuts_single_file(spark, tmp_path):
