@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Run the test suite as N concurrent pytest processes (file-level
+shards) — the correctness gate at per-commit cost on a many-core box.
+
+Why not pytest-xdist: not installed in this environment, and xdist's
+per-test distribution would put tests from one module (which share
+session-scoped Spark fixtures and module-level lakes) on different
+workers, re-paying the fixture build per worker anyway. File-level
+sharding keeps every module's fixture reuse intact and needs zero
+test changes; each worker is a plain `pytest f1.py f2.py ...` run
+with its own Spark session (SPARK_GRAFT_CPUS=cpus/N threads each).
+
+Shard assignment is LPT (longest-processing-time greedy bin-packing)
+over recorded per-file durations in scripts/test_durations.json —
+regenerate with --record after adding slow test files; files missing
+from the record get a default weight so new files don't silently
+unbalance a shard. Identical coverage to `pytest tests/`: same files,
+same tests, just partitioned; a worker failure fails the whole run
+and prints that worker's tail.
+
+Usage:
+  python scripts/test_shard.py [-n WORKERS] [pytest args...]
+  python scripts/test_shard.py --record   # serial run; refresh durations
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+ROOT = os.path.dirname(HERE)
+DURATIONS = os.path.join(HERE, "test_durations.json")
+DEFAULT_WEIGHT = 30.0  # unseen file: assume mid-weight, not free
+
+
+def test_files() -> list[str]:
+    return sorted(
+        os.path.relpath(p, ROOT) for p in glob.glob(os.path.join(ROOT, "tests", "test_*.py"))
+    )
+
+
+def record() -> None:
+    """Serial full run, recording wall seconds per test file."""
+    durations: dict[str, float] = {}
+    rc_all = 0
+    for f in test_files():
+        t0 = time.perf_counter()
+        rc = subprocess.call([sys.executable, "-m", "pytest", f, "-q"], cwd=ROOT)
+        durations[f] = round(time.perf_counter() - t0, 1)
+        rc_all |= 0 if rc in (0, 5) else rc  # 5 = no tests collected
+    with open(DURATIONS, "w") as fh:
+        json.dump(durations, fh, indent=1, sort_keys=True)
+    print(f"wrote {DURATIONS}")
+    sys.exit(rc_all)
+
+
+def shards(n: int) -> list[list[str]]:
+    try:
+        with open(DURATIONS) as fh:
+            weights = json.load(fh)
+    except (OSError, ValueError):
+        weights = {}
+    files = sorted(
+        test_files(), key=lambda f: weights.get(f, DEFAULT_WEIGHT), reverse=True
+    )
+    loads = [0.0] * n
+    members: list[list[str]] = [[] for _ in range(n)]
+    for f in files:  # LPT: heaviest file to the lightest bin
+        i = min(range(n), key=loads.__getitem__)
+        loads[i] += weights.get(f, DEFAULT_WEIGHT)
+        members[i].append(f)
+    return [m for m in members if m]
+
+
+def main() -> None:
+    argv = sys.argv[1:]
+    if "--record" in argv:
+        record()
+        return
+    n = 4
+    if "-n" in argv:
+        i = argv.index("-n")
+        n = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
+    cpus = os.cpu_count() or 8
+    per_worker = max(2, cpus // max(1, n))
+    groups = shards(n)
+    procs = []
+    t0 = time.perf_counter()
+    for i, files in enumerate(groups):
+        env = dict(os.environ)
+        # each worker gets its own Spark session on a CPU slice; the
+        # conftest reads SPARK_GRAFT_CPUS with setdefault so an outer
+        # override still wins
+        env["SPARK_GRAFT_CPUS"] = env.get("SPARK_GRAFT_CPUS", str(per_worker))
+        # isolate Spark's local dirs so shuffle/checkpoint files of
+        # concurrent JVMs never collide
+        env["SPARK_LOCAL_DIRS"] = tempfile.mkdtemp(prefix=f"shard{i}_spark_")
+        out = tempfile.NamedTemporaryFile(
+            mode="w+", prefix=f"shard{i}_", suffix=".log", delete=False
+        )
+        p = subprocess.Popen(
+            [sys.executable, "-m", "pytest", *files, "-q", *argv],
+            cwd=ROOT,
+            stdout=out,
+            stderr=subprocess.STDOUT,
+            env=env,
+        )
+        procs.append((i, p, out.name, files))
+    rc_all = 0
+    for i, p, log, files in procs:
+        rc = p.wait()
+        tail = open(log).read().strip().splitlines()
+        status = "ok" if rc == 0 else f"FAIL rc={rc}"
+        print(f"[shard {i}] {status} ({len(files)} files) — {tail[-1] if tail else ''}")
+        if rc != 0:
+            print("\n".join(tail[-40:]))
+            rc_all = rc
+    print(f"total wall: {round(time.perf_counter() - t0, 1)}s across {len(procs)} shards")
+    sys.exit(rc_all)
+
+
+if __name__ == "__main__":
+    main()
