@@ -21,6 +21,10 @@ and prints that worker's tail.
 Usage:
   python scripts/test_shard.py [-n WORKERS] [pytest args...]
   python scripts/test_shard.py --record   # serial run; refresh durations
+  python scripts/test_shard.py --from-junit out.xml
+      # refresh durations from `pytest tests/ --junitxml=out.xml` —
+      # one full run instead of --record's 49 sessions (each serial
+      # file pays ~20 s of Spark startup; the junit route reuses one)
 """
 
 from __future__ import annotations
@@ -60,6 +64,29 @@ def record() -> None:
     sys.exit(rc_all)
 
 
+def record_from_junit(xml_path: str) -> None:
+    """Refresh durations from a junitxml report of ONE full-suite run:
+    per-file weight = Σ testcase time. Misses session-fixture build
+    time for the first file that triggers it, but shard balance only
+    needs relative weights."""
+    import xml.etree.ElementTree as ET
+
+    durations: dict[str, float] = {}
+    for tc in ET.parse(xml_path).getroot().iter("testcase"):
+        # classname is the dotted module path (tests.test_x[.Class]);
+        # module-level skips carry an empty classname
+        parts = [p for p in tc.get("classname", "").split(".") if p.startswith("test_")]
+        mod = parts[0] if parts else ""
+        if not mod:
+            continue
+        f = os.path.join("tests", mod + ".py")
+        durations[f] = durations.get(f, 0.0) + float(tc.get("time") or 0.0)
+    durations = {f: round(t, 1) for f, t in durations.items()}
+    with open(DURATIONS, "w") as fh:
+        json.dump(durations, fh, indent=1, sort_keys=True)
+    print(f"wrote {DURATIONS} ({len(durations)} files)")
+
+
 def shards(n: int) -> list[list[str]]:
     try:
         with open(DURATIONS) as fh:
@@ -83,6 +110,9 @@ def main() -> None:
     if "--record" in argv:
         record()
         return
+    if "--from-junit" in argv:
+        record_from_junit(argv[argv.index("--from-junit") + 1])
+        return
     n = 4
     if "-n" in argv:
         i = argv.index("-n")
@@ -99,6 +129,12 @@ def main() -> None:
         # conftest reads SPARK_GRAFT_CPUS with setdefault so an outer
         # override still wins
         env["SPARK_GRAFT_CPUS"] = env.get("SPARK_GRAFT_CPUS", str(per_worker))
+        # N concurrent JVMs must not each claim the single-session 48g
+        # max heap (4 x 48g over-commits a 128 GiB box); tests at
+        # sf0.001 run comfortably in a fraction of this
+        env["SPARK_GRAFT_DRIVER_MEM"] = env.get(
+            "SPARK_GRAFT_DRIVER_MEM", f"{max(8, 96 // max(1, n))}g"
+        )
         # isolate Spark's local dirs so shuffle/checkpoint files of
         # concurrent JVMs never collide
         env["SPARK_LOCAL_DIRS"] = tempfile.mkdtemp(prefix=f"shard{i}_spark_")
