@@ -206,6 +206,8 @@ _REGISTERED_AFTER_R3 = {
     "seat_apportionment",
     "attribution_time_decay",
     "bigram_backoff_logprob",
+    # round 9
+    "dedup_clusters_incremental",
 }
 
 # Queries whose CHECK CLASS upgraded since their latest driver record

@@ -325,6 +325,85 @@ def keep_longest_from_store(
     )
 
 
+def update_cluster_store(
+    old_store: DataFrame,
+    new_pairs: DataFrame,
+    new_ids: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Merge newly-arrived docs into a persisted (id, cluster_id)
+    store WITHOUT re-clustering the old corpus: the refreshed store
+    equals a full rebuild over the combined corpus, at the cost of the
+    delta.
+
+    Why it's exact: jaccard(a, b) depends only on the two documents,
+    so old↔old pairs cannot appear or vanish when new docs arrive —
+    the old components are already the closure over every old↔old
+    edge, and each old component is represented EXACTLY by its star
+    edges (member → cluster_id) from the store. Components over
+    (star edges ∪ pairs-touching-new) therefore equal components over
+    the combined corpus's full pair graph, and Hash-Min's min-id label
+    is the same min over the same merged vertex sets. `new_pairs` must
+    contain every qualifying pair with ≥1 new endpoint (from
+    `ngram_jaccard_pairs_delta`, or banded LSH candidates + verify at
+    corpus scale — the `incremental_lsh_candidates` feed); new docs in
+    no pair come out as singletons via `new_ids`.
+
+    Cost shape: each pair endpoint is PROJECTED onto its old cluster
+    id first (a new doc projects to itself), so the CC runs on the
+    collapsed component graph — |delta pairs| edges, NOT |old docs|
+    star edges — and old members get their possibly-merged label back
+    through one hash join on cluster_id. The projection is exact
+    because the old cluster id is already the min member id: the
+    merged component's min over {old cluster mins ∪ new ids} equals
+    its min over all member ids. (This also makes the operator robust
+    to a pair feed that includes old↔old pairs — they collapse to a
+    cluster-level edge and merge the clusters.) No corpus re-tokenize,
+    no old↔old posting join, CC sized by the delta. Equivalence to the
+    one-shot rebuild is property-tested
+    (tests/test_round9_invariants.py)."""
+    m_src = old_store.select(
+        F.col(id_col).alias(src), F.col("cluster_id").alias("_cl_a")
+    )
+    m_dst = old_store.select(
+        F.col(id_col).alias(dst), F.col("cluster_id").alias("_cl_b")
+    )
+    proj = (
+        new_pairs.select(src, dst)
+        .join(m_src, src, "left")
+        .join(m_dst, dst, "left")
+        .select(
+            F.coalesce(F.col("_cl_a"), F.col(src)).alias(src),
+            F.coalesce(F.col("_cl_b"), F.col(dst)).alias(dst),
+        )
+    )
+    cc = (
+        connected_components(proj, src, dst)
+        .withColumnRenamed("v", "_cc_v")
+        .withColumnRenamed("label", "_cc_label")
+    )
+    relabeled_old = (
+        old_store.join(cc, old_store["cluster_id"] == F.col("_cc_v"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_cc_label"), F.col("cluster_id")).alias("cluster_id"),
+        )
+    )
+    new_only = new_ids.select(id_col).join(
+        old_store.select(id_col), id_col, "left_anti"
+    )
+    labeled_new = (
+        new_only.join(cc, new_only[id_col] == F.col("_cc_v"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_cc_label"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    return relabeled_old.unionByName(labeled_new)
+
+
 def triangle_stats(pairs: DataFrame, src: str = "id_a", dst: str = "id_b") -> DataFrame:
     """Global triangle census of an undirected edge list: edge count,
     node count, triangle count, and the global clustering coefficient

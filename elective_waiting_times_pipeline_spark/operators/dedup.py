@@ -335,6 +335,89 @@ def ngram_jaccard_pairs(
     return out.filter(F.col("jaccard") >= min_jaccard) if min_jaccard > 0 else out
 
 
+def ngram_jaccard_pairs_delta(
+    df: DataFrame,
+    new_ids: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_jaccard: float = 0.0,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exactly the subset of `ngram_jaccard_pairs(df)` whose pairs
+    touch at least one id in `new_ids` — the pair feed for
+    INCREMENTAL cluster-store maintenance (`update_cluster_store`).
+    Jaccard depends only on the two documents, so a pair between two
+    OLD docs cannot change when new docs arrive; on a corpus refresh
+    only (old,new) and (new,new) pairs need generating. The posting
+    join's fan-out drops from Σ df² to Σ df·df_new — proportional to
+    the delta fraction, which is the whole point at 100 TB.
+
+    Output and rounding are bit-identical to the full generator
+    (same 6-dp round, same id_a < id_b orientation); equivalence to
+    `ngram_jaccard_pairs(df).filter(touching new)` is property-tested
+    in tests/test_round9_invariants.py."""
+    shingled = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("shingle"),
+    )
+    if max_doc_freq is not None:
+        rare = (
+            shingled.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("shingle")
+        )
+        pair_side = shingled.join(rare, "shingle")
+    else:
+        pair_side = shingled
+    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    # carry an is-new flag through the postings (broadcast semi-shape:
+    # new_ids is the small delta), then split ONCE — the old side never
+    # self-joins, which is where the full generator's cost lives
+    flagged = pair_side.join(sizes, id_col).join(
+        F.broadcast(new_ids.select(F.col(id_col)).distinct().withColumn("_new", F.lit(True))),
+        id_col,
+        "left",
+    )
+    new_side = flagged.filter(F.col("_new").isNotNull())
+    old_side = flagged.filter(F.col("_new").isNull())
+
+    def _legs(side, suffix):
+        return side.select(
+            F.col(id_col).alias(f"id_{suffix}"),
+            F.col("set_size").alias(f"size_{suffix}"),
+            "shingle",
+        )
+    # (old, new): each unordered pair appears exactly once (sides are
+    # disjoint); orient afterwards. (new, new): same id_a < id_b
+    # predicate as the full generator.
+    on = _legs(old_side, "x").join(
+        _legs(new_side, "y").hint("shuffle_hash"), "shingle"
+    )
+    nn = _legs(new_side, "x").join(
+        _legs(new_side, "y").hint("shuffle_hash"),
+        "shingle",
+    ).filter(F.col("id_x") < F.col("id_y"))
+    both = on.unionByName(nn).select(
+        F.least("id_x", "id_y").alias("id_a"),
+        F.greatest("id_x", "id_y").alias("id_b"),
+        F.when(F.col("id_x") < F.col("id_y"), F.col("size_x")).otherwise(F.col("size_y")).alias("size_a"),
+        F.when(F.col("id_x") < F.col("id_y"), F.col("size_y")).otherwise(F.col("size_x")).alias("size_b"),
+    )
+    inter = both.groupBy("id_a", "id_b", "size_a", "size_b").agg(
+        F.count(F.lit(1)).alias("inter")
+    )
+    out = inter.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 6
+        ).alias("jaccard"),
+    )
+    return out.filter(F.col("jaccard") >= min_jaccard) if min_jaccard > 0 else out
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
     """64-bit SimHash over token crc32-derived bit patterns, computed
     entirely with fold expressions (no UDF): for each bit position,

@@ -407,6 +407,39 @@ def dedup_keep_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# INCREMENTAL cluster-store maintenance: 20% of the corpus "arrives
+# later" (doc_id % 5 == 0), the store is built from the other 80%,
+# and update_cluster_store merges the delta using only the pairs that
+# touch a new doc (ngram_jaccard_pairs_delta — old↔old jaccard cannot
+# change, so those pairs never regenerate). The ORACLE is the full
+# one-shot closure over the combined corpus: hash-equality proves the
+# incremental path reproduces a ground-up rebuild exactly. At corpus
+# scale the delta pairs come from incremental_lsh_candidates +
+# verify; the posting-join fan-out is Σ df·df_new, not Σ df².
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_clusters_incremental",
+    oracle=_CLUSTERS_CTE
+    + "SELECT v AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY v",
+)
+def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elective_waiting_times_pipeline_spark.operators.cluster import (
+        near_dup_clusters,
+        update_cluster_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 5 == 0
+    old_store = near_dup_clusters(docs.filter(~is_new), shingle_n=3, min_jaccard=0.1)
+    delta = D.ngram_jaccard_pairs_delta(
+        docs, docs.filter(is_new).select("doc_id"), shingle_n=3, min_jaccard=0.1
+    )
+    return update_cluster_store(
+        old_store, delta, docs.filter(is_new).select("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash (bitwise fold over token hashes) — rows-only check;
 # unit tests pin golden values and hamming-distance behavior.
 # ---------------------------------------------------------------------------

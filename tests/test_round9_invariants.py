@@ -92,6 +92,54 @@ def test_cluster_store_unseen_docs_are_singletons(spark):
     assert longest == {2: 1, 10: 10, 42: 42}
 
 
+def test_incremental_store_update_equals_full_rebuild(spark, sf_dir):
+    """Splitting the corpus old/new, clustering old, and merging the
+    delta via update_cluster_store must reproduce the full one-shot
+    clustering label-for-label — jaccard is pairwise, so old↔old
+    edges cannot change and the old components' star edges stand in
+    for them exactly. Two different split fractions exercise both a
+    small and a large delta."""
+    docs = load_table(spark, sf_dir, "documents")
+    full = {
+        (r.doc_id, r.cluster_id)
+        for r in C.near_dup_clusters(docs, shingle_n=3, min_jaccard=0.1).collect()
+    }
+    for mod in (5, 2):
+        is_new = F.col("doc_id") % mod == 0
+        old_store = C.near_dup_clusters(
+            docs.filter(~is_new), shingle_n=3, min_jaccard=0.1
+        )
+        delta = D.ngram_jaccard_pairs_delta(
+            docs, docs.filter(is_new).select("doc_id"), shingle_n=3, min_jaccard=0.1
+        )
+        merged = {
+            (r.doc_id, r.cluster_id)
+            for r in C.update_cluster_store(
+                old_store, delta, docs.filter(is_new).select("doc_id")
+            ).collect()
+        }
+        assert merged == full, f"mod={mod}"
+
+
+def test_ngram_jaccard_pairs_delta_equals_filtered_full(spark, sf_dir):
+    """The delta generator must emit EXACTLY the full generator's
+    pairs that touch a new id — same jaccard values, same 6-dp
+    rounding, same orientation."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    new_ids = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    new_set = {r.doc_id for r in new_ids.collect()}
+    full = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.ngram_jaccard_pairs(docs, shingle_n=2).collect()
+        if r.id_a in new_set or r.id_b in new_set
+    }
+    delta = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.ngram_jaccard_pairs_delta(docs, new_ids, shingle_n=2).collect()
+    }
+    assert delta == full
+
+
 # ---------------------------------------------------------------------------
 # SimHash truncation observability
 # ---------------------------------------------------------------------------
