@@ -92,6 +92,33 @@ def minhash_signatures(
     )
 
 
+def minhash_signature_expr(
+    text_col: str, num_hashes: int = 16, shingle_n: int = 3
+) -> F.Column:
+    """ROW-LOCAL MinHash signature: array_min over per-seed transforms
+    of the shingle-hash array — the identical values
+    `minhash_signatures` computes (min over the same multiset with the
+    same xxhash64(seed, shingle_hash) functions), as ONE expression
+    with no explode, no aggregation, no shuffle. That property is what
+    makes it usable on a STREAMING DataFrame (stateless append) and on
+    map-only batch paths; the batch operator keeps its explode +
+    map-side-combine shape, and equality of the two is
+    property-tested. A doc with fewer than `shingle_n` tokens has no
+    shingles → every component is NULL; filter on
+    `size(shingle_hashes(...)) > 0` first, mirroring the batch
+    operator's drop-empty semantics."""
+    sh = shingle_hashes(text_col, shingle_n)
+
+    # factory, NOT a default-arg lambda: `lambda s, i=i: ...` has TWO
+    # parameters, which pyspark treats as the (element, index) binary
+    # lambda form and silently rebinds i to the array index — every
+    # seed then hashes identically (caught by the batch-parity test)
+    def seed_min(i: int) -> F.Column:
+        return F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(i), s)))
+
+    return F.array(*[seed_min(i) for i in range(num_hashes)])
+
+
 def _banded(
     sigs: DataFrame, id_col: str, bands: int, rows_per_band: int
 ) -> DataFrame:
