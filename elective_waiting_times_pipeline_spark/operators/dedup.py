@@ -22,13 +22,22 @@ from elective_waiting_times_pipeline_spark.operators.text import fingerprint_md5
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep one row (min id) per normalized-text fingerprint."""
+    """Keep one row (min id) per normalized-text fingerprint.
+
+    Skew shape: winner selection is a map-side-combinable MIN per
+    digest plus an equi-join back — NOT a ROW_NUMBER window. A
+    boilerplate text repeated 10^6 times reduces to one (digest, min)
+    row before the agg exchange, and while the rejoin still routes the
+    hot digest's copies to one partition, a join task streams and AQE
+    skew-join can split it; a window partition must sort and buffer
+    every copy in a single task and AQE cannot split it (the same
+    argument as chunk_dedup_stats)."""
     keyed = df.withColumn("_fp", fingerprint_md5(text_col))
-    w = Window.partitionBy("_fp").orderBy(id_col)
+    winners = keyed.groupBy("_fp").agg(F.min(id_col).alias("_win"))
     return (
-        keyed.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_fp", "_rn")
+        keyed.join(winners, "_fp")
+        .filter(F.col(id_col) == F.col("_win"))
+        .drop("_fp", "_win")
     )
 
 
@@ -646,11 +655,20 @@ def chunk_dedup_stats(
     """
     from elective_waiting_times_pipeline_spark.operators.packing import sliding_chunks
 
-    chunks = sliding_chunks(df, text_col, id_col, window=window, stride=window).select(
-        id_col,
-        "chunk_idx",
-        "n_chunk_tokens",
-        F.md5("chunk_text").alias("_fp"),
+    # TWO consumers of the chunk relation (winners agg + rejoin) — an
+    # un-shared subtree re-runs the tokenize/explode/chunk-text
+    # materialization for each. The projection below is already
+    # digest-narrow (no chunk text), so the reuse barrier is cheap:
+    # ×100 warmup+min-of-2 A/B 5.3 → 3.5 s.
+    chunks = (
+        sliding_chunks(df, text_col, id_col, window=window, stride=window)
+        .select(
+            id_col,
+            "chunk_idx",
+            "n_chunk_tokens",
+            F.md5("chunk_text").alias("_fp"),
+        )
+        .localCheckpoint(eager=False)
     )
     winners = chunks.groupBy("_fp").agg(
         F.min(F.struct(F.col(id_col).alias("d"), F.col("chunk_idx").alias("i"))).alias("_w")
