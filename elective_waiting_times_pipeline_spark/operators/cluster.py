@@ -25,7 +25,7 @@ drive an actual dedup decision at corpus scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -307,21 +307,33 @@ def keep_longest_from_store(
     length_col: str = "n_chars",
 ) -> DataFrame:
     """Keep-longest per cluster from the persisted store: one join to
-    attach cluster_id, one per-cluster window (longest doc wins, tie →
-    min id). Docs absent from the store are their own singleton
-    cluster. Returns (id, cluster_id, length) like the one-shot form."""
+    attach cluster_id, one map-side-combinable MIN-of-struct per
+    cluster (longest doc wins, tie → min id). NOT a ROW_NUMBER window:
+    a mega-cluster — the expected shape of a duplicate-heavy corpus —
+    would sort and buffer every member in one window task, while the
+    agg reduces each mapper's share of the hot cluster to one struct
+    before the exchange. Docs absent from the store are their own
+    singleton cluster. Returns (id, cluster_id, length) like the
+    one-shot form."""
     joined = docs.select(id_col, length_col).join(
         store.select(F.col(id_col).alias("_st_id"), F.col("cluster_id").alias("_st_cl")),
         F.col(id_col) == F.col("_st_id"),
         "left",
     )
-    w = Window.partitionBy("cluster_id").orderBy(F.col(length_col).desc(), id_col)
+    winner = F.min(
+        F.struct(
+            (-F.col(length_col)).alias("_negL"), F.col(id_col).alias("_id")
+        )
+    ).alias("_w")
     return (
         joined.withColumn("cluster_id", F.coalesce(F.col("_st_cl"), F.col(id_col)))
-        .drop("_st_id", "_st_cl")
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        .groupBy("cluster_id")
+        .agg(winner)
+        .select(
+            F.col("_w._id").alias(id_col),
+            "cluster_id",
+            (-F.col("_w._negL")).alias(length_col),
+        )
     )
 
 
