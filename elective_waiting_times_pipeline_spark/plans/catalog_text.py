@@ -1070,10 +1070,17 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from elective_waiting_times_pipeline_spark.streaming.curation import curate
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    cur = curate(docs)
-    wmin = Window.partitionBy("fingerprint")
+    # skew-safe keep-min: MIN per fingerprint is a map-side-combinable
+    # agg + narrow rejoin, not a window — a mega-dup fingerprint would
+    # buffer every copy in one unsplittable window task. The curated
+    # relation is digest-narrow and feeds both consumers, so it gets
+    # the standard reuse barrier.
+    cur = curate(docs).select(
+        "doc_id", "n_tokens", "fingerprint", "split"
+    ).localCheckpoint(eager=False)
+    winners = cur.groupBy("fingerprint").agg(F.min("doc_id").alias("_min"))
     return (
-        cur.withColumn("_min", F.min("doc_id").over(wmin))
+        cur.join(winners, "fingerprint")
         .filter(F.col("doc_id") == F.col("_min"))
         .select("doc_id", "n_tokens", "fingerprint", "split")
     )
@@ -2215,11 +2222,15 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    fp = docs.select("doc_id", X.fingerprint_md5("text").alias("f"))
-    canon = fp.withColumn(
-        "canonical_id", F.min("doc_id").over(Window.partitionBy("f")).cast("long")
-    )
-    return canon.select(
+    # skew-safe canonical-id: agg + narrow rejoin instead of a
+    # per-fingerprint window (hot fingerprint = one unsplittable
+    # window task); the (id, digest) relation is 24 bytes/doc, so the
+    # two-consumer reuse barrier costs nothing vs re-hashing the text
+    fp = docs.select(
+        "doc_id", X.fingerprint_md5("text").alias("f")
+    ).localCheckpoint(eager=False)
+    winners = fp.groupBy("f").agg(F.min("doc_id").cast("long").alias("canonical_id"))
+    return fp.join(winners, "f").select(
         "doc_id",
         "canonical_id",
         S.split_column(F.col("canonical_id"), _SPLITS, salt="grp").alias("split"),
