@@ -140,6 +140,46 @@ def test_ngram_jaccard_pairs_delta_equals_filtered_full(spark, sf_dir):
     assert delta == full
 
 
+def _window_nodes(df) -> int:
+    plan = df._jdf.queryExecution().optimizedPlan()
+    stack, n_windows = [plan], 0
+    while stack:
+        n = stack.pop()
+        for i in range(n.children().size()):
+            stack.append(n.children().apply(i))
+        if n.nodeName() == "Window":
+            n_windows += 1
+    return n_windows
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "curation_pipeline",
+        "leakage_safe_split",
+        "dedup_exact_groups",
+        "dedup_keep_canonical",
+        "dedup_keep_longest",
+        "chunk_dedup_exact",
+    ],
+)
+def test_dedup_surfaces_have_no_window_nodes(spark, sf_dir, name):
+    """The dedup/keep-min surfaces must stay window-free: their
+    natural partition axes (fingerprint, cluster_id) are exactly the
+    keys a duplicate-heavy corpus makes degenerate, and a hot window
+    partition sorts+buffers every copy in one task AQE cannot split.
+    All were rewritten round 9 to map-side-combinable agg + narrow
+    rejoin; this guards the reverts."""
+    from elective_waiting_times_pipeline_spark.plans import catalog
+
+    assert _window_nodes(catalog.SPARK_QUERIES[name](spark, sf_dir)) == 0
+
+
+def test_dedup_exact_operator_is_window_free(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    assert _window_nodes(D.dedup_exact(docs)) == 0
+
+
 # ---------------------------------------------------------------------------
 # SimHash truncation observability
 # ---------------------------------------------------------------------------
