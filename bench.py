@@ -109,6 +109,21 @@ def main() -> None:
         dt = time.perf_counter() - t0
         if i > 0:  # first pass is warmup
             calib = dt if calib is None else min(calib, dt)
+    # Second, SCHEDULING-BOUND calibration: 40 one-task no-compute jobs
+    # measure job-submission + task-launch + result-fetch overhead —
+    # the regime that dominates sf0.1 headline totals (measured: raw
+    # totals stable within noise across a 2.6x compute-calib swing,
+    # SCALE.md "Calibration-normalization caveat"). Emitting both lets
+    # a reader see WHICH drift moved; `ratio` (raw) stays the
+    # authoritative continuity number at this sf.
+    calib_sched = None
+    for i in range(3):  # warmup + min-of-2
+        t0 = time.perf_counter()
+        for _ in range(40):
+            spark.range(1, numPartitions=1).count()
+        dt = time.perf_counter() - t0
+        if i > 0:
+            calib_sched = dt if calib_sched is None else min(calib_sched, dt)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)
@@ -119,7 +134,7 @@ def main() -> None:
     # dicts go FIRST and every headline/continuity scalar goes LAST —
     # BENCH_r08.json lost value/ratio/calib to the truncation and the
     # judge had to re-run the bench to grade the round.
-    continuity = _continuity(timings, sf_val, calib)
+    continuity = _continuity(timings, sf_val, calib, calib_sched)
     big = {
         k: continuity.pop(k)
         for k in ("queries_normalized", "queries_delta_normalized")
@@ -135,6 +150,11 @@ def main() -> None:
                 # --- scalars from here down: must fit in the 2000-char tail ---
                 **continuity,
                 **({"calib_sec": round(calib, 3)} if calib is not None else {}),
+                **(
+                    {"calib_sched_sec": round(calib_sched, 3)}
+                    if calib_sched is not None
+                    else {}
+                ),
                 "unit": "sec",
                 "sf": sf_val,
                 "value": total,
@@ -143,7 +163,12 @@ def main() -> None:
     )
 
 
-def _continuity(timings: dict[str, float], sf_val, calib: float | None = None) -> dict:
+def _continuity(
+    timings: dict[str, float],
+    sf_val,
+    calib: float | None = None,
+    calib_sched: float | None = None,
+) -> dict:
     """Regression guard vs the previous recorded round: total over the
     queries COMMON to the newest BENCH_r*.json at the same sf, and the
     ratio (this/prev — <1 is faster). Makes a perf regression a number
@@ -153,7 +178,13 @@ def _continuity(timings: dict[str, float], sf_val, calib: float | None = None) -
     drift (this calib_sec / prev calib_sec): same-code totals move
     ±10-30% across host boots, and the calibration job — fixed,
     data-independent, codegen'd — moves with them, so the normalized
-    ratio isolates plan changes from machine drift."""
+    ratio isolates plan changes from machine drift. BUT: at sf<=0.1
+    the headline totals are scheduling-dominated, not compute-bound —
+    measured raw totals held within noise across a 2.6x compute-calib
+    swing (SCALE.md) — so the compute drift over-corrects there. The
+    artifact states this itself via `ratio_authoritative` (always the
+    raw `ratio`) and emits the scheduling-bound drift alongside so a
+    reader can see which regime actually moved."""
     import glob
     import re
 
@@ -190,6 +221,16 @@ def _continuity(timings: dict[str, float], sf_val, calib: float | None = None) -
             "common_total": cur_total,
             "ratio": ratio,
         }
+        # raw ratio is the authoritative continuity number: the
+        # normalized variants are diagnostics whose validity depends
+        # on which calibration regime (compute vs scheduling) matches
+        # the workload — see docstring.
+        out["ratio_authoritative"] = "ratio"
+        prev_sched = prev.get("calib_sched_sec")
+        if ratio is not None and calib_sched and prev_sched:
+            sdrift = calib_sched / prev_sched
+            out["sched_drift"] = round(sdrift, 3)
+            out["ratio_sched_normalized"] = round(ratio / sdrift, 3)
         prev_calib = prev.get("calib_sec")
         if ratio is not None and calib and prev_calib:
             drift = calib / prev_calib

@@ -284,19 +284,33 @@ def keep_canonical_from_store(
     docs: DataFrame, store: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
     """`dedup_keep_canonical`, but against a persisted (id, cluster_id)
-    store instead of recomputing the closure: keep the doc iff it IS
-    its cluster's canonical (min) id. Docs absent from the store are
-    kept — a doc the clustering never saw is a singleton until the
-    next store refresh (the same new-data semantics as the
-    incremental-LSH path in operators/dedup.py). One hash join on the
-    id, no pair generation, no CC iterations: O(read) at any scale."""
+    store instead of recomputing the closure. The canonical is the MIN
+    id among the cluster's members PRESENT IN `docs` — not the stored
+    cluster_id blindly — so a store that is stale relative to the
+    input (the original min-id doc was filtered or deleted upstream)
+    elects a new representative instead of emitting zero rows for the
+    cluster, matching what a one-shot recompute over `docs` would do.
+    When the store and `docs` cover the same corpus the two rules
+    agree (the stored cluster_id IS the present min). Docs absent from
+    the store are kept — a doc the clustering never saw is a singleton
+    until the next store refresh (the same new-data semantics as the
+    incremental-LSH path in operators/dedup.py). One hash join to
+    attach the label plus one map-side-combinable MIN per cluster and
+    a narrow rejoin — no pair generation, no CC iterations: O(read)
+    at any scale."""
     canon = store.select(
         F.col(id_col).alias("_st_id"), F.col("cluster_id").alias("_st_cl")
     )
-    return (
+    labeled = (
         docs.join(canon, docs[id_col] == F.col("_st_id"), "left")
-        .filter(F.col("_st_cl").isNull() | (F.col(id_col) == F.col("_st_cl")))
+        .withColumn("_cl", F.coalesce(F.col("_st_cl"), F.col(id_col)))
         .drop("_st_id", "_st_cl")
+    )
+    winners = labeled.groupBy("_cl").agg(F.min(id_col).alias("_win"))
+    return (
+        labeled.join(winners, "_cl")
+        .filter(F.col(id_col) == F.col("_win"))
+        .drop("_cl", "_win")
     )
 
 

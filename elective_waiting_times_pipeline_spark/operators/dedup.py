@@ -31,8 +31,17 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     hot digest's copies to one partition, a join task streams and AQE
     skew-join can split it; a window partition must sort and buffer
     every copy in a single task and AQE cannot split it (the same
-    argument as chunk_dedup_stats)."""
-    keyed = df.withColumn("_fp", fingerprint_md5(text_col))
+    argument as chunk_dedup_stats).
+
+    NULL text hashes to a NULL fingerprint, which an equi-join would
+    silently drop; coalescing the digest to a non-hex sentinel (md5
+    output is 32 hex chars, so no collision) keeps NULL-text rows in
+    ONE group with min-id-wins — the semantics the former
+    ROW_NUMBER-window form had, where the window partitioned all
+    NULLs together."""
+    keyed = df.withColumn(
+        "_fp", F.coalesce(fingerprint_md5(text_col), F.lit("_null_"))
+    )
     winners = keyed.groupBy("_fp").agg(F.min(id_col).alias("_win"))
     return (
         keyed.join(winners, "_fp")
@@ -542,12 +551,17 @@ def simhash_overcap_buckets(
     sim_col: str = "simhash",
     max_hamming: int = 8,
     bands: int | None = None,
-    max_bucket_size: int = 1000,
+    *,
+    max_bucket_size: int,
     bits: int = 64,
 ) -> DataFrame:
     """The buckets `simhash_near_dup_pairs` DROPS under the same
     parameters: (band, bucket, bucket_size, dropped_candidates) per
-    over-cap bucket. Makes the hot-bucket guard's recall trade
+    over-cap bucket. ``max_bucket_size`` is keyword-REQUIRED with no
+    default: the report only means anything for the cap the generator
+    actually ran with (`simhash_near_dup_pairs` defaults to NO cap),
+    so a defaulted value here could claim pairs were dropped that
+    never were. Makes the hot-bucket guard's recall trade
     OBSERVABLE — a run that reports zero rows here lost nothing; a
     run with large `dropped_candidates` should route those ids
     through exact dedup (which covers the dominant all-bits-equal

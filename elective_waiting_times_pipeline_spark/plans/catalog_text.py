@@ -2225,9 +2225,14 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # skew-safe canonical-id: agg + narrow rejoin instead of a
     # per-fingerprint window (hot fingerprint = one unsplittable
     # window task); the (id, digest) relation is 24 bytes/doc, so the
-    # two-consumer reuse barrier costs nothing vs re-hashing the text
+    # two-consumer reuse barrier costs nothing vs re-hashing the text.
+    # NULL text → NULL digest would vanish through the equi-join; the
+    # non-hex sentinel groups NULL-text docs into one dedup group (the
+    # oracle's PARTITION BY f does the same — SQL windows treat NULLs
+    # as one partition), so every doc receives a split label.
     fp = docs.select(
-        "doc_id", X.fingerprint_md5("text").alias("f")
+        "doc_id",
+        F.coalesce(X.fingerprint_md5("text"), F.lit("_null_")).alias("f"),
     ).localCheckpoint(eager=False)
     winners = fp.groupBy("f").agg(F.min("doc_id").cast("long").alias("canonical_id"))
     return fp.join(winners, "f").select(

@@ -87,22 +87,46 @@ def record_from_junit(xml_path: str) -> None:
     print(f"wrote {DURATIONS} ({len(durations)} files)")
 
 
-def shards(n: int) -> list[list[str]]:
+# The one file whose parametrization (every oracle-backed catalog
+# query) dwarfs the rest of the suite: file-level sharding floors the
+# wall time at this single file, so it is split ACROSS workers via
+# SPARK_GRAFT_ORACLE_SHARD="i/k" (crc32-of-test-name modulo, see
+# tests/test_catalog_oracle.py) — one sub-shard per worker, identical
+# test IDs and union coverage.
+ORACLE_FILE = os.path.join("tests", "test_catalog_oracle.py")
+
+
+def shards(n: int) -> list[tuple[list[str], str | None]]:
+    """Partition test files into n bins: (files, oracle_shard_spec)
+    per bin. Each bin carries exactly one oracle sub-shard i/n of
+    ORACLE_FILE (weighted at 1/n of its recorded duration); remaining
+    files are LPT bin-packed on top."""
     try:
         with open(DURATIONS) as fh:
             weights = json.load(fh)
     except (OSError, ValueError):
         weights = {}
+    all_files = test_files()
+    split_oracle = n > 1 and ORACLE_FILE in all_files
     files = sorted(
-        test_files(), key=lambda f: weights.get(f, DEFAULT_WEIGHT), reverse=True
+        (f for f in all_files if not (split_oracle and f == ORACLE_FILE)),
+        key=lambda f: weights.get(f, DEFAULT_WEIGHT),
+        reverse=True,
     )
-    loads = [0.0] * n
-    members: list[list[str]] = [[] for _ in range(n)]
+    if split_oracle:
+        w = weights.get(ORACLE_FILE, DEFAULT_WEIGHT) / n
+        loads = [w] * n
+        members: list[list[str]] = [[ORACLE_FILE] for _ in range(n)]
+        specs: list[str | None] = [f"{i}/{n}" for i in range(n)]
+    else:
+        loads = [0.0] * n
+        members = [[] for _ in range(n)]
+        specs = [None] * n
     for f in files:  # LPT: heaviest file to the lightest bin
         i = min(range(n), key=loads.__getitem__)
         loads[i] += weights.get(f, DEFAULT_WEIGHT)
         members[i].append(f)
-    return [m for m in members if m]
+    return [(m, s) for m, s in zip(members, specs) if m]
 
 
 def main() -> None:
@@ -123,8 +147,10 @@ def main() -> None:
     groups = shards(n)
     procs = []
     t0 = time.perf_counter()
-    for i, files in enumerate(groups):
+    for i, (files, oracle_spec) in enumerate(groups):
         env = dict(os.environ)
+        if oracle_spec is not None:
+            env["SPARK_GRAFT_ORACLE_SHARD"] = oracle_spec
         # each worker gets its own Spark session on a CPU slice; the
         # conftest reads SPARK_GRAFT_CPUS with setdefault so an outer
         # override still wins

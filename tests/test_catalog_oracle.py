@@ -1,7 +1,17 @@
 """Every catalog query with an oracle must match DuckDB on sf0.001
-(the driver repeats this at sf0.01 — same code path)."""
+(the driver repeats this at sf0.01 — same code path).
+
+SPARK_GRAFT_ORACLE_SHARD="i/k" restricts the parametrization to the
+queries whose crc32(name) % k == i — scripts/test_shard.py sets one
+sub-shard per worker so this file (the suite's single heaviest, and
+with file-level sharding its wall-time floor) splits across all
+workers. The union over i of 0..k-1 is exactly the full key set and
+test IDs are unchanged, so sharded coverage == `pytest tests/`."""
 
 from __future__ import annotations
+
+import os
+import zlib
 
 import pytest
 
@@ -9,6 +19,11 @@ from elective_waiting_times_pipeline_spark.plans import catalog
 from tests.oracle import assert_matches_oracle
 
 ORACLE_KEYS = sorted(catalog.ORACLE_SQL)
+
+_shard = os.environ.get("SPARK_GRAFT_ORACLE_SHARD")
+if _shard:
+    _i, _k = (int(x) for x in _shard.split("/"))
+    ORACLE_KEYS = [n for n in ORACLE_KEYS if zlib.crc32(n.encode()) % _k == _i]
 
 
 @pytest.mark.parametrize("name", ORACLE_KEYS)
