@@ -208,13 +208,20 @@ _REGISTERED_AFTER_R3 = {
     "bigram_backoff_logprob",
     # round 9
     "dedup_clusters_incremental",
+    # round 10
+    "store_ingest_dedup_report",
 }
 
 # Queries whose CHECK CLASS upgraded since their latest driver record
 # (e.g. an oracle added to a formerly rows-only query): treat as
 # never-green so the stronger check gets a driver record. Prune once
 # the hash-green round lands.
-_FORCE_RECHECK: set[str] = set()  # both r7 entries went hash-green in r7; pruned
+_FORCE_RECHECK: set[str] = {
+    # round 10: promoted from rows-only to full DuckDB hash oracles
+    # (replayable md5 hash family / integer-exact LSH buckets)
+    "lsh_near_dup_pairs",
+    "minhash_estimate_pairs",
+}
 
 
 def _rotated(d: dict) -> dict:

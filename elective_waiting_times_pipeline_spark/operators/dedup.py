@@ -141,12 +141,59 @@ def minhash_signature_expr(
     return F.array(*[seed_min(i) for i in range(num_hashes)])
 
 
+def minhash_signatures_replayable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """MinHash signatures with a CROSS-ENGINE-REPLAYABLE hash family:
+    component i = min over word shingles s of the 60-bit prefix of
+    md5(i || '|' || s) — every primitive (lower/trim/split, string
+    concat, md5, hex→int) exists identically in any ANSI engine, so an
+    independent SQL oracle can recompute the signatures value-for-value
+    (the `text_fingerprint_rolling` recipe). Same estimator semantics
+    as `minhash_signatures`; that xxhash64 form stays the production
+    path (one 64-bit hash per shingle-seed vs an md5 here — md5 costs
+    ~an order of magnitude more per call, which a correctness surface
+    absorbs and a 100 TB pass should not).
+
+    Same physical shape: shingle explode → num_hashes flat hash
+    columns → one map-side-combinable min-agg per doc; the shuffle
+    carries num_hashes longs per doc. Documents with no shingles
+    (fewer than shingle_n tokens) are dropped, as in the xxhash64
+    form. Duplicate shingles need no dedup — MIN over a multiset
+    equals MIN over its set."""
+    exploded = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("_s")
+    )
+    h60 = lambda i: F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit(str(i)), F.col("_s"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    mins = exploded.groupBy(id_col).agg(
+        *[F.min(h60(i)).alias(f"_h{i}") for i in range(num_hashes)]
+    )
+    return mins.select(
+        F.col(id_col), F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("signature")
+    )
+
+
 def _banded(
-    sigs: DataFrame, id_col: str, bands: int, rows_per_band: int
+    sigs: DataFrame,
+    id_col: str,
+    bands: int,
+    rows_per_band: int,
+    bucket_hash: str = "xxhash64",
 ) -> DataFrame:
     """(id, band, bucket) rows: one bucket hash per signature band.
     Shared by the batch and incremental candidate generators so both
-    hash identically."""
+    hash identically. bucket_hash="md5" swaps the xxhash64 bucket key
+    for md5 of the same joined-component string — replayable by an
+    independent SQL engine (bucket equality is all that matters, so
+    any deterministic shared hash gives identical candidate sets)."""
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     needed = bands * rows_per_band
     # loud guard: a signature shorter than bands*rows_per_band would
@@ -164,6 +211,7 @@ def _banded(
             )
         ),
     ).otherwise(F.col("signature"))
+    hash_fn = F.md5 if bucket_hash == "md5" else F.xxhash64
     return sigs.select(
         F.col(id_col),
         F.explode(
@@ -171,7 +219,7 @@ def _banded(
                 band_idx,
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.xxhash64(
+                    hash_fn(
                         F.array_join(F.slice(checked, b * rows_per_band + 1, rows_per_band), ",")
                     ).alias("bucket"),
                 ),
@@ -187,6 +235,7 @@ def incremental_lsh_candidates(
     bands: int = 4,
     rows_per_band: int = 4,
     max_bucket_size: int | None = None,
+    bucket_hash: str = "xxhash64",
 ) -> DataFrame:
     """Candidate pairs INVOLVING AT LEAST ONE NEW DOCUMENT —
     new × (store ∪ new) — for ingest-time dedup against an existing
@@ -202,9 +251,11 @@ def incremental_lsh_candidates(
     shuffles |new bands| + |store bands| narrow rows; `max_bucket_size`
     drops over-full buckets by their size in the UNION (matching the
     batch guard's semantics: a hot bucket is an exact-dup/boilerplate
-    group, exact dedup's job)."""
-    nb = _banded(new_sigs, id_col, bands, rows_per_band)
-    ub = _banded(store_sigs, id_col, bands, rows_per_band).unionByName(nb)
+    group, exact dedup's job). ``bucket_hash="md5"`` gives the
+    SQL-replayable bucket keys (pair signatures built with
+    `minhash_signatures_replayable`)."""
+    nb = _banded(new_sigs, id_col, bands, rows_per_band, bucket_hash)
+    ub = _banded(store_sigs, id_col, bands, rows_per_band, bucket_hash).unionByName(nb)
     if max_bucket_size is not None:
         ok = (
             ub.groupBy("band", "bucket")
@@ -233,6 +284,7 @@ def minhash_lsh_candidates(
     bands: int = 4,
     rows_per_band: int = 4,
     max_bucket_size: int | None = None,
+    bucket_hash: str = "xxhash64",
 ) -> DataFrame:
     """Band the signatures, bucket by band hash, and expand candidate
     pairs WITHIN each bucket. Returns distinct (id_a, id_b), id_a <
@@ -254,8 +306,13 @@ def minhash_lsh_candidates(
     identifies an exact-dup/boilerplate group, which exact dedup
     handles at O(group) cost, not a NEAR-dup neighborhood worth
     C(n,2) verification). Default None = emit everything
-    (rows-only-checkable, used by the recall tests)."""
-    banded = _banded(sigs, id_col, bands, rows_per_band)
+    (rows-only-checkable, used by the recall tests).
+
+    ``bucket_hash="md5"`` keys buckets by md5 instead of xxhash64 —
+    combined with `minhash_signatures_replayable` this makes the
+    whole candidate pipeline recomputable by an independent SQL
+    engine (the oracle-backed catalog configuration)."""
+    banded = _banded(sigs, id_col, bands, rows_per_band, bucket_hash)
     buckets = (
         banded.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_set(id_col)).alias("_ids"))

@@ -280,6 +280,24 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.randn(n_planes, dim).tolist()
 
 
+def integer_hyperplanes(
+    dim: int, n_planes: int, seed: int = 42, scale: int = 1000
+) -> list[list[int]]:
+    """Seeded Gaussian hyperplanes quantized to integers. With
+    integer-valued input vectors the signature dots are EXACT in
+    float64 (|term| ≤ scale² per component, 64-dim sums ≪ 2^53), so
+    sign decisions cannot flip across engines or summation orders —
+    the property that lets an independent SQL engine replay
+    `lsh_bucketed_pairs` bucket-for-bucket. Quantizing a hyperplane
+    only perturbs its direction ~1e-3 radian; LSH guarantees are
+    distribution-level and unaffected."""
+    rng = np.random.RandomState(seed)
+    return [
+        [int(v) for v in row]
+        for row in (rng.randn(n_planes, dim) * scale).round().astype(int)
+    ]
+
+
 def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane signature: bit i = sign(vec · plane_i).
     Returned as a compact bigint (n_planes ≤ 63)."""
@@ -300,13 +318,24 @@ def lsh_bucketed_pairs(
     id_col: str = "vec_id",
     seed: int = 42,
     round_dp: int = 6,
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Scale path for near-dup pairs: bucket by hyperplane signature
     (highly similar vectors collide with high probability), generate
     pairs within buckets only, verify with exact cosine. The pair join
     is an equi-join on the signature — shuffle on a bigint, bounded by
-    bucket size, never |corpus|²."""
-    planes = _hyperplanes(dim, n_planes, seed)
+    bucket size, never |corpus|².
+
+    ``planes`` overrides the seeded Gaussian hyperplanes. Passing
+    INTEGER-valued planes over integer-valued vectors makes every dot
+    product exact in float64 (sums stay far below 2^53), so the sign
+    — hence the bucket — is bit-identical across engines and
+    summation orders: the cross-engine-replayable configuration the
+    oracle-backed catalog query uses."""
+    if planes is None:
+        planes = _hyperplanes(dim, n_planes, seed)
+    else:
+        n_planes = len(planes)
     # Arrow-batched signature: n_planes interpreted dot-product lambdas
     # per row (lsh_signature's expression form, kept for composability)
     # become one numpy matmul + sign bit-pack per batch. Bucketing is

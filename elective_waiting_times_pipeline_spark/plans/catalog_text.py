@@ -229,10 +229,66 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # MinHash Jaccard ESTIMATE over the LSH candidates (Broder '97
 # component-agreement estimator) — the cheap middle stage between
-# candidate generation and exact verification. xxhash64-based →
-# rows-only; the estimator-vs-exact tolerance is unit-tested.
+# candidate generation and exact verification. Promoted from
+# rows-only to a FULL hash oracle (round 10) by swapping the hash
+# family to the replayable one (`minhash_signatures_replayable`:
+# component i = min 60-bit md5(i|'|'|shingle) prefix; md5 bucket
+# keys), so DuckDB recomputes signatures → banding → candidate join →
+# agreement fraction value-for-value. est_jaccard = k/16 rounds
+# exactly at 6dp in both engines (0.0625 steps have 4 decimals).
+# The xxhash64 production path keeps its recall/tolerance unit tests.
 # ---------------------------------------------------------------------------
-@query("minhash_estimate_pairs")
+def _mh_sig_ctes(num_hashes: int = 16, bands: int = 4, rows: int = 4) -> str:
+    """Shared oracle CTEs `toks → sh → sig → banded` replaying the
+    replayable MinHash family (`minhash_signatures_replayable` + md5
+    band buckets) over the whole documents table — component i is the
+    min 60-bit md5('i|'||shingle) prefix, bucket b is md5 of the
+    comma-joined components of band b."""
+    mins = ",\n             ".join(
+        f"MIN(('0x' || substr(md5('{i}|' || s), 1, 15))::BIGINT) AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {b} AS band, md5({cat}) AS bucket FROM sig".format(
+            b=b,
+            cat=" || ',' || ".join(
+                f"CAST(h{b * rows + j} AS VARCHAR)" for j in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return rf"""toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ), sh AS (
+      SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS s
+      FROM toks WHERE len(w) >= 2
+    ), sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM sh GROUP BY doc_id
+    ), banded AS (
+      {band_selects}
+    )"""
+
+
+def _minhash_est_oracle(num_hashes: int = 16, bands: int = 4, rows: int = 4) -> str:
+    agree = " + ".join(f"(sa.h{i} = sb.h{i})::INT" for i in range(num_hashes))
+    return rf"""
+    WITH {_mh_sig_ctes(num_hashes, bands, rows)}, cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(({agree}) / {num_hashes}.0, 6) AS est_jaccard
+    FROM cand
+    JOIN sig sa ON sa.doc_id = cand.id_a
+    JOIN sig sb ON sb.doc_id = cand.id_b
+    """
+
+
+@query("minhash_estimate_pairs", oracle=_minhash_est_oracle())
 def minhash_estimate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # THREE consumers of the signature relation (the banding pass and
@@ -241,11 +297,87 @@ def minhash_estimate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reuse barrier as bm25_topk's tf relation: materialize signatures
     # once, everything derives from the narrow (id, 16 longs) RDD.
     # ×100 same-session A/B: 176.3 → 50.6 s, identical output.
-    sigs = D.minhash_signatures(docs, num_hashes=16, shingle_n=2).localCheckpoint(
-        eager=False
-    )
-    cand = D.minhash_lsh_candidates(sigs, bands=4, rows_per_band=4)
+    sigs = D.minhash_signatures_replayable(
+        docs, num_hashes=16, shingle_n=2
+    ).localCheckpoint(eager=False)
+    cand = D.minhash_lsh_candidates(sigs, bands=4, rows_per_band=4, bucket_hash="md5")
     return D.minhash_estimate_jaccard(cand, sigs).select("id_a", "id_b", "est_jaccard")
+
+
+# ---------------------------------------------------------------------------
+# Batch face of the persisted-store ingest lifecycle
+# (streaming/store_dedup.py): split the corpus into an accumulated
+# "store" (doc_id % 5 < 4) and an "arriving" batch, persistable-shape
+# artifacts only — the exact-dup fingerprint table
+# (`exact_dup_groups`) and the MinHash signature table — and flag each
+# arriving doc with (a) is_known_dup + stored canonical id via the
+# fingerprint join (`flag_known_exact`, the exact same function the
+# stream runs: stream-static joins are just joins) and (b) its count
+# of near-dup CANDIDATE partners in the store via the incremental
+# banding join. The replayable hash family makes the whole lifecycle
+# DuckDB-checkable, putting a driver hash on the ingest face whose
+# streaming equality is suite-tested (tests/test_streaming_store_dedup).
+# ---------------------------------------------------------------------------
+def _store_ingest_oracle() -> str:
+    return rf"""
+    WITH {_mh_sig_ctes()}, pairs AS (
+      SELECT DISTINCT a.doc_id AS nid, b.doc_id AS pid
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id <> b.doc_id
+      WHERE a.doc_id % 5 = 4 AND b.doc_id % 5 < 4
+    ), counts AS (
+      SELECT nid, CAST(COUNT(*) AS BIGINT) AS n_near_candidates FROM pairs GROUP BY nid
+    ), store AS (
+      SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS f,
+             CAST(MIN(doc_id) AS BIGINT) AS canonical_id
+      FROM documents WHERE doc_id % 5 < 4 GROUP BY 1
+    )
+    SELECT d.doc_id, s.canonical_id,
+           (s.canonical_id IS NOT NULL) AS is_known_dup,
+           COALESCE(c.n_near_candidates, 0) AS n_near_candidates
+    FROM documents d
+    LEFT JOIN store s
+      ON md5(regexp_replace(trim(lower(d.text)), '\s+', ' ', 'g')) = s.f
+    LEFT JOIN counts c ON c.nid = d.doc_id
+    WHERE d.doc_id % 5 = 4
+    """
+
+
+@query("store_ingest_dedup_report", oracle=_store_ingest_oracle())
+def store_ingest_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elective_waiting_times_pipeline_spark.streaming.store_dedup import flag_known_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    store_docs = docs.filter(F.col("doc_id") % 5 < 4)
+    arriving = docs.filter(F.col("doc_id") % 5 == 4)
+    flagged = flag_known_exact(arriving, D.exact_dup_groups(store_docs)).select(
+        "doc_id", "canonical_id", "is_known_dup"
+    )
+    store_sigs = D.minhash_signatures_replayable(store_docs, num_hashes=16, shingle_n=2)
+    new_sigs = D.minhash_signatures_replayable(arriving, num_hashes=16, shingle_n=2)
+    cand = D.incremental_lsh_candidates(
+        new_sigs, store_sigs, bands=4, rows_per_band=4, bucket_hash="md5"
+    )
+    # candidates come back as unordered (id_a, id_b) with >=1 new
+    # endpoint; keep only new->store edges (new x new collisions are
+    # the in-batch dedup's job) and count partners per arriving doc
+    edges = (
+        cand.select(F.col("id_a").alias("nid"), F.col("id_b").alias("pid"))
+        .unionByName(cand.select(F.col("id_b").alias("nid"), F.col("id_a").alias("pid")))
+        .filter((F.col("nid") % 5 == 4) & (F.col("pid") % 5 < 4))
+    )
+    counts = edges.groupBy("nid").agg(F.count(F.lit(1)).alias("n_near_candidates"))
+    return (
+        flagged.join(counts, flagged["doc_id"] == counts["nid"], "left")
+        .select(
+            "doc_id",
+            "canonical_id",
+            "is_known_dup",
+            F.coalesce("n_near_candidates", F.lit(0)).cast("long").alias(
+                "n_near_candidates"
+            ),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -361,6 +493,20 @@ _CLUSTER_STORE_CACHE: dict[tuple, str] = {}
 
 
 def _cluster_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped (id, cluster_id) store cache for the catalog's
+    decision queries: built once per (sf_dir, source fingerprint)
+    into a tempdir, atexit-cleaned, stale keys evicted.
+
+    PRODUCTION NOTE: this tempdir cache exists so the bench/driver —
+    a fresh process per run — pays the closure build once per
+    session. A production pipeline should NOT mirror it: call
+    `write_cluster_store(near_dup_clusters(...), durable_path)` once
+    on a real (object-store) path, read that path from every
+    decision job (`keep_canonical_from_store` /
+    `keep_longest_from_store` are one O(read) join each), and refresh
+    it with `update_cluster_store` at delta cost — the lifecycle
+    SCALE.md measures (~16 B/doc store; decisions 294 s recompute →
+    1.1 s read-join at ×100)."""
     from elective_waiting_times_pipeline_spark.operators.cluster import (
         near_dup_clusters,
         write_cluster_store,

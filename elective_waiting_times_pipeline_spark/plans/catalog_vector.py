@@ -194,12 +194,52 @@ def cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # LSH-bucketed near-dup (random-hyperplane signatures, fixed seed):
 # the 100TB path — equi-join on signature instead of all-pairs.
-# Rows-only check; tests measure recall vs brute force.
+# Promoted from rows-only to a FULL hash oracle (round 10) by making
+# the bucket decision integer-exact: vectors are quantized to
+# integer-valued doubles (floor(x*1000 + 0.5) — both engines' floor
+# is exact) and the hyperplanes are integer-quantized, so every
+# signature dot product is an exact float64 integer and the sign —
+# hence the bucket, hence the candidate set — is bit-identical in
+# Spark and DuckDB. The oracle embeds the SAME seeded plane constants
+# (generated by `integer_hyperplanes`, not copied by hand) and
+# replays signature → bucket equi-join → cosine verify end-to-end.
+# Recall vs brute force stays covered by tests/test_dedup_similarity.
 # ---------------------------------------------------------------------------
-@query("lsh_near_dup_pairs")
+_LSH_PLANES = S.integer_hyperplanes(dim=64, n_planes=12, seed=42)
+
+
+def _lsh_pairs_oracle() -> str:
+    lst = lambda row: "[" + ", ".join(f"{v}.0" for v in row) + "]"
+    sig = " + ".join(
+        f"(CASE WHEN list_dot_product(ei, {lst(p)}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(_LSH_PLANES)
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x*1000 + 0.5)) AS ei
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), s AS (
+      SELECT vec_id, ei, {sig} AS sig FROM q
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.ei, b.ei), 6) AS cosine_sim
+    FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.ei, b.ei), 6) >= 0.5
+    """
+
+
+@query("lsh_near_dup_pairs", oracle=_lsh_pairs_oracle())
 def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.lsh_bucketed_pairs(emb, dim=64, n_planes=12, threshold=0.5)
+    quant = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("double"),
+        ).alias("embedding"),
+    )
+    return S.lsh_bucketed_pairs(quant, dim=64, threshold=0.5, planes=_LSH_PLANES)
 
 
 # ---------------------------------------------------------------------------

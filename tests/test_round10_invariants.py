@@ -82,6 +82,37 @@ def test_keep_canonical_from_store_stale_store_elects_new_min(spark):
     assert kept == [2, 10, 42]
 
 
+def test_md5_bucket_hash_preserves_candidate_set(spark, sf_dir):
+    """bucket_hash='md5' only swaps the bucket KEY function; bucket
+    membership — and therefore the candidate pair set — must be
+    identical to the xxhash64 production path on the same signatures."""
+    from elective_waiting_times_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures_replayable(docs, num_hashes=16, shingle_n=2)
+    a = set(map(tuple, D.minhash_lsh_candidates(sigs, bands=4, rows_per_band=4).collect()))
+    b = set(
+        map(
+            tuple,
+            D.minhash_lsh_candidates(
+                sigs, bands=4, rows_per_band=4, bucket_hash="md5"
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
+
+
+def test_replayable_signatures_are_60bit_nonnegative(spark, sf_dir):
+    from elective_waiting_times_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    rows = D.minhash_signatures_replayable(docs, num_hashes=4, shingle_n=2).collect()
+    assert rows
+    for r in rows:
+        assert len(r.signature) == 4
+        assert all(0 <= h < (1 << 60) for h in r.signature)
+
+
 def test_simhash_overcap_requires_explicit_cap(spark):
     sims = spark.createDataFrame([(1, 0), (2, 0)], "doc_id long, simhash long")
     with pytest.raises(TypeError):
