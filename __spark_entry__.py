@@ -221,6 +221,8 @@ _FORCE_RECHECK: set[str] = {
     # (replayable md5 hash family / integer-exact LSH buckets)
     "lsh_near_dup_pairs",
     "minhash_estimate_pairs",
+    "simhash64",
+    "simhash_near_dup_pairs",
 }
 
 

@@ -18,7 +18,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from elective_waiting_times_pipeline_spark.operators.text import fingerprint_md5, word_shingles
+from elective_waiting_times_pipeline_spark.operators.text import (
+    fingerprint_md5,
+    md5_prefix60,
+    word_shingles,
+)
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -168,11 +172,7 @@ def minhash_signatures_replayable(
     exploded = df.select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("_s")
     )
-    h60 = lambda i: F.conv(
-        F.substring(F.md5(F.concat_ws("|", F.lit(str(i)), F.col("_s"))), 1, 15),
-        16,
-        10,
-    ).cast("long")
+    h60 = lambda i: md5_prefix60(F.concat_ws("|", F.lit(str(i)), F.col("_s")))
     mins = exploded.groupBy(id_col).agg(
         *[F.min(h60(i)).alias(f"_h{i}") for i in range(num_hashes)]
     )
@@ -524,18 +524,66 @@ def ngram_jaccard_pairs_delta(
     return out.filter(F.col("jaccard") >= min_jaccard) if min_jaccard > 0 else out
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
-    """64-bit SimHash over token crc32-derived bit patterns, computed
-    entirely with fold expressions (no UDF): for each bit position,
-    +1/-1 votes across tokens; sign → bit.
+def verify_candidate_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact Jaccard verification RESTRICTED to a candidate pair list
+    (the LSH ingest path's second stage): tokenizes only documents
+    that appear in a pair — one semi-join against the endpoint ids —
+    never the corpus. This is what lets small-delta ingest beat the
+    exact delta generator's cost floor: `ngram_jaccard_pairs_delta`
+    must re-tokenize the WHOLE corpus to build its posting lists (the
+    measured ~O(scan) floor at 1% deltas, SCALE.md round 10), while
+    candidates from the persisted signature store touch only
+    |new ∪ partners| documents' text.
 
-    Token hash = xxhash64(token) (deterministic). The per-bit vote is
+    Returns (id_a, id_b, jaccard) for the candidate pairs whose exact
+    Jaccard ≥ min_jaccard. Candidates that share no shingle (possible
+    under banding false-positives) score 0 and are dropped whenever
+    min_jaccard > 0. Implemented as the standard inverted-index join
+    over the touched-document subset, then an equi-join back onto the
+    candidate list — co-shingled NON-candidate pairs among the touched
+    docs are computed and discarded; bounding that waste is the
+    candidate list's job (banding keeps partners per new doc small)."""
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    touched = docs.join(ids, id_col, "left_semi")
+    scored = ngram_jaccard_pairs(
+        touched, text_col, id_col, shingle_n, min_jaccard=0.0
+    )
+    out = pairs.select("id_a", "id_b").join(scored, ["id_a", "id_b"])
+    return out.filter(F.col("jaccard") >= min_jaccard) if min_jaccard > 0 else out
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    token_hash=None,
+) -> DataFrame:
+    """SimHash over token bit patterns, computed entirely with fold
+    expressions (no UDF): for each bit position, +1/-1 votes across
+    tokens; sign → bit.
+
+    Token hash = xxhash64(token) by default (deterministic).
+    ``token_hash`` swaps the hash family — pass
+    `text.md5_prefix60` with bits=60 for the cross-engine-replayable
+    configuration an SQL oracle can recompute. The per-bit vote is
     one aggregate over the exploded token column — a single shuffle.
     """
     from elective_waiting_times_pipeline_spark.operators.text import tokens
 
     toked = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
-    h = F.xxhash64("tok")
+    h = token_hash(F.col("tok")) if token_hash is not None else F.xxhash64("tok")
     # per-instance ±1 when-votes, NOT a (doc, tok, tf) pre-aggregate:
     # the 64 sums partial-aggregate map-side down to one 64-long row
     # per doc before the only exchange, so the heavy stage never

@@ -326,6 +326,17 @@ def fingerprint_md5(col: Column | str) -> Column:
     return F.md5(F.regexp_replace(F.trim(F.lower(c)), r"\s+", " "))
 
 
+def md5_prefix60(col: Column | str) -> Column:
+    """First 15 hex digits of md5 as a BIGINT (< 2^60): the
+    cross-engine-replayable hash primitive — any ANSI engine can
+    recompute it (DuckDB: ('0x' || substr(md5(x), 1, 15))::BIGINT).
+    The slow-but-replayable counterpart of xxhash64 for
+    correctness-surface variants of the hash-family operators
+    (replayable MinHash signatures, 60-bit SimHash)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 def fingerprint_rolling(col: Column | str, prime: int = 1_000_000_007, base: int = 31) -> Column:
     """Polynomial rolling hash over per-token 60-bit md5 prefixes
     (order-sensitive document fingerprint). Pure fold expression — no

@@ -586,32 +586,102 @@ def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash (bitwise fold over token hashes) — rows-only check;
-# unit tests pin golden values and hamming-distance behavior.
+# SimHash (bitwise fold over token hashes). Promoted from rows-only
+# to a FULL hash oracle (round 10): the catalog configuration uses
+# the 60-bit replayable family (token hash = md5_prefix60, bits=60 —
+# SimHash is hash-family-parametric, the vote/sign semantics are
+# unchanged), so DuckDB recomputes every signature bit-for-bit via
+# per-bit vote sums. The xxhash64/64-bit production default keeps its
+# golden-value unit tests.
 # ---------------------------------------------------------------------------
-@query("simhash64")
+_SIMHASH_BITS = 60
+
+
+def _simhash60_ctes() -> str:
+    """toks → h → votes → sh: per-doc 60-bit SimHash replay (votes
+    are ±1 per token instance per bit; sign > 0 → bit set)."""
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN ((th >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(_SIMHASH_BITS)
+    )
+    bitsum = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(_SIMHASH_BITS)
+    )
+    return rf"""toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      FROM documents WHERE length(trim(text)) > 0
+    ), h AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th FROM toks
+    ), votes AS (
+      SELECT doc_id,
+             {votes}
+      FROM h GROUP BY doc_id
+    ), sh AS (
+      SELECT doc_id, CAST({bitsum} AS BIGINT) AS simhash FROM votes
+    )"""
+
+
+@query(
+    "simhash64",
+    oracle=f"WITH {_simhash60_ctes()} SELECT doc_id, simhash FROM sh",
+)
 def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash(docs)
+    return D.simhash(docs, bits=_SIMHASH_BITS, token_hash=X.md5_prefix60)
 
 
 # ---------------------------------------------------------------------------
-# SimHash near-dup pairs via 16-bit chunk bucketing — rows-only check.
-# max_hamming=3 is the published web-dedup operating point (Manku,
-# Jain, Das Sarma, WWW 2007: k=3 on 64-bit simhashes): 4 bands × 16
-# bits = 65,536 bucket values per band, so buckets stay tiny at any
-# corpus size. The previous max_hamming=16 forced 17 bands of 3-4
+# SimHash near-dup pairs via wide-chunk bucketing. max_hamming=3 is
+# the published web-dedup operating point (Manku, Jain, Das Sarma,
+# WWW 2007: k=3): 4 bands × 15 bits (on the 60-bit replayable
+# family below) = 32,768 bucket values per band, so buckets stay tiny
+# at any corpus size. The previous max_hamming=16 forced 17 bands of 3-4
 # bits — ≤16 bucket values per band — which collapsed a ×100 corpus
 # into a handful of buckets whose C(n,2) pair expansion never
 # finished (found by the round-8 ×100 sweep). max_bucket_size guards
 # the residual hot buckets (exact-dup hash groups belong to exact
 # dedup, not the near-dup pass).
+#
+# Promoted to a FULL hash oracle (round 10) on the 60-bit replayable
+# simhash family: 4 bands × 15 bits; the oracle replays banding,
+# the ≤1000 bucket-size guard, the pigeonhole candidate join, AND the
+# exact xor/popcount Hamming verify — so the driver hash covers the
+# complete candidate-generation + verification pipeline including
+# the cap's drop decisions.
 # ---------------------------------------------------------------------------
-@query("simhash_near_dup_pairs")
+def _simhash_pairs_oracle(max_hamming: int = 3, max_bucket: int = 1000) -> str:
+    bands = max_hamming + 1
+    width = _SIMHASH_BITS // bands
+    mask = (1 << width) - 1
+    vals = ", ".join(f"({b})" for b in range(bands))
+    return rf"""
+    WITH {_simhash60_ctes()}, banded AS (
+      SELECT doc_id, simhash, b.band,
+             (simhash >> ({width} * b.band)) & {mask} AS bucket
+      FROM sh, (VALUES {vals}) AS b(band)
+    ), ok AS (
+      SELECT band, bucket FROM banded GROUP BY band, bucket
+      HAVING COUNT(*) BETWEEN 2 AND {max_bucket}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b2.simhash)) AS INTEGER) AS hamming
+    FROM banded a
+    JOIN ok USING (band, bucket)
+    JOIN banded b2
+      ON b2.band = a.band AND b2.bucket = a.bucket AND a.doc_id < b2.doc_id
+    WHERE bit_count(xor(a.simhash, b2.simhash)) <= {max_hamming}
+    """
+
+
+@query("simhash_near_dup_pairs", oracle=_simhash_pairs_oracle())
 def simhash_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash_near_dup_pairs(
-        D.simhash(docs), max_hamming=3, max_bucket_size=1000
+        D.simhash(docs, bits=_SIMHASH_BITS, token_hash=X.md5_prefix60),
+        max_hamming=3,
+        max_bucket_size=1000,
+        bits=_SIMHASH_BITS,
     )
 
 

@@ -64,23 +64,31 @@ def record() -> None:
     sys.exit(rc_all)
 
 
-def record_from_junit(xml_path: str) -> None:
-    """Refresh durations from a junitxml report of ONE full-suite run:
-    per-file weight = Σ testcase time. Misses session-fixture build
-    time for the first file that triggers it, but shard balance only
-    needs relative weights."""
+def record_from_junit(xml_paths: list[str]) -> None:
+    """Refresh durations from junitxml report(s): per-file weight =
+    Σ testcase time. Accepts several reports (one per shard worker of
+    a `--junit-dir` run — their testcase sets are disjoint, so summing
+    across files reconstructs the full suite). Misses session-fixture
+    build time for the first file that triggers it, but shard balance
+    only needs relative weights. NOTE: the ORACLE_FILE weight recorded
+    from a sharded run is the whole file's serial total (the union of
+    its sub-shards), which is exactly the semantic shards() divides
+    by n."""
     import xml.etree.ElementTree as ET
 
     durations: dict[str, float] = {}
-    for tc in ET.parse(xml_path).getroot().iter("testcase"):
-        # classname is the dotted module path (tests.test_x[.Class]);
-        # module-level skips carry an empty classname
-        parts = [p for p in tc.get("classname", "").split(".") if p.startswith("test_")]
-        mod = parts[0] if parts else ""
-        if not mod:
-            continue
-        f = os.path.join("tests", mod + ".py")
-        durations[f] = durations.get(f, 0.0) + float(tc.get("time") or 0.0)
+    for xml_path in xml_paths:
+        for tc in ET.parse(xml_path).getroot().iter("testcase"):
+            # classname is the dotted module path (tests.test_x[.Class]);
+            # module-level skips carry an empty classname
+            parts = [
+                p for p in tc.get("classname", "").split(".") if p.startswith("test_")
+            ]
+            mod = parts[0] if parts else ""
+            if not mod:
+                continue
+            f = os.path.join("tests", mod + ".py")
+            durations[f] = durations.get(f, 0.0) + float(tc.get("time") or 0.0)
     durations = {f: round(t, 1) for f, t in durations.items()}
     with open(DURATIONS, "w") as fh:
         json.dump(durations, fh, indent=1, sort_keys=True)
@@ -135,13 +143,19 @@ def main() -> None:
         record()
         return
     if "--from-junit" in argv:
-        record_from_junit(argv[argv.index("--from-junit") + 1])
+        record_from_junit(argv[argv.index("--from-junit") + 1 :])
         return
     n = 4
     if "-n" in argv:
         i = argv.index("-n")
         n = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2 :]
+    junit_dir = None
+    if "--junit-dir" in argv:
+        i = argv.index("--junit-dir")
+        junit_dir = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+        os.makedirs(junit_dir, exist_ok=True)
     cpus = os.cpu_count() or 8
     per_worker = max(2, cpus // max(1, n))
     groups = shards(n)
@@ -167,8 +181,13 @@ def main() -> None:
         out = tempfile.NamedTemporaryFile(
             mode="w+", prefix=f"shard{i}_", suffix=".log", delete=False
         )
+        extra = (
+            [f"--junitxml={os.path.join(junit_dir, f'shard{i}.xml')}"]
+            if junit_dir
+            else []
+        )
         p = subprocess.Popen(
-            [sys.executable, "-m", "pytest", *files, "-q", *argv],
+            [sys.executable, "-m", "pytest", *files, "-q", *argv, *extra],
             cwd=ROOT,
             stdout=out,
             stderr=subprocess.STDOUT,

@@ -113,6 +113,35 @@ def test_replayable_signatures_are_60bit_nonnegative(spark, sf_dir):
         assert all(0 <= h < (1 << 60) for h in r.signature)
 
 
+def test_verify_candidate_pairs_equals_restricted_full_run(spark, sf_dir):
+    """verify_candidate_pairs(pairs, docs) must equal the full
+    ngram_jaccard_pairs output inner-joined to the candidate list —
+    same scores, no phantom pairs — while touching only endpoint
+    docs."""
+    from elective_waiting_times_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    full = D.ngram_jaccard_pairs(docs, shingle_n=3)
+    # candidate list: every 3rd co-shingled pair plus one no-overlap pair
+    cand = full.filter((F.col("id_a") + F.col("id_b")) % 3 == 0).select(
+        "id_a", "id_b"
+    )
+    expect = {
+        (r.id_a, r.id_b): r.jaccard for r in full.join(cand, ["id_a", "id_b"]).collect()
+    }
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.verify_candidate_pairs(cand, docs, shingle_n=3).collect()
+    }
+    assert got == expect and len(got) > 0
+    # a candidate pair with zero shingle overlap scores 0 under
+    # min_jaccard=0 semantics: it simply doesn't appear (no shingle
+    # join rows), and with min_jaccard>0 it must not appear either
+    fake = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    thr = D.verify_candidate_pairs(fake, docs, shingle_n=3, min_jaccard=0.5)
+    assert all(r.jaccard >= 0.5 for r in thr.collect())
+
+
 def test_simhash_overcap_requires_explicit_cap(spark):
     sims = spark.createDataFrame([(1, 0), (2, 0)], "doc_id long, simhash long")
     with pytest.raises(TypeError):
