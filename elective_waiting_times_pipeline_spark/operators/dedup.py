@@ -21,6 +21,8 @@ from pyspark.sql import functions as F
 from elective_waiting_times_pipeline_spark.operators.text import (
     fingerprint_md5,
     md5_prefix60,
+    shingles_from_tokens,
+    tokens,
     word_shingles,
 )
 
@@ -75,16 +77,28 @@ def shingle_hashes(text_col: str, n: int = 3) -> F.Column:
     shingles — e.g. 'foo bar' and 'zzz bar' sharing a padded 'bar'
     shingle — so the fold is sliced back to the true shingle count
     (size - n + 1; empty when fewer than n tokens)."""
-    from elective_waiting_times_pipeline_spark.operators.text import tokens
+    return hash_shingles_from_token_hashes(
+        F.transform(tokens(text_col), lambda t: F.xxhash64(t)), n
+    )
 
-    toks = tokens(text_col)
-    h = F.transform(toks, lambda t: F.xxhash64(t))
+
+def hash_shingles_from_token_hashes(h: F.Column, n: int = 3) -> F.Column:
+    """`shingle_hashes`' fold over an already-computed per-token hash
+    array. Pass a BOUND ATTRIBUTE on hot paths: the fold references
+    the hash array ~4 times (seed row + shifted slices + length), and
+    an inline transform(tokens(...), xxhash64) expression re-runs the
+    tokenize + per-token hashing per reference — neither Generate
+    evaluation nor codegen CSE collapses it (same pathology as
+    `shingles_from_tokens`, measured 2.2× on a corpus gram scan).
+    size(h) == size(tokens) (transform preserves length), so the
+    slice-back count is unchanged."""
     out = h
+    cur = h
     for _ in range(n - 1):
-        nxt = F.slice(h, 2, F.greatest(F.size(h) - 1, F.lit(0)))
+        nxt = F.slice(cur, 2, F.greatest(F.size(cur) - 1, F.lit(0)))
         out = F.zip_with(out, nxt, lambda a, b: F.xxhash64(a, b))
-        h = nxt
-    count = F.size(toks) - (n - 1)
+        cur = nxt
+    count = F.size(h) - (n - 1)
     return F.array_distinct(
         F.when(count <= 0, F.array().cast("array<bigint>")).otherwise(F.slice(out, 1, count))
     )
@@ -105,7 +119,19 @@ def minhash_signatures(
     allocation) → explode longs → num_hashes flat xxhash64 columns →
     one hash-agg of mins per doc (map-side partial combine → the
     shuffle carries num_hashes longs per doc, not the shingles)."""
-    exploded = df.select(F.col(id_col), F.explode(shingle_hashes(text_col, shingle_n)).alias("_sh"))
+    exploded = (
+        df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+        .select(
+            F.col(id_col),
+            F.transform("_toks", lambda t: F.xxhash64(t)).alias("_th"),
+        )
+        .select(
+            F.col(id_col),
+            F.explode(
+                hash_shingles_from_token_hashes(F.col("_th"), shingle_n)
+            ).alias("_sh"),
+        )
+    )
     mins = exploded.groupBy(id_col).agg(
         *[F.min(F.xxhash64(F.lit(i), F.col("_sh"))).alias(f"_h{i}") for i in range(num_hashes)]
     )
@@ -170,7 +196,10 @@ def minhash_signatures_replayable(
     form. Duplicate shingles need no dedup — MIN over a multiset
     equals MIN over its set."""
     exploded = df.select(
-        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("_s")
+        F.col(id_col), tokens(text_col).alias("_toks")
+    ).select(
+        F.col(id_col),
+        F.explode(shingles_from_tokens(F.col("_toks"), shingle_n)).alias("_s"),
     )
     h60 = lambda i: md5_prefix60(F.concat_ws("|", F.lit(str(i)), F.col("_s")))
     mins = exploded.groupBy(id_col).agg(
@@ -387,9 +416,32 @@ def ngram_jaccard_pairs(
     pairs — the standard hot-token guard); at corpus scale, also feed
     this only LSH candidates. Default None = exact, oracle-checkable.
     """
+    # set_size is a ROW-LOCAL property (count of the doc's distinct
+    # shingles = size of the deduped array), so it rides along on the
+    # posting rows for free: no size aggregation, no postings-sized
+    # co-partition join to attach it back. The array expression is
+    # evaluated ONCE in the projection below Generate (explode reads
+    # the bound `_arr` attribute, not the expression). Sizes always
+    # come from the UNCAPPED shingle set so `max_doc_freq` keeps
+    # jaccard a lower bound.
+    # explode_OUTER + an isnotnull filter on the OUTPUT attribute: a
+    # plain explode makes InferFiltersFromGenerate add a
+    # `size(e) > 0 AND isnotnull(e)` filter below the Generate, and
+    # predicate pushdown inlines `_arr`'s defining expression into it —
+    # the whole tokenize+shingle pipeline would run TWICE per row
+    # (verified in the optimized plan). With outer=true no filter is
+    # inferred; empty-array docs emit one NULL shingle row that the
+    # attribute-level filter drops for the same final rows.
     shingled = df.select(
-        F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("shingle")
-    )
+        F.col(id_col), tokens(text_col).alias("_toks")
+    ).select(
+        F.col(id_col),
+        F.array_distinct(shingles_from_tokens(F.col("_toks"), shingle_n)).alias("_arr"),
+    ).select(
+        F.col(id_col),
+        F.size("_arr").alias("set_size"),
+        F.explode_outer("_arr").alias("shingle"),
+    ).filter(F.col("shingle").isNotNull())
     if max_doc_freq is not None:
         # window-free df cap: aggregate doc-frequency, semi-join back
         rare = (
@@ -398,19 +450,9 @@ def ngram_jaccard_pairs(
             .filter(F.col("_df") <= max_doc_freq)
             .select("shingle")
         )
-        pair_side = shingled.join(rare, "shingle")
+        sized = shingled.join(rare, "shingle")
     else:
-        pair_side = shingled
-    # Attach each doc's set size to its POSTING rows before the pair
-    # join (a postings-sized shuffle co-partitioned on id). The pair
-    # join's output is |co-shingled pairs| rows — orders of magnitude
-    # larger than the postings — so joining sizes onto it after the
-    # fact would shuffle that blow-up twice more; carrying the size
-    # through the join keeps the big relation single-shuffle (the
-    # partial-agg'd groupBy). Sizes always come from the UNCAPPED
-    # shingle set so `max_doc_freq` keeps jaccard a lower bound.
-    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    sized = pair_side.join(sizes, id_col)
+        sized = shingled
     a = sized.select(
         F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"), "shingle"
     )
@@ -463,10 +505,18 @@ def ngram_jaccard_pairs_delta(
     (same 6-dp round, same id_a < id_b orientation); equivalence to
     `ngram_jaccard_pairs(df).filter(touching new)` is property-tested
     in tests/test_round9_invariants.py."""
+    # row-local set_size + outer-explode single-eval (see
+    # ngram_jaccard_pairs for both rationales)
     shingled = df.select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    ).select(
         F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("shingle"),
-    )
+        F.array_distinct(shingles_from_tokens(F.col("_toks"), shingle_n)).alias("_arr"),
+    ).select(
+        F.col(id_col),
+        F.size("_arr").alias("set_size"),
+        F.explode_outer("_arr").alias("shingle"),
+    ).filter(F.col("shingle").isNotNull())
     if max_doc_freq is not None:
         rare = (
             shingled.groupBy("shingle")
@@ -477,11 +527,10 @@ def ngram_jaccard_pairs_delta(
         pair_side = shingled.join(rare, "shingle")
     else:
         pair_side = shingled
-    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     # carry an is-new flag through the postings (broadcast semi-shape:
     # new_ids is the small delta), then split ONCE — the old side never
     # self-joins, which is where the full generator's cost lives
-    flagged = pair_side.join(sizes, id_col).join(
+    flagged = pair_side.join(
         F.broadcast(new_ids.select(F.col(id_col)).distinct().withColumn("_new", F.lit(True))),
         id_col,
         "left",
@@ -836,8 +885,12 @@ def prefix_filter_jaccard_pairs(
     join expands |candidates| x set size, already threshold-bounded.
     """
     sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("shingle"),
+        F.col(id_col).alias("id"), tokens(text_col).alias("_toks")
+    ).select(
+        "id",
+        F.explode(
+            F.array_distinct(shingles_from_tokens(F.col("_toks"), shingle_n))
+        ).alias("shingle"),
     ).filter(F.col("shingle") != "")
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))

@@ -359,10 +359,23 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     Built by zipping n shifted slices of the token array rather than a
     transform-over-indices lambda: an outer expression referenced from
     inside a higher-order-function lambda is re-evaluated per element
-    (the tokenize regex would run ~|tokens| times per row), while slice
-    arguments are plain project-level subexpressions the codegen CSEs
-    to one tokenize per row — measured ~4× on the shingle explode."""
-    toks = tokens(col)
+    (the tokenize regex would run ~|tokens| times per row).
+
+    PERF NOTE: this inline form embeds the tokenize chain once per
+    slice (~n+2 references) and neither Generate evaluation nor
+    codegen CSE collapses them (measured 2.2× on a corpus gram scan).
+    Callers on a hot path should bind the token array to an attribute
+    in a prior select and use `shingles_from_tokens` — SPARK-36718
+    keeps that projection uncollapsed because the alias is multiply
+    referenced and expensive."""
+    return shingles_from_tokens(tokens(col), n)
+
+
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """`word_shingles` over an already-computed token-array Column —
+    pass a BOUND ATTRIBUTE (e.g. `F.col("_toks")` from a prior
+    `.select(tokens(...).alias("_toks"))`) so the n+2 references below
+    are cheap attribute reads instead of n+2 tokenize evaluations."""
     count = F.size(toks) - (n - 1)
     parts = [F.slice(toks, i + 1, count) for i in range(n)]
     zipped = F.arrays_zip(*parts)
@@ -501,9 +514,15 @@ def repetition_features(
             F.count_distinct("_tok").cast("int").alias("n_distinct_tokens"),
         )
     )
-    bigrams = word_shingles(text_col, n=2)
+    # bind tokens to an attribute before the multi-reference shingle
+    # build (see shingles_from_tokens) — the inline form re-tokenizes
+    # per slice reference
     bg = (
-        df.select(F.col(id_col), F.explode(bigrams).alias("_bg"))
+        df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+        .select(
+            F.col(id_col),
+            F.explode(shingles_from_tokens(F.col("_toks"), n=2)).alias("_bg"),
+        )
         .groupBy(id_col, "_bg")
         .agg(F.count(F.lit(1)).alias("_c"))
         .groupBy(id_col)

@@ -706,9 +706,12 @@ def simhash_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = X.tokens("text")
+    # tokens bound to an attribute: `bigrams` references the token
+    # array 3× (size + 2 slices); inline tokens() would re-run the
+    # tokenize chain per reference (see shingles_from_tokens)
     return (
-        docs.select(F.explode(X.bigrams(toks)).alias("bigram"))
+        docs.select(X.tokens("text").alias("_toks"))
+        .select(F.explode(X.bigrams(F.col("_toks"))).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("bigram"))
@@ -775,7 +778,8 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tu = uc.agg(F.sum("cu").alias("t_uni"))
     bc_all = (
-        docs.select(F.explode(X.bigram_pairs(toks)).alias("p"))
+        docs.select(X.tokens("text").alias("_toks"))
+        .select(F.explode(X.bigram_pairs(F.col("_toks"))).alias("p"))
         .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
         .agg(F.count(F.lit(1)).alias("cb"))
         .localCheckpoint(eager=False)  # two consumers: total + min-count cut
@@ -1129,14 +1133,18 @@ _SH3 = "unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) 
 )
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = X.word_shingles("text", n=3)
+    # tokens bound per branch before the 5-reference shingle build
+    # (see shingles_from_tokens)
+    sh = X.shingles_from_tokens(F.col("_toks"), n=3)
     bench_sh = (
         docs.filter(F.col("source") == "src0")
+        .select(X.tokens("text").alias("_toks"))
         .select(F.explode(sh).alias("shingle"))
         .distinct()
     )
     corp_sh = (
         docs.filter(F.col("source") != "src0")
+        .select("doc_id", X.tokens("text").alias("_toks"))
         .select("doc_id", F.explode(sh).alias("shingle"))
         .distinct()
     )
@@ -2546,9 +2554,8 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def boilerplate_gram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = X.tokens("text")
-    grams = (
-        docs.select("doc_id", F.explode(X.trigrams(toks)).alias("gram"))
+    grams = docs.select("doc_id", X.tokens("text").alias("_toks")).select(
+        "doc_id", F.explode(X.trigrams(F.col("_toks"))).alias("gram")
     )
     dfreq = grams.groupBy("gram").agg(F.countDistinct("doc_id").alias("dfc"))
     boiler = F.when(F.col("dfc") >= 3, F.lit(1)).otherwise(F.lit(0))
@@ -2845,13 +2852,17 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = X.tokens("text")
     # NOT checkpointed: the sketch pass and the verify pass each
     # re-derive the bigram explode from the scan — materializing a
     # corpus-sized occurrence relation to local disk to save one
     # re-scan is the wrong trade at 100 TB (the duplicate_ngram_
-    # coverage ×100 probe measured the checkpointed form 3.7× slower)
-    bg = docs.select(F.explode(X.bigrams(toks)).alias("bigram"))
+    # coverage ×100 probe measured the checkpointed form 3.7× slower).
+    # Tokens bound to an attribute: `bigrams` references the token
+    # array 3× and an inline tokens() re-runs the tokenize chain per
+    # reference (see shingles_from_tokens).
+    bg = docs.select(X.tokens("text").alias("_toks")).select(
+        F.explode(X.bigrams(F.col("_toks"))).alias("bigram")
+    )
     # the d×w CELLS are the thing to pin (4096 rows): total and the
     # broadcast estimate both read them, and without the checkpoint
     # each consumer re-runs the whole sketch-building corpus pass
@@ -3313,12 +3324,20 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = X.tokens("text")
     # NO checkpoint on the exploded grams: both consumers (the count
     # agg and the per-doc join) re-derive them from the scan — two
     # corpus scans beat materializing a >1×-corpus-sized gram relation
-    # to local disk (SCALE.md carries the ×100 measurement)
-    g = docs.select("doc_id", "source", F.explode(X.wordgrams(toks, 5)).alias("gram"))
+    # to local disk (SCALE.md carries the ×100 measurement).
+    # Tokens are BOUND to an attribute first: `wordgrams` references
+    # its token array ~7 times (size + n shifted slices), and an
+    # inline tokens() expression is re-evaluated per reference —
+    # neither Generate eval nor codegen CSE collapses it (measured
+    # 1.35 s → 0.61 s for this scan at sf0.1). SPARK-36718 keeps the
+    # two projections uncollapsed precisely because the alias is
+    # multiply referenced and expensive.
+    g = docs.select(
+        "doc_id", "source", X.tokens("text").alias("_toks")
+    ).select("doc_id", "source", F.explode(X.wordgrams(F.col("_toks"), 5)).alias("gram"))
     cnt = g.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
     per_doc = (
         g.join(cnt, "gram")

@@ -56,6 +56,24 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Quiet the UI for headless runs.
         .config("spark.ui.enabled", "false")
+        # InferFiltersFromGenerate adds `size(e) > 0 AND isnotnull(e)`
+        # below every explode/Generate, and predicate pushdown inlines
+        # the generator's DEFINING EXPRESSION into that filter. Every
+        # explode in this engine feeds on a COMPUTED array (tokenize /
+        # shingle / hash-chain pipelines), so the inferred filter
+        # re-evaluates the full expression per row — doubling the
+        # dominant per-row cost of the text family — and never reaches
+        # the parquet scan (no raw-column explodes exist here, so the
+        # rule's pushdown upside is structurally zero in this engine).
+        # Verified in optimized plans (the tokenize chain appeared in
+        # both Filter and Generate) and by A/B: text-family headline
+        # subset 15.2 s → 14.0 s at sf0.1; at scale the win is a full
+        # tokenize pass per explode consumer. Scale-independent plan
+        # hygiene, not a local[32] tune.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # Whole-stage-codegen class cache. The default 100 entries
         # thrash in a session that runs the whole catalog: the
         # range_bucket 63-term CASE-WHEN (the distributed-rank
