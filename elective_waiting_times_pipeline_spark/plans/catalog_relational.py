@@ -2147,6 +2147,7 @@ def weighted_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         weight="w",
         out_prefix="cw",
         out_total_weight="tw",
+        offsets_from_source=True,
     )
     return (
         c.groupBy("flag").agg(
@@ -2406,6 +2407,7 @@ def trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         weight="cnt",
         out_prefix="cw",
         out_total_weight="n",
+        offsets_from_source=True,
     )
     k = F.expr("n div 10")
     cwp = F.col("cw") - F.col("cnt")  # exclusive prefix count
@@ -2637,6 +2639,7 @@ def winsorized_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         weight="cnt",
         out_prefix="cw",
         out_total_weight="n",
+        offsets_from_source=True,
     )
     k = F.expr("n div 10")
     fences = c.groupBy("flag").agg(
@@ -2707,6 +2710,7 @@ def monetary_unit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.range_bucket("l_orderkey", cuts),
         weight="cents",
         out_prefix="cw",
+        offsets_from_source=True,
     )
     return (
         c.withColumn("dollar_unit", F.expr(f"cw div {_MUS_STEP_CENTS}").cast("long"))
@@ -2767,6 +2771,7 @@ def weighted_p90_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         weight="w",
         out_prefix="cw",
         out_total_weight="tw",
+        offsets_from_source=True,
     )
     return c.groupBy("flag").agg(
         (
@@ -2837,6 +2842,7 @@ def iqr_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
         weight="cnt",
         out_prefix="cw",
         out_total_weight="tw",
+        offsets_from_source=True,
     )
     q = c.groupBy("flag").agg(
         F.min(F.when(4 * F.col("cw") >= F.col("tw"), F.col("val"))).alias("q1c"),
@@ -2901,6 +2907,7 @@ def orderkey_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("key")],
         S.range_bucket("key", cuts),
         out_pos="pos",
+        offsets_from_source=True,
     )
     runs = (
         k.groupBy((F.col("key") - F.col("pos")).alias("anchor"))

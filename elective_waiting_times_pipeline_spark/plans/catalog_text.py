@@ -2092,6 +2092,9 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.range_bucket("mean_logprob", cuts, descending=True),
         out_pos="_r",
         out_total="_N",
+        # scored is checkpointed: a second scan of it is cheaper than
+        # the second sort+window the offsets branch otherwise pays
+        offsets_from_source=True,
     )
     q = F.floor(F.col("_N") / 10)
     rem = F.col("_N") % 10
@@ -2273,6 +2276,9 @@ def source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.range_bucket("n_chars", cuts),
         group_cols=["source"],
         out_pos="i",
+        # 3-column raw scan: rescanning it for the offsets agg beats
+        # a second sort+window over the corpus-sized bucket exchange
+        offsets_from_source=True,
     )
     sum_ix = F.sum((F.col("i") * F.col("n_chars")).cast("decimal(38,0)")).cast("double")
     return ranked.groupBy("source").agg(
