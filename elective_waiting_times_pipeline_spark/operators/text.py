@@ -199,12 +199,58 @@ def token_profile(
     language is a ~50-literal isin chain per token row, so quality
     scoring, which needs only English, skips 7/8ths of the compares).
 
-    Physical shape: higher-order `filter` lambdas are interpreted per
-    row (the text hot spot, like the minhash shingle case); exploding
-    once and counting with `isin` predicates stays in whole-stage
-    codegen, and map-side partial aggregation collapses each doc to a
-    single ~8-column row before the shuffle. explode_outer keeps
-    zero-token docs (NULL token → counts of 0)."""
+    Physical shape, chosen by |langs| (both value-identical, A/B'd at
+    sf0.1):
+    - ≤ 2 languages → ROW-LOCAL map, no explode, no shuffle: n_tokens
+      and hits come from size()/filter() on a BOUND token-array
+      attribute, and sum_token_len collapses to
+      length(regexp_replace(trim(lower(text)), '\\s+', '')) — the
+      token lengths are exactly the non-whitespace chars of the
+      trimmed text. Measured 1.68 s → 0.39 s for quality_features
+      (one language) — the per-doc agg shuffle was the whole cost.
+    - more languages → one explode + codegen'd conditional counts:
+      each interpreted higher-order `filter` traverses the array per
+      language, so at 8 languages the codegen'd isin-per-token-row
+      aggregate wins (measured 0.67 s vs 0.73 s row-local); map-side
+      partial aggregation collapses each doc to one ~8-column row
+      before the shuffle. explode_outer keeps zero-token docs (NULL
+      token → counts of 0)."""
+    lang_list = list(STOPWORDS if langs is None else langs)
+    if len(lang_list) <= 2:
+        # NULL-text parity with the explode_outer branch: there a NULL
+        # array still emits one NULL-token row, so n_tokens/hits/
+        # sum_token_len come out 0 (not NULL) — coalesce reproduces
+        # that here (n_chars/n_punct are NULL in both branches).
+        b = df.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.coalesce(tokens(text_col), F.array().cast("array<string>")).alias("_toks"),
+        )
+        cols = [
+            F.col(id_col),
+            F.length(text_col).cast("int").alias("n_chars"),
+            (
+                F.length(text_col)
+                - F.length(F.regexp_replace(F.col(text_col), PUNCT_CLASS, ""))
+            )
+            .cast("int")
+            .alias("n_punct"),
+            F.size("_toks").cast("int").alias("n_tokens"),
+            F.coalesce(
+                F.length(F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", "")),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("sum_token_len"),
+        ]
+        for lang in lang_list:
+            lits = STOPWORDS[lang]
+            cols.append(
+                F.size(F.filter(F.col("_toks"), lambda tk: tk.isin(*lits)))
+                .cast("long")
+                .alias(f"hits_{lang}")
+            )
+        return b.select(*cols)
     toked = df.select(
         F.col(id_col),
         F.length(text_col).cast("int").alias("_nc"),
@@ -215,7 +261,7 @@ def token_profile(
     )
     hit_aggs = [
         F.count(F.when(F.col("_tok").isin(*STOPWORDS[lang]), F.lit(1))).alias(f"hits_{lang}")
-        for lang in (STOPWORDS if langs is None else langs)
+        for lang in lang_list
     ]
     return toked.groupBy(id_col).agg(
         F.first("_nc").alias("n_chars"),

@@ -62,6 +62,7 @@ def curate(
     and semantics as operators/text.py::quality_filter), PII-redacted
     text, exact-dedup fingerprint, deterministic split label. Works
     identically on batch and streaming inputs."""
+    from elective_waiting_times_pipeline_spark.functions.barrier import bind_once
     from elective_waiting_times_pipeline_spark.operators.text import PUNCT_CLASS
 
     t = F.col(text_col)
@@ -72,12 +73,27 @@ def curate(
     # len(concat(tokens)) == sum(len(token)): strip ALL whitespace
     # from the normalized text rather than re-walking the token array.
     sum_tok_len = F.length(F.regexp_replace(F.trim(F.lower(t)), r"\s+", ""))
-    mean_tok_len = F.when(n_toks > 0, sum_tok_len / n_toks).otherwise(0.0)
-    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
-    stop_ratio = F.when(n_toks > 0, stopword_hits(toks, "en") / n_toks).otherwise(0.0)
+    # every derived quantity is evaluated ONCE per row behind the
+    # explode(array(struct)) barrier (functions/barrier.py) — the
+    # inline form re-ran the tokenize/regexp chains per keep-predicate
+    # reference (plan-verified). Wall-clock parity at sf0.1×16 (1.00 s
+    # both forms — the PII regexp cascade dominates there); the
+    # single-eval shape pays off as document length grows.
+    b = bind_once(
+        docs,
+        _nt=n_toks,
+        _stl=sum_tok_len,
+        _nc=n_chars,
+        _np=n_punct,
+        _hits=stopword_hits(toks, "en"),
+    )
+    bnt = F.col("_nt")
+    mean_tok_len = F.when(bnt > 0, F.col("_stl") / bnt).otherwise(0.0)
+    punct_ratio = F.when(F.col("_nc") > 0, F.col("_np") / F.col("_nc")).otherwise(0.0)
+    stop_ratio = F.when(bnt > 0, F.col("_hits") / bnt).otherwise(0.0)
     keep = (
-        (n_toks >= min_tokens)
-        & (n_toks <= max_tokens)
+        (bnt >= min_tokens)
+        & (bnt <= max_tokens)
         & (mean_tok_len >= min_mean_tok_len)
         & (mean_tok_len <= max_mean_tok_len)
         & (punct_ratio <= max_punct_ratio)
@@ -88,13 +104,15 @@ def curate(
     # fingerprint collapses docs identical after redaction (two pages
     # differing only in a phone number ARE duplicates). The quality
     # FILTER above still judges the raw text — redaction must not
-    # rescue a junk page.
-    redacted = redact_pii(t)
-    return docs.filter(keep).select(
+    # rescue a junk page. The redacted text is itself bound once: the
+    # PII regexp cascade fed three consumers (token count, emitted
+    # text, fingerprint).
+    red = bind_once(b.filter(keep), [id_col], _red=redact_pii(t))
+    return red.select(
         F.col(id_col),
-        token_count(redacted).cast("int").alias("n_tokens"),
-        redacted.alias(text_col),
-        fingerprint_md5(redacted).alias("fingerprint"),
+        token_count(F.col("_red")).cast("int").alias("n_tokens"),
+        F.col("_red").alias(text_col),
+        fingerprint_md5(F.col("_red")).alias("fingerprint"),
         split_column(id_col, splits).alias("split"),
     )
 
