@@ -61,21 +61,32 @@ def assign_clusters(
     id_col: str = "vec_id",
     vec_col: str = "xv",
 ) -> DataFrame:
-    """Nearest-centroid assignment: broadcast the k-row centroid table
-    (cid, cv), compute exact distances map-side, argmin via a single
-    min(struct(dist, cid)) aggregation — ties go to the smallest cid.
+    """Nearest-centroid assignment, fully ROW-LOCAL: the k-row
+    centroid table collapses to a single-row array (sorted by cid),
+    broadcast-crossJoined onto every vector row, and the argmin is
+    array_min over the per-centroid struct(dist, cid) transforms —
+    struct ordering compares d first then cid, the exact semantics of
+    the previous min(struct(d, cid)) aggregation (ties to the
+    smallest cid). The previous shape multiplied the corpus k× and
+    shuffled a corpus-sized (id, best, xv) relation back through
+    groupBy(id) — a full corpus exchange (with the vector payload)
+    that pure map-side evaluation eliminates; each Lloyd iteration is
+    now assignment-shuffle-free, leaving recompute_centroids' k·dim
+    exchange as the only shuffle per round.
     Output: (id_col, cluster, xv)."""
-    scored = vecs.crossJoin(F.broadcast(centroids))
-    best = (
-        scored.groupBy(id_col)
-        .agg(
-            F.min(F.struct(_sq_dist(F.col(vec_col), F.col("cv")).alias("d"), F.col("cid").alias("cid")))
-            .alias("best"),
-            F.first(vec_col).alias(vec_col),
-        )
-        .select(id_col, F.col("best.cid").alias("cluster"), vec_col)
+    cents = centroids.agg(
+        F.array_sort(F.collect_list(F.struct(F.col("cid"), F.col("cv")))).alias("_cents")
     )
-    return best
+    scored = vecs.crossJoin(F.broadcast(cents))
+    best = F.array_min(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                _sq_dist(F.col(vec_col), c["cv"]).alias("d"), c["cid"].alias("cid")
+            ),
+        )
+    )
+    return scored.select(F.col(id_col), best["cid"].alias("cluster"), F.col(vec_col))
 
 
 def recompute_centroids(assigned: DataFrame, vec_col: str = "xv") -> DataFrame:

@@ -459,12 +459,26 @@ def quantize_int8(vec: Column) -> tuple[Column, Column]:
     on exactly-representable inputs. Returns (scale, quantized)."""
     s = max_abs(vec)
     # all-zero vectors: 127*0/0 is NULL in non-ANSI Spark — pin them to
-    # q = zeros with scale 0 (their dot with anything is a clean 0.0)
-    q = F.transform(
-        vec,
-        lambda x: F.when(s == 0, F.lit(0))
-        .otherwise(F.floor(F.lit(127) * x.cast("double") / s + 0.5))
-        .cast("tinyint"),
+    # q = zeros with scale 0 (their dot with anything is a clean 0.0).
+    # `s` must NOT be referenced inside the per-element lambda: an
+    # outer expression captured by a higher-order-function lambda is
+    # re-evaluated PER ELEMENT (the documented bigram_pairs pathology),
+    # so the previous form re-ran the max-abs fold ~2·dim times per
+    # row — O(dim²) per vector. Hoisting the zero test out of the
+    # lambda and feeding the scale through array_repeat evaluates the
+    # fold twice per row, and zip_with's element sees it as a plain
+    # lambda variable. Identical values, element type and NULL
+    # behavior (NULL x → NULL element either way).
+    q = F.when(
+        s == 0, F.transform(vec, lambda x: F.lit(0).cast("tinyint"))
+    ).otherwise(
+        F.zip_with(
+            vec,
+            F.array_repeat(s, F.size(vec)),
+            lambda x, sv: F.floor(F.lit(127) * x.cast("double") / sv + 0.5).cast(
+                "tinyint"
+            ),
+        )
     )
     return s, q
 

@@ -905,16 +905,27 @@ def silhouette_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c0 = vecs.join(F.broadcast(seed_map), "vec_id").select("cid", F.col("xv").alias("cv"))
     c1 = recompute_centroids(assign_clusters(vecs, c0))
-    # all (point, centroid) exact distances in one broadcast pass; the
-    # per-point k-struct array is bounded (k=4) so argmin + runner-up
-    # resolve in codegen'd array ops, no second aggregation
-    per = vecs.crossJoin(F.broadcast(c1)).select(
-        "vec_id",
-        F.struct(_sq_dist(F.col("xv"), F.col("cv")).alias("d"), F.col("cid").alias("cid")).alias(
-            "dc"
-        ),
+    # all (point, centroid) exact distances ROW-LOCALLY: the k
+    # centroids collapse to one broadcast array row, and the sorted
+    # per-point distance structs come from array_sort over a
+    # transform — the same comparator the previous
+    # groupBy + collect_list + array_sort shape applied, without
+    # multiplying the corpus k× and shuffling it back through an
+    # aggregation (assign_clusters got the same rewrite)
+    cents = c1.agg(
+        F.array_sort(F.collect_list(F.struct(F.col("cid"), F.col("cv")))).alias("_cents")
     )
-    agg = per.groupBy("vec_id").agg(F.array_sort(F.collect_list("dc")).alias("ds"))
+    agg = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        F.array_sort(
+            F.transform(
+                F.col("_cents"),
+                lambda c: F.struct(
+                    _sq_dist(F.col("xv"), c["cv"]).alias("d"), c["cid"].alias("cid")
+                ),
+            )
+        ).alias("ds"),
+    )
     best = F.element_at("ds", 1)
     cluster = best["cid"]
     da = F.sqrt(best["d"].cast("double"))
