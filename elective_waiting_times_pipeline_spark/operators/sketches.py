@@ -53,14 +53,24 @@ def merged_distinct_estimate(sketches: DataFrame, days: list[str] | None = None)
 
 
 def count_min_cells(
-    items: DataFrame, key_col: str = "key", d: int = 4, w: int = 1024
+    items: DataFrame,
+    key_col: str = "key",
+    d: int = 4,
+    w: int = 1024,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Build the (row, col, cnt) cell relation of a count-min sketch
     over `items[key_col]` (one occurrence per input row). One scan:
     each key explodes into its d (row, hash-col) cells, then a hash
     agg over the d·w-bounded cell grid — map-side combinable, output
     size fixed at <= d·w rows no matter the corpus. Merge two
-    sketches by unioning cells and re-summing."""
+    sketches by unioning cells and re-summing.
+
+    `weight_col` feeds a PRE-AGGREGATED (key, count) relation: each
+    row contributes `weight_col` occurrences instead of 1. Cell
+    counts are plain sums, so the grid is identical to running the
+    unweighted build over the expanded multiset — but the explode
+    fan-out is d·distinct-keys, not d·occurrences."""
     cells = F.array(
         *[
             F.struct(
@@ -70,10 +80,14 @@ def count_min_cells(
             for r in range(d)
         ]
     )
+    agg = (
+        F.count(F.lit(1)) if weight_col is None else F.sum(F.col("_w").cast("long"))
+    )
+    keep = [F.col(weight_col).alias("_w")] if weight_col is not None else []
     return (
-        items.select(F.explode(cells).alias("c"))
+        items.select(F.explode(cells).alias("c"), *keep)
         .groupBy(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(agg.cast("long").alias("cnt"))
     )
 
 

@@ -2858,34 +2858,39 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    # NOT checkpointed: the sketch pass and the verify pass each
-    # re-derive the bigram explode from the scan — materializing a
-    # corpus-sized occurrence relation to local disk to save one
-    # re-scan is the wrong trade at 100 TB (the duplicate_ngram_
-    # coverage ×100 probe measured the checkpointed form 3.7× slower).
     # Tokens bound to an attribute: `bigrams` references the token
     # array 3× and an inline tokens() re-runs the tokenize chain per
     # reference (see shingles_from_tokens).
     bg = docs.select(X.tokens("text").alias("_toks")).select(
         F.explode(X.bigrams(F.col("_toks"))).alias("bigram")
     )
-    # the d×w CELLS are the thing to pin (4096 rows): total and the
-    # broadcast estimate both read them, and without the checkpoint
-    # each consumer re-runs the whole sketch-building corpus pass
-    cells = count_min_cells(bg, "bigram", d=4, w=1024).localCheckpoint(eager=False)
+    # ONE corpus pass. Every occurrence of a bigram shares its
+    # cms_est and the corpus total, so the whole query — sketch
+    # cells, estimate, candidate filter, exact verify — is a function
+    # of the per-distinct-bigram counts alone: the sketch cells are
+    # plain sums (weighted build ≡ unweighted over the expanded
+    # multiset), the old per-occurrence verify count collapses to n
+    # (all of a bigram's occurrences pass or fail together). The
+    # previous form re-ran the tokenize+explode corpus pass for the
+    # estimate side (2 scans); pinning the vocabulary-bounded (bigram,
+    # n) relation instead pins O(distinct) rows, not O(corpus) —
+    # the trade the duplicate_ngram_coverage ×100 probe showed is
+    # WRONG for occurrence-sized relations and right for this one.
+    bgc = (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    cells = count_min_cells(bgc, "bigram", d=4, w=1024, weight_col="n")
     total = cells.filter(F.col("row") == 0).agg(F.sum("cnt").alias("_tot"))
     candidates = (
-        cms_estimate(bg, cells, "bigram", d=4, w=1024)
+        cms_estimate(bgc, cells, "bigram", d=4, w=1024)
         .crossJoin(F.broadcast(total))
         # sketch estimates only over-count: no true heavy hitter is lost
         .filter(1000 * F.col("cms_est") >= F.col("_tot"))
     )
-    return (
-        candidates.groupBy("bigram")
-        .agg(F.count(F.lit(1)).alias("n"), F.max("_tot").alias("_t"))
-        .filter(1000 * F.col("n") >= F.col("_t"))  # exact verify trims collisions
-        .select("bigram", "n")
-    )
+    # exact verify trims collisions
+    return candidates.filter(1000 * F.col("n") >= F.col("_tot")).select("bigram", "n")
 
 
 # ---------------------------------------------------------------------------
@@ -3341,21 +3346,35 @@ def duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1.35 s → 0.61 s for this scan at sf0.1). SPARK-36718 keeps the
     # two projections uncollapsed precisely because the alias is
     # multiply referenced and expensive.
-    g = docs.select(
-        "doc_id", "source", X.tokens("text").alias("_toks")
-    ).select("doc_id", "source", F.explode(X.wordgrams(F.col("_toks"), 5)).alias("gram"))
-    cnt = g.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
-    per_doc = (
-        g.join(cnt, "gram")
+    # The explode carries doc_id ONLY: a doc's gram count is
+    # size(tokens) − 4, read straight off the (narrow) scan, and its
+    # source comes from the same scan — so the per-occurrence stream
+    # never drags the source string through the join, the duplicate
+    # filter (n >= 2) moves INTO the join build side (only duplicated
+    # grams are joined/aggregated, not every occurrence), and the
+    # per-doc aggregate is a hash agg over matching occurrences
+    # instead of a corpus-wide SortAggregate forced by min(source).
+    g = docs.select("doc_id", X.tokens("text").alias("_toks")).select(
+        "doc_id", F.explode(X.wordgrams(F.col("_toks"), 5)).alias("gram")
+    )
+    dup_grams = (
+        g.groupBy("gram").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") >= 2)
+    )
+    dup = (
+        g.join(dup_grams.select("gram"), "gram")
         .groupBy("doc_id")
-        .agg(
-            F.min("source").alias("source"),
-            F.floor(
-                1000000.0 * F.sum((F.col("n") >= 2).cast("int")) / F.count(F.lit(1)) + 0.5
-            )
-            .cast("long")
-            .alias("dup_ppm"),
+        .agg(F.count(F.lit(1)).alias("_dup"))
+    )
+    meta = docs.select(
+        "doc_id", "source", (F.size(X.tokens("text")) - 4).alias("_tot")
+    ).filter(F.col("_tot") >= 1)
+    per_doc = meta.join(dup, "doc_id", "left").select(
+        "source",
+        F.floor(
+            1000000.0 * F.coalesce(F.col("_dup"), F.lit(0)) / F.col("_tot") + 0.5
         )
+        .cast("long")
+        .alias("dup_ppm"),
     )
     return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -53,6 +53,26 @@ def test_sketches_merge_by_cell_sum(spark):
     assert diff == 0
 
 
+def test_weighted_cells_equal_unweighted_over_expanded_multiset(spark):
+    # the pre-aggregated (key, n) build must produce the IDENTICAL
+    # cell grid the per-occurrence build does — cells are plain sums
+    items = _items(spark)
+    pre = items.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    weighted = count_min_cells(pre, "key", d=_D, w=_W, weight_col="n")
+    full = count_min_cells(items, "key", d=_D, w=_W)
+    diff = (
+        weighted.join(full, ["row", "col"], "full_outer")
+        .filter(
+            F.coalesce(weighted["cnt"], F.lit(0)) != F.coalesce(full["cnt"], F.lit(0))
+        )
+        .count()
+    )
+    assert diff == 0
+    assert [f.dataType.typeName() for f in weighted.schema.fields] == [
+        f.dataType.typeName() for f in full.schema.fields
+    ]
+
+
 def test_heavy_hitter_composition_is_exact(spark):
     items = _items(spark)
     cells = count_min_cells(items, "key", d=_D, w=_W)
