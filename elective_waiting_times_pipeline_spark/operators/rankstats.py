@@ -66,14 +66,25 @@ def doubled_avg_rank(
     the statistics here are over observed pairs anyway.
     """
     rows = df.filter(F.col(value_col).isNotNull())
-    g = rows.groupBy(value_col).agg(F.count(F.lit(1)).alias("_cnt"))
-    cuts = range_cut_points(rows, value_col, n_buckets, sample_rows=4096)
+    # pin the AXIS (O(distinct) rows — the bounded checkpoint class),
+    # not the row stream: the cut-points sample, the offsets agg and
+    # the ranked branch all read the pinned axis, so the corpus-sized
+    # groupBy runs exactly once and the offsets branch can come from a
+    # plain HashAggregate (offsets_from_source) instead of a second
+    # sort+window over the bucket exchange.
+    g = (
+        rows.groupBy(value_col)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .localCheckpoint(eager=False)
+    )
+    cuts = range_cut_points(g, value_col, n_buckets, sample_rows=4096)
     pre = ordered_prefix(
         g,
         [F.col(value_col).asc()],
         range_bucket(value_col, cuts),
         weight="_cnt",
         out_prefix="_cum",
+        offsets_from_source=True,
     )
     return pre.select(
         value_col,
@@ -99,19 +110,78 @@ def spearman_rho(df: DataFrame, x: str, y: str, n_buckets: int = 64) -> DataFram
     — the one operation order the oracles repeat. Rows where either
     column is NULL are dropped (pairwise-complete, the R default).
     """
-    # checkpoint the NARROW (x, y) projection: five consumers reference
-    # it (each rank's groupBy + cut-points action, plus the final join
-    # probe) and upstream may be an expensive derivation (spearman_corr
-    # feeds a regex token count) — without the pin every consumer
-    # re-runs it (the curriculum_order / weighted_median pattern)
+    # checkpoint the NARROW (x, y) projection: three consumers
+    # reference it (the two union branches of the fused rank pass and
+    # the final join probe) and upstream may be an expensive
+    # derivation (spearman_corr feeds a regex token count) — without
+    # the pin every consumer re-runs it (the curriculum_order /
+    # weighted_median pattern). The pin is O(n) rows but only the two
+    # value columns — 16 bytes/row against the corpus text it spares.
     rows = (
         df.filter(F.col(x).isNotNull() & F.col(y).isNotNull())
         .select(x, y)
         .localCheckpoint(eager=False)
     )
-    rx = doubled_avg_rank(rows, x, "_rx", n_buckets).drop("_cnt")
-    ry = doubled_avg_rank(rows, y, "_ry", n_buckets).drop("_cnt")
-    j = rows.join(rx, x).join(ry, y)
+    # ONE fused rank pass for BOTH variables: tag-union the two value
+    # streams and run the doubled-avg-rank machinery grouped by the
+    # tag. Ranks within a tag are computed over exactly that tag's
+    # rows (the window partitions by (_tag, bucket), the offsets
+    # prefix by _tag), so the per-variable ranks are identical to two
+    # separate passes — but the corpus-side aggregation, the
+    # cut-points action and the offsets machinery run ONCE instead of
+    # twice. A shared cut list is sound: cut points only steer
+    # parallelism (any monotone bucketing yields the same exact
+    # ranks), and equal-mass cuts over the UNION axis are taken from
+    # the collapsed axis itself (sample_rows over ≤|ax|+|ay| rows).
+    # Requires x and y to be union-compatible; both callers cast to
+    # long. The axis is localCheckpoint'd (O(distinct) rows — the
+    # bounded class), so the two filter branches and the offsets agg
+    # (offsets_from_source: HashAggregate, no second sort+window)
+    # read pinned blocks instead of re-running the corpus agg.
+    if dict(df.dtypes)[x] != dict(df.dtypes)[y]:
+        raise ValueError(
+            f"spearman_rho needs union-compatible columns, got "
+            f"{dict(df.dtypes)[x]} vs {dict(df.dtypes)[y]}"
+        )
+    u = rows.select(F.lit(0).alias("_tag"), F.col(x).alias("_v")).unionByName(
+        rows.select(F.lit(1).alias("_tag"), F.col(y).alias("_v"))
+    )
+    g = (
+        u.groupBy("_tag", "_v")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .localCheckpoint(eager=False)
+    )
+    cuts = range_cut_points(g, "_v", n_buckets, sample_rows=4096)
+    pre = ordered_prefix(
+        g,
+        [F.col("_v").asc()],
+        range_bucket("_v", cuts),
+        group_cols=["_tag"],
+        weight="_cnt",
+        out_prefix="_cum",
+        offsets_from_source=True,
+    )
+    # pin the finished rank map too (axis-sized): rx and ry are two
+    # consumers, and without the pin each broadcast build would re-run
+    # the window pass (tag-filter pushes below the window, so it would
+    # be one bucket exchange + sort PER TAG — with the pin the single
+    # two-tag window pass runs once)
+    r2 = pre.select(
+        "_tag",
+        "_v",
+        (2 * F.col("_cum") - F.col("_cnt") + 1).cast("long").alias("_r2"),
+    ).localCheckpoint(eager=False)
+    rx = r2.filter(F.col("_tag") == 0).select(
+        F.col("_v").alias(x), F.col("_r2").alias("_rx")
+    )
+    ry = r2.filter(F.col("_tag") == 1).select(
+        F.col("_v").alias(y), F.col("_r2").alias("_ry")
+    )
+    # the rank maps are axis-sized (bounded by |distinct values|, not
+    # n) — broadcast them explicitly rather than trusting size
+    # estimates through the checkpoint barrier (guide §3.1: a
+    # LogicalRDD carries no stats, so the planner would assume huge)
+    j = rows.join(F.broadcast(rx), x).join(F.broadcast(ry), y)
     agg = j.agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum(_dec(F.col("_rx"))).alias("_sx"),
@@ -159,22 +229,30 @@ def mann_whitney_u(
         σ²  = n_a·n_b/12 · ((n+1) − Σ(t³−t)/(n(n−1)))   (tie-corrected)
         z   = (U_A − μ) / σ
     """
-    t = (
-        df.filter(F.col(group_col).isin(group_a, group_b) & F.col(value_col).isNotNull())
-        .select(group_col, value_col)
-        .localCheckpoint(eager=False)  # two consumers: the hash agg + the cut-points action
+    # the row stream has ONE consumer (the axis agg) now that cut
+    # points sample the collapsed axis, so the former corpus-sized
+    # localCheckpoint of t is gone; the pin moved to the AXIS
+    # (O(distinct) rows), whose three consumers (cut points, ranked
+    # branch, source-offsets agg) read pinned blocks.
+    t = df.filter(
+        F.col(group_col).isin(group_a, group_b) & F.col(value_col).isNotNull()
+    ).select(group_col, value_col)
+    g = (
+        t.groupBy(value_col)
+        .agg(
+            F.sum(F.when(F.col(group_col) == group_a, 1).otherwise(0)).alias("_ca"),
+            F.count(F.lit(1)).alias("_cnt"),
+        )
+        .localCheckpoint(eager=False)
     )
-    g = t.groupBy(value_col).agg(
-        F.sum(F.when(F.col(group_col) == group_a, 1).otherwise(0)).alias("_ca"),
-        F.count(F.lit(1)).alias("_cnt"),
-    )
-    cuts = range_cut_points(t, value_col, n_buckets, sample_rows=4096)
+    cuts = range_cut_points(g, value_col, n_buckets, sample_rows=4096)
     pre = ordered_prefix(
         g,
         [F.col(value_col).asc()],
         range_bucket(value_col, cuts),
         weight="_cnt",
         out_prefix="_cum",
+        offsets_from_source=True,
     )
     r2 = 2 * F.col("_cum") - F.col("_cnt") + 1
     agg = pre.agg(

@@ -204,7 +204,9 @@ def hash_order_prefix(
     # `offsets_from_source` trades a second source scan for skipping
     # the second sort+window over the bucket exchange — see
     # ordered_prefix; enable only when the source is cheap to rescan
-    # (checkpointed / raw narrow scan).
+    # (checkpointed / raw narrow scan). The two scans must AGREE:
+    # a nondeterministic source (rand, monotonically_increasing_id,
+    # uncheckpointed sample) can produce inconsistent offsets.
     offsets = (
         bucketed.groupBy(*gcols, "_bk").agg(*src_aggs)
         if offsets_from_source
@@ -530,6 +532,7 @@ def ordered_prefix(
     out_total_weight: str | None = None,
     broadcast_offsets: bool = True,
     offsets_from_source: bool = False,
+    weights: Sequence[tuple[Column | str, str]] = (),
 ) -> DataFrame:
     """Distributed rank / running total under an arbitrary VALUE order
     — the generalization of `hash_order_prefix` from hash orders to
@@ -566,7 +569,20 @@ def ordered_prefix(
     `df` is localCheckpoint'd or otherwise cheap to rescan (measured
     2.36 s → 1.98 s on trimmed_mean_price at sf0.1, identical rows).
     Keep the default when the source embeds an expensive upstream
-    (pack_chunks' tokenize) that a second scan would recompute."""
+    (pack_chunks' tokenize) that a second scan would recompute.
+    DETERMINISM: the flag scans `df` TWICE (ranked branch + offsets
+    agg); a source embedding nondeterministic expressions (rand,
+    monotonically_increasing_id, an uncheckpointed sample) can
+    disagree between the two scans and corrupt the offsets — the flag
+    requires a deterministic or checkpointed source, same as the cost
+    caveat above already steers to.
+
+    `weights` adds EXTRA running totals in the same single pass:
+    each (column, out_name) pair gets its own inclusive prefix under
+    the identical order — one bucket exchange, one sort, one offsets
+    side for ALL of them, where chaining ordered_prefix calls would
+    pay the full machinery per measure (the ks_test_sources shape:
+    cumulative group-A count and cumulative total count in one pass)."""
     from pyspark.sql import Window
 
     gcols = list(group_cols)
@@ -587,13 +603,21 @@ def ordered_prefix(
     ranked = b.withColumn("_rn", F.row_number().over(w))
     aggs = [F.max("_rn").alias("_n")]
     src_aggs = [F.count(F.lit(1)).alias("_n")]
+    # (weight column, output name, running col, offset col, bucket-sum col)
+    # — the single `weight`/`out_prefix` pair is just the first entry
+    wlist: list[tuple[Column, str, str, str, str]] = []
     if weight is not None:
         wc = F.col(weight) if isinstance(weight, str) else weight
+        wlist.append((wc, out_prefix, "_cw", "_woff", "_ws"))
+    for i, (wcol, oname) in enumerate(weights):
+        wc = F.col(wcol) if isinstance(wcol, str) else wcol
+        wlist.append((wc, oname, f"_cw{i}", f"_woff{i}", f"_ws{i}"))
+    for wc, _oname, cwn, _woffn, wsn in wlist:
         ranked = ranked.withColumn(
-            "_cw", F.sum(wc).over(w.rowsBetween(Window.unboundedPreceding, 0))
+            cwn, F.sum(wc).over(w.rowsBetween(Window.unboundedPreceding, 0))
         )
-        aggs.append(F.max_by("_cw", "_rn").alias("_ws"))
-        src_aggs.append(F.sum(wc).alias("_ws"))
+        aggs.append(F.max_by(cwn, "_rn").alias(wsn))
+        src_aggs.append(F.sum(wc).alias(wsn))
     ow = Window.partitionBy(*gcols).orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
     # same values either way: count == max(_rn), sum(w) == max_by(_cw, _rn)
     offsets = (
@@ -605,9 +629,9 @@ def ordered_prefix(
     if out_pos is not None:
         offsets = offsets.withColumn("_off", F.coalesce(F.sum("_n").over(ow), F.lit(0)))
         keep.append("_off")
-    if weight is not None:
-        offsets = offsets.withColumn("_woff", F.coalesce(F.sum("_ws").over(ow), F.lit(0)))
-        keep.append("_woff")
+    for _wc, _oname, _cwn, woffn, wsn in wlist:
+        offsets = offsets.withColumn(woffn, F.coalesce(F.sum(wsn).over(ow), F.lit(0)))
+        keep.append(woffn)
     if out_total is not None or out_total_weight is not None:
         tw = (
             Window.partitionBy(*gcols)
@@ -628,13 +652,68 @@ def ordered_prefix(
     out = ranked.join(side, [*gcols, "_bk"])
     if out_pos is not None:
         out = out.withColumn(out_pos, (F.col("_off") + F.col("_rn")).cast("long"))
-    if weight is not None:
-        out = out.withColumn(out_prefix, (F.col("_woff") + F.col("_cw")).cast("long"))
+    for _wc, oname, cwn, woffn, _wsn in wlist:
+        out = out.withColumn(oname, (F.col(woffn) + F.col(cwn)).cast("long"))
     if out_total is not None:
         out = out.withColumn(out_total, F.col("_tot").cast("long"))
     if out_total_weight is not None:
         out = out.withColumn(out_total_weight, F.col("_wtot").cast("long"))
-    return out.drop("_bk", "_rn", "_cw", "_off", "_woff", "_tot", "_wtot")
+    drop = ["_bk", "_rn", "_off", "_tot", "_wtot"]
+    drop += [n for _wc, _o, cwn, woffn, _wsn in wlist for n in (cwn, woffn)]
+    return out.drop(*drop)
+
+
+def grouped_prefix_peak(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    bucket: Column,
+    group_cols: Iterable[str] = (),
+    weight: Column | str = "delta",
+    out: str = "peak",
+) -> DataFrame:
+    """Per-group MAX of the inclusive running total of `weight` under
+    the bucketed order — the sweep-line "peak concurrency" reduction,
+    fused so the windowed stream has exactly ONE consumer.
+
+    The identity: with per-bucket offsets off(bk) = Σ weight of all
+    preceding buckets (same-group), the global running total at a row
+    is off(bk) + cw(row), so
+
+        max_rows(off + cw)  ==  max_buckets(off(bk) + max_rows∈bk cw)
+
+    — both sides exact integer arithmetic. Where `ordered_prefix` +
+    `groupBy().max()` pays a SECOND sort+window for the offsets
+    branch, a broadcast join back onto the full boundary stream, and
+    a group-wide aggregation over the whole curve, this shape pays
+    one bucket exchange + one sort + a partition-local per-(group,
+    bucket) agg (max running total, weight sum — no new exchange:
+    the window output is already hash-partitioned on those keys),
+    then finishes on the tiny |groups|·|buckets| axis (one bounded
+    exchange for the offsets window + final max). Same contract as
+    `ordered_prefix`: `bucket` must be monotone non-decreasing in
+    `order_cols` within each group; `weight` must be non-NULL (a
+    NULL weight row would be skipped by the running sum but change
+    no downstream offset — callers feed ±1 deltas)."""
+    from pyspark.sql import Window
+
+    gcols = list(group_cols)
+    wc = F.col(weight) if isinstance(weight, str) else weight
+    b = df.withColumn("_bk", bucket.cast("long")).withColumn("_wv", wc)
+    w = Window.partitionBy(*gcols, "_bk").orderBy(*order_cols)
+    run = b.withColumn(
+        "_cw", F.sum("_wv").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_bk = run.groupBy(*gcols, "_bk").agg(
+        F.max("_cw").alias("_mx"), F.sum("_wv").alias("_ws")
+    )
+    ow = Window.partitionBy(*gcols).orderBy("_bk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        per_bk.withColumn("_off", F.coalesce(F.sum("_ws").over(ow), F.lit(0)))
+        .groupBy(*gcols)
+        .agg(F.max(F.col("_off") + F.col("_mx")).cast("long").alias(out))
+    )
 
 
 def cap_per_group(

