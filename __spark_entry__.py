@@ -216,14 +216,10 @@ _REGISTERED_AFTER_R3 = {
 # (e.g. an oracle added to a formerly rows-only query): treat as
 # never-green so the stronger check gets a driver record. Prune once
 # the hash-green round lands.
-_FORCE_RECHECK: set[str] = {
-    # round 10: promoted from rows-only to full DuckDB hash oracles
-    # (replayable md5 hash family / integer-exact LSH buckets)
-    "lsh_near_dup_pairs",
-    "minhash_estimate_pairs",
-    "simhash64",
-    "simhash_near_dup_pairs",
-}
+_FORCE_RECHECK: set[str] = set()
+# round 10's four oracle promotions (lsh_near_dup_pairs,
+# minhash_estimate_pairs, simhash64, simhash_near_dup_pairs) got
+# hash-green driver records in CORRECTNESS_r10 — pruned round 11.
 
 
 def _rotated(d: dict) -> dict:

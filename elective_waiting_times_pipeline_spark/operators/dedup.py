@@ -159,7 +159,20 @@ def minhash_signature_expr(
     shingles → every component is NULL; filter on
     `size(shingle_hashes(...)) > 0` first, mirroring the batch
     operator's drop-empty semantics."""
-    sh = shingle_hashes(text_col, shingle_n)
+    return minhash_signature_from_hashes(
+        shingle_hashes(text_col, shingle_n), num_hashes
+    )
+
+
+def minhash_signature_from_hashes(sh: F.Column, num_hashes: int = 16) -> F.Column:
+    """`minhash_signature_expr` over an already-computed shingle-hash
+    array Column. Pass a BOUND ATTRIBUTE (e.g. via
+    `functions/barrier.py::bind_once`) on hot paths: each of the
+    `num_hashes` transforms references the array once, so an inline
+    expression argument re-runs the whole tokenize+hash-chain fold
+    per seed — codegen does not CSE across lambda bodies (measured on
+    the streaming store check: 13.0 s → 1.7 s for 5k docs once the
+    array is bound)."""
 
     # factory, NOT a default-arg lambda: `lambda s, i=i: ...` has TWO
     # parameters, which pyspark treats as the (element, index) binary

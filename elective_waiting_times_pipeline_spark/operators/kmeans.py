@@ -73,6 +73,11 @@ def assign_clusters(
     that pure map-side evaluation eliminates; each Lloyd iteration is
     now assignment-shuffle-free, leaving recompute_centroids' k·dim
     exchange as the only shuffle per round.
+    Precondition: `centroids` is NON-EMPTY (seeded k>=1 everywhere in
+    this engine). An empty centroid table yields one row with an
+    empty array and every vector gets cluster=NULL (array_min over an
+    empty transform) — where the old crossJoin shape produced zero
+    output rows.
     Output: (id_col, cluster, xv)."""
     cents = centroids.agg(
         F.array_sort(F.collect_list(F.struct(F.col("cid"), F.col("cv")))).alias("_cents")

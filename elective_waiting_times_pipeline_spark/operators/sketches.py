@@ -70,7 +70,11 @@ def count_min_cells(
     row contributes `weight_col` occurrences instead of 1. Cell
     counts are plain sums, so the grid is identical to running the
     unweighted build over the expanded multiset — but the explode
-    fan-out is d·distinct-keys, not d·occurrences."""
+    fan-out is d·distinct-keys, not d·occurrences. Weights must be
+    NON-NULL and NON-NEGATIVE counts: the sum coalesces to 0 so an
+    all-NULL cell cannot poison downstream arithmetic, but a negative
+    weight would silently break the sketch's never-under-count
+    guarantee (counts from an aggregation are always >= 1)."""
     cells = F.array(
         *[
             F.struct(
@@ -81,7 +85,11 @@ def count_min_cells(
         ]
     )
     agg = (
-        F.count(F.lit(1)) if weight_col is None else F.sum(F.col("_w").cast("long"))
+        F.count(F.lit(1))
+        if weight_col is None
+        # coalesce: a cell whose contributing rows all carry NULL
+        # weight must read 0, not NULL (sum-of-NULLs)
+        else F.coalesce(F.sum(F.col("_w").cast("long")), F.lit(0))
     )
     keep = [F.col(weight_col).alias("_w")] if weight_col is not None else []
     return (

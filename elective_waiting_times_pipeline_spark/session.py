@@ -86,6 +86,19 @@ def get_spark(
     )
     if extra_conf:
         for k, v in extra_conf.items():
+            # excludedRules MERGES with the built-in exclusion instead
+            # of replacing it: bind_once's single-evaluation contract
+            # (functions/barrier.py) depends on InferFiltersFromGenerate
+            # staying excluded, and a caller overriding the conf for an
+            # unrelated rule would silently re-enable it.
+            if k == "spark.sql.optimizer.excludedRules":
+                builtin = (
+                    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+                )
+                rules = [r.strip() for r in v.split(",") if r.strip()]
+                if builtin not in rules:
+                    rules.append(builtin)
+                v = ",".join(rules)
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
