@@ -681,7 +681,17 @@ def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     from elective_waiting_times_pipeline_spark.operators import sampling as SA
 
     orders = load_table(spark, sf_dir, "orders")
-    spend = orders.groupBy("o_custkey").agg(F.sum(sl2("o_totalprice")).alias("cents"))
+    # pin the per-customer axis (bounded by |customers|, a dimension):
+    # the cut-points sample, the ranked branch and the offsets agg all
+    # read pinned blocks, so the orders-wide aggregation runs once and
+    # the offsets side is a HashAggregate (offsets_from_source), not a
+    # second sort+window over the bucket exchange — the
+    # mann_whitney/weighted_median round-11 shape.
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(sl2("o_totalprice")).alias("cents"))
+        .localCheckpoint(eager=False)
+    )
     cuts = SA.range_cut_points(spend, "cents", 64, sample_rows=4096)
     ranked = SA.ordered_prefix(
         spend,
@@ -691,6 +701,7 @@ def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         weight="cents",
         out_prefix="run",
         out_total="n",
+        offsets_from_source=True,
     )
     at = lambda p: F.max(  # noqa: E731
         F.when(F.col("rnk") == F.ceil(p * F.col("n")).cast("long"), F.col("run"))
