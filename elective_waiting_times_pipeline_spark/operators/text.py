@@ -546,54 +546,73 @@ def redact_pii(col: Column | str) -> Column:
 # the classic signal for boilerplate / spam / degenerate generations.
 #   dup_unigram_frac = 1 − distinct_tokens / n_tokens
 #   top_bigram_frac  = occurrences of the most frequent bigram / n_bigrams
-# Shape: one token explode + one bigram explode, each collapsing
-# map-side to a handful of longs per document before the shuffle.
+# Shape: fully ROW-LOCAL — every statistic is a property of one
+# document's own token array, so nothing shuffles:
+#   n_tokens / n_distinct_tokens = size / size∘array_distinct of the
+#   bound token attribute; n_bigrams = size of the bigram array; the
+#   top-bigram count = the longest EQUAL-RUN in the sorted bigram
+#   array (sorting groups equal bigrams adjacently under any total
+#   order), an O(L log L) per-row aggregate. The previous shape paid
+#   two corpus explodes, three hash-agg exchanges and an id join for
+#   the same six per-doc numbers (guide §2.1: remove shuffles
+#   outright when the value is row-local).
 # ---------------------------------------------------------------------------
 def repetition_features(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    uni = (
-        df.select(F.col(id_col), F.explode_outer(tokens(text_col)).alias("_tok"))
-        .groupBy(id_col)
-        .agg(
-            F.count("_tok").cast("int").alias("n_tokens"),
-            F.count_distinct("_tok").cast("int").alias("n_distinct_tokens"),
-        )
+    # NULL-text parity with the old explode_outer shape (one NULL
+    # token row → counts of 0): coalesce the NULL token array to [].
+    # Both derived arrays are bound as attributes — multi-referenced
+    # non-cheap aliases survive CollapseProject (SPARK-36718), so the
+    # tokenize and the bigram build each run once per row.
+    b = df.select(
+        F.col(id_col),
+        F.coalesce(tokens(text_col), F.array().cast("array<string>")).alias("_toks"),
+    ).select(
+        F.col(id_col),
+        F.col("_toks"),
+        F.sort_array(shingles_from_tokens(F.col("_toks"), n=2)).alias("_bgs"),
     )
-    # bind tokens to an attribute before the multi-reference shingle
-    # build (see shingles_from_tokens) — the inline form re-tokenizes
-    # per slice reference
-    bg = (
-        df.select(F.col(id_col), tokens(text_col).alias("_toks"))
-        .select(
-            F.col(id_col),
-            F.explode(shingles_from_tokens(F.col("_toks"), n=2)).alias("_bg"),
-        )
-        .groupBy(id_col, "_bg")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .groupBy(id_col)
-        .agg(
-            F.sum("_c").cast("int").alias("n_bigrams"),
-            F.max("_c").cast("int").alias("top_bigram_count"),
-        )
+    # longest run of equal adjacent elements in the sorted array ==
+    # max per-bigram count. prev starts NULL; bigram strings are never
+    # NULL (concat_ws), so eqNullSafe is false on the first element
+    # and the run counter starts at 1.
+    run_t = "struct<prev:string,run:int,best:int>"
+    top = F.aggregate(
+        F.col("_bgs"),
+        F.lit(None).cast(run_t),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                F.coalesce(acc["best"], F.lit(0)),
+                F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: F.coalesce(acc["best"], F.lit(0)),
     )
     n_toks = F.col("n_tokens")
-    n_bg = F.coalesce(F.col("n_bigrams"), F.lit(0))
-    return (
-        uni.join(bg, id_col, "left")
-        .select(
-            id_col,
-            "n_tokens",
-            "n_distinct_tokens",
-            n_bg.alias("n_bigrams"),
-            F.round(
-                F.when(n_toks > 0, 1.0 - F.col("n_distinct_tokens") / n_toks).otherwise(0.0),
-                6,
-            ).alias("dup_unigram_frac"),
-            F.round(
-                F.when(n_bg > 0, F.col("top_bigram_count") / n_bg).otherwise(0.0), 6
-            ).alias("top_bigram_frac"),
-        )
+    n_bg = F.col("n_bigrams")
+    return b.select(
+        F.col(id_col),
+        F.size("_toks").cast("int").alias("n_tokens"),
+        F.size(F.array_distinct("_toks")).cast("int").alias("n_distinct_tokens"),
+        F.size("_bgs").cast("int").alias("n_bigrams"),
+        top.cast("int").alias("top_bigram_count"),
+    ).select(
+        id_col,
+        "n_tokens",
+        "n_distinct_tokens",
+        "n_bigrams",
+        F.round(
+            F.when(n_toks > 0, 1.0 - F.col("n_distinct_tokens") / n_toks).otherwise(0.0),
+            6,
+        ).alias("dup_unigram_frac"),
+        F.round(
+            F.when(n_bg > 0, F.col("top_bigram_count") / n_bg).otherwise(0.0), 6
+        ).alias("top_bigram_frac"),
     )
 
 

@@ -113,3 +113,75 @@ def test_spearman_rejects_union_incompatible_columns(spark):
     df = spark.createDataFrame([(1, "a")], "x int, y string")
     with pytest.raises(ValueError, match="union-compatible"):
         spearman_rho(df, "x", "y")
+
+
+def test_repetition_features_row_local_parity_and_shape(spark):
+    """The row-local repetition_features must (a) match a naive
+    explode+groupBy computation value-for-value on a tie/edge-heavy
+    corpus and (b) contain NO Exchange — the rewrite's whole point is
+    that every statistic is a per-document property."""
+    import random
+
+    from elective_waiting_times_pipeline_spark.operators.text import (
+        repetition_features,
+        shingles_from_tokens,
+        tokens,
+    )
+
+    rng = random.Random(11)
+    vocab = ["a", "b", "c", "dd", "eee"]
+    rows = [(0, ""), (1, None), (2, "one"), (3, "a a a a")]
+    rows += [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40))))
+        for i in range(4, 120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    got = repetition_features(df)
+    # naive reference: the pre-round-11 two-explode shape
+    uni = (
+        df.select(F.col("doc_id"), F.explode_outer(tokens("text")).alias("_tok"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("_tok").cast("int").alias("n_tokens"),
+            F.count_distinct("_tok").cast("int").alias("n_distinct_tokens"),
+        )
+    )
+    bg = (
+        df.select(F.col("doc_id"), tokens("text").alias("_toks"))
+        .select(
+            F.col("doc_id"),
+            F.explode(shingles_from_tokens(F.col("_toks"), n=2)).alias("_bg"),
+        )
+        .groupBy("doc_id", "_bg")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("_c").cast("int").alias("n_bigrams"),
+            F.max("_c").cast("int").alias("top_bigram_count"),
+        )
+    )
+    n_bg = F.coalesce(F.col("n_bigrams"), F.lit(0))
+    ref = uni.join(bg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        n_bg.alias("n_bigrams"),
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0,
+                1.0 - F.col("n_distinct_tokens") / F.col("n_tokens"),
+            ).otherwise(0.0),
+            6,
+        ).alias("dup_unigram_frac"),
+        F.round(
+            F.when(n_bg > 0, F.col("top_bigram_count") / n_bg).otherwise(0.0), 6
+        ).alias("top_bigram_frac"),
+    )
+    key = lambda r: tuple(r)  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, ref.collect()))
+    assert [f.dataType.simpleString() for f in got.schema.fields] == [
+        f.dataType.simpleString() for f in ref.schema.fields
+    ]
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
