@@ -56,6 +56,34 @@ def _union_find_labels(sym: DataFrame) -> DataFrame:
     return sym.sparkSession.createDataFrame(rows, "v long, label long")
 
 
+def _symmetrize(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Deduplicated symmetric closure of an edge list, (a, b) columns.
+
+    Symmetrizes ROW-LOCALLY — each edge explodes into its two
+    orientations — instead of union(sym, swap(sym)): the union form
+    plants the (often expensive) edge subtree TWICE and exchange reuse
+    does not fire across the legs (verified on dedup_clusters at the
+    ×10 lake: the union-built sym plan held 2 ShuffledHashJoins and
+    0 ReusedExchange — the whole Σdf² pair-generation join ran twice;
+    8.0 → 5.4 s end-to-end from this alone). The explode references
+    the subtree once; output rows are identical (self-loops dropped,
+    both orientations emitted, exact duplicates collapsed)."""
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    return (
+        sym.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.a", "_e.b")
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -82,13 +110,7 @@ def connected_components(
     graphs take the distributed Hash-Min loop unchanged. Equivalence
     of the two paths is property-tested (tests/test_cluster_properties
     .py); pass small_graph_edges=0 to force the distributed path."""
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = (
-        sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    sym = _symmetrize(edges, src, dst).localCheckpoint(eager=False)
     # long-only: the fast path emits `v long, label long`, and a
     # narrower input would silently widen its output dtype vs the
     # distributed path (which preserves the input type)

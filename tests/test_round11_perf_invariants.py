@@ -185,3 +185,39 @@ def test_repetition_features_row_local_parity_and_shape(spark):
     ]
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_symmetrize_single_subtree_and_parity(spark):
+    """connected_components' edge symmetrization must (a) produce
+    exactly the rows of the old union(sym, swap(sym)) form — both
+    orientations, self-loops dropped, duplicates collapsed — and
+    (b) reference the upstream edge subtree ONCE: the union form
+    planted the (expensive, e.g. Σdf² pair-join) subtree twice and
+    exchange reuse never fired across the legs."""
+    from elective_waiting_times_pipeline_spark.operators.cluster import _symmetrize
+
+    raw = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 3), (4, 5), (4, 5), (6, 2), (7, 8), (8, 9)],
+        "x long, y long",
+    )
+    # an aggregate upstream, so "evaluated once" is visible in the
+    # plan: 1 aggregation == 2 HashAggregate nodes (partial + final)
+    edges = raw.groupBy("x", "y").agg(F.count(F.lit(1)).alias("_m")).select(
+        F.col("x").alias("id_a"), F.col("y").alias("id_b")
+    )
+    got = _symmetrize(edges, "id_a", "id_b")
+    sym0 = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    ref = (
+        sym0.union(sym0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+    assert got.schema == ref.schema
+    got.write.format("noop").mode("overwrite").save()
+    # final plan only — AQE's toString repeats nodes in the trailing
+    # "== Initial Plan ==" section
+    plan = got._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    # upstream agg (2 nodes) + the distinct (2 nodes) = 4; the union
+    # form carries the upstream agg twice (6 total)
+    assert plan.count("HashAggregate") == 4, plan
