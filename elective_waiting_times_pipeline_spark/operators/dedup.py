@@ -612,9 +612,12 @@ def verify_candidate_pairs(
     candidate list — co-shingled NON-candidate pairs among the touched
     docs are computed and discarded; bounding that waste is the
     candidate list's job (banding keeps partners per new doc small)."""
+    # endpoint set built row-locally (explode of both ids) rather than
+    # union(select(a), select(b)): the union form references the
+    # candidate-pair subtree twice and exchange reuse does not bridge
+    # union legs (same pathology fixed in cluster._symmetrize)
     ids = (
-        pairs.select(F.col("id_a").alias(id_col))
-        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        pairs.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
         .distinct()
     )
     touched = docs.join(ids, id_col, "left_semi")

@@ -360,10 +360,20 @@ def store_ingest_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # candidates come back as unordered (id_a, id_b) with >=1 new
     # endpoint; keep only new->store edges (new x new collisions are
-    # the in-batch dedup's job) and count partners per arriving doc
+    # the in-batch dedup's job) and count partners per arriving doc.
+    # Both orientations come from ONE row-local explode — the
+    # union(select, swapped select) form evaluated the whole LSH
+    # candidate subtree twice (cluster._symmetrize pathology).
     edges = (
-        cand.select(F.col("id_a").alias("nid"), F.col("id_b").alias("pid"))
-        .unionByName(cand.select(F.col("id_b").alias("nid"), F.col("id_a").alias("pid")))
+        cand.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("id_a").alias("nid"), F.col("id_b").alias("pid")),
+                    F.struct(F.col("id_b").alias("nid"), F.col("id_a").alias("pid")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.nid", "_e.pid")
         .filter((F.col("nid") % 5 == 4) & (F.col("pid") % 5 < 4))
     )
     counts = edges.groupBy("nid").agg(F.count(F.lit(1)).alias("n_near_candidates"))
