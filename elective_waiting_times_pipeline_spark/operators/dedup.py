@@ -900,6 +900,11 @@ def prefix_filter_jaccard_pairs(
     partition on the doc id (bounded by document length); the verify
     join expands |candidates| x set size, already threshold-bounded.
     """
+    # FIVE consumers read the postings relation (dfreq, sizes, the
+    # ranked prefix join, and both verify legs) — un-pinned, each one
+    # re-runs the corpus tokenize+shingle+explode (audited: 5 parquet
+    # scans of the corpus in the final plan). Same class-C recipe as
+    # bm25/tfidf: materialize the narrow (id, shingle) relation once.
     sh = df.select(
         F.col(id_col).alias("id"), tokens(text_col).alias("_toks")
     ).select(
@@ -907,7 +912,7 @@ def prefix_filter_jaccard_pairs(
         F.explode(
             F.array_distinct(shingles_from_tokens(F.col("_toks"), shingle_n))
         ).alias("shingle"),
-    ).filter(F.col("shingle") != "")
+    ).filter(F.col("shingle") != "").localCheckpoint(eager=False)
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("id").orderBy("_df", "shingle")

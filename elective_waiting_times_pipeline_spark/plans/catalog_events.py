@@ -1506,6 +1506,11 @@ def events_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # four consumers (n_users, singles, both self-join legs) read the
+    # distinct (user, type) relation; measured at the ×10 lake a
+    # localCheckpoint pin is FLAT (1.61 s both forms — the identical
+    # distinct exchanges already reuse), and the pin would be
+    # user-scaled (grows with the corpus), so the un-pinned form stays
     ut = ev.select("user_id", "event_type").distinct()
     n = ut.agg(F.count_distinct("user_id").alias("n_users"))
     singles = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))

@@ -2189,7 +2189,14 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    # four consumers (row/col margins, total, cells) — pin the
+    # |lang|x|source| cell table (class A) or each re-runs the corpus
+    # scan+agg (audited: 4 parquet scans in the final plan)
+    obs = (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=False)
+    )
     rows_ = obs.groupBy("lang").agg(F.sum("o").alias("rn"))
     cols_ = obs.groupBy("source").agg(F.sum("o").alias("cn"))
     tot = obs.agg(F.sum("o").alias("n"))
@@ -2805,7 +2812,13 @@ def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    cell = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("nij"))
+    # same four-consumer shape as chi_square_independence: pin the
+    # bounded cell table once (class A)
+    cell = (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("nij"))
+        .localCheckpoint(eager=False)
+    )
     rowm = cell.groupBy("lang").agg(F.sum("nij").alias("ni"))
     colm = cell.groupBy("source").agg(F.sum("nij").alias("nj"))
     tot = cell.agg(F.sum("nij").alias("n"))
