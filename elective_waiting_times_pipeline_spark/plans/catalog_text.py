@@ -1424,8 +1424,14 @@ def bigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     train = toks.filter(F.col("doc_id") % 2 == 0)
-    uni = train.select(F.explode("w").alias("tok")).groupBy("tok").agg(
-        F.count(F.lit(1)).alias("cnt")
+    # three consumers (tot, the bis join, uns) — pin the vocab-bounded
+    # unigram count table (class A) or each re-runs the train-half
+    # corpus tokenize+explode (audited: 4 parquet scans, only 2 reused)
+    uni = (
+        train.select(F.explode("w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
     )
     tot = uni.agg(
         F.sum("cnt").cast("double").alias("n_total"),

@@ -697,9 +697,22 @@ def knn_pagerank_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             "> 20000. Generate the edge list with lsh_bucketed_pairs/ivf_assign "
             "blocking at corpus scale and run the same iteration over it."
         )
-    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").cast("array<double>").alias("_va"))
-    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").cast("array<double>").alias("_vb"))
-    sim = F.round(S.cosine(F.col("_va"), F.col("_vb")), 6)
+    # per-side norms bound once per ROW before the quadratic kNN join
+    # (S.cosine_with_norms: bit-identical doubles, 3 O(dim) folds per
+    # pair -> 1 — this join is the query's dominant stage: n² pairs)
+    a = emb.select(
+        F.col("vec_id").alias("a"),
+        F.col("embedding").cast("array<double>").alias("_va"),
+        S.norm(F.col("embedding").cast("array<double>")).alias("_na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("b"),
+        F.col("embedding").cast("array<double>").alias("_vb"),
+        S.norm(F.col("embedding").cast("array<double>")).alias("_nb"),
+    )
+    sim = F.round(
+        S.cosine_with_norms(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")), 6
+    )
     pairs = a.join(b, F.col("a") != F.col("b")).select("a", "b", sim.alias("s"))
     w = Window.partitionBy("a").orderBy(F.col("s").desc(), F.col("b"))
     edges = (

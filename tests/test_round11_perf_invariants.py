@@ -221,3 +221,41 @@ def test_symmetrize_single_subtree_and_parity(spark):
     # upstream agg (2 nodes) + the distinct (2 nodes) = 4; the union
     # form carries the upstream agg twice (6 total)
     assert plan.count("HashAggregate") == 4, plan
+
+
+def test_cosine_with_norms_bit_identical(spark):
+    """cosine_with_norms(a, b, norm(a), norm(b)) must equal cosine(a, b)
+    BIT-FOR-BIT (same folds, same product of the same doubles) — the
+    pair-join call sites bind the norms per row, so any ulp drift here
+    would silently change rounded similarities. Includes zero vectors
+    (NULL via try_divide) and NULL arrays."""
+    import random
+
+    from elective_waiting_times_pipeline_spark.operators.similarity import (
+        cosine,
+        cosine_with_norms,
+        norm,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        ([rng.uniform(-1, 1) for _ in range(16)],
+         [rng.uniform(-1, 1) for _ in range(16)])
+        for _ in range(200)
+    ]
+    rows += [([0.0] * 16, [1.0] * 16), ([0.0] * 16, [0.0] * 16), (None, [1.0] * 16)]
+    df = spark.createDataFrame(rows, "a array<double>, b array<double>")
+    bound = df.select(
+        "a", "b", norm(F.col("a")).alias("_na"), norm(F.col("b")).alias("_nb")
+    )
+    out = bound.select(
+        cosine(F.col("a"), F.col("b")).alias("ref"),
+        cosine_with_norms(F.col("a"), F.col("b"), F.col("_na"), F.col("_nb")).alias("got"),
+    ).collect()
+    import struct
+
+    for r in out:
+        if r.ref is None:
+            assert r.got is None
+        else:
+            assert struct.pack("d", r.ref) == struct.pack("d", r.got)
