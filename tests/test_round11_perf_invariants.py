@@ -259,3 +259,4 @@ def test_cosine_with_norms_bit_identical(spark):
             assert r.got is None
         else:
             assert struct.pack("d", r.ref) == struct.pack("d", r.got)
+
